@@ -1,0 +1,470 @@
+package graft.extract
+
+import graft.model.{IndicatorType => T, Ioc}
+
+import java.nio.charset.StandardCharsets
+import scala.collection.mutable.ArrayBuffer
+
+/** Scanner configuration (reference ExtractorBuilder defaults,
+  * crates/matchy-extractor/src/lib.rs:35-50).
+  */
+final case class ScanConfig(
+    domains: Boolean = true,
+    emails: Boolean = true,
+    ipv4: Boolean = true,
+    ipv6: Boolean = true,
+    hashes: Boolean = true,
+    bitcoin: Boolean = true,
+    ethereum: Boolean = true,
+    monero: Boolean = true,
+    minDomainLabels: Int = 2,
+    requireWordBoundaries: Boolean = true
+)
+
+/** Single-pass IoC scanner over the UTF-8 bytes of one turn's text.
+  *
+  * Re-implements the observable extraction semantics of the reference
+  * extractor (crates/matchy-extractor/src/lib.rs) from scratch in Scala:
+  * boundary alphabet (lib.rs:1568-1593), per-type candidate grammars
+  * (SURVEY.md §2.2 E1-E8), emission order of line-mode extraction
+  * (lib.rs:1471-1521): domains, ipv4, emails, ipv6, hashes, bitcoin,
+  * ethereum, monero. Spans are byte offsets; candidates are not deduped and
+  * may overlap across types (an email also yields its domain).
+  *
+  * This class is immutable and serializable — one instance is shared by all
+  * executor threads (it backs the `extract_iocs` Catalyst expression).
+  */
+final class IocScanner(val config: ScanConfig) extends Serializable {
+  import IocScanner._
+
+  def scanText(text: String): ArrayBuffer[Ioc] =
+    scan(text.getBytes(StandardCharsets.UTF_8))
+
+  def scan(bytes: Array[Byte]): ArrayBuffer[Ioc] = {
+    val out = new ArrayBuffer[Ioc](4)
+    // shared token boundaries (used by hashes/bitcoin/monero)
+    val needTokens = config.hashes || config.bitcoin || config.monero
+    val tokens = if (needTokens) tokenSpans(bytes) else null
+    if (config.domains) scanDomains(bytes, out)
+    if (config.ipv4) scanIpv4(bytes, out)
+    if (config.emails) scanEmails(bytes, out)
+    if (config.ipv6) scanIpv6(bytes, out)
+    if (config.hashes) scanHashes(bytes, tokens, out)
+    if (config.bitcoin) scanBitcoin(bytes, tokens, out)
+    if (config.ethereum) scanEthereum(bytes, out)
+    if (config.monero) scanMonero(bytes, tokens, out)
+    out
+  }
+
+  // ------------------------------------------------------------- domains
+  private def scanDomains(b: Array[Byte], out: ArrayBuffer[Ioc]): Unit = {
+    val n = b.length
+    var lastDomainEnd = 0
+    var dot = 0
+    while (dot < n) {
+      if (b(dot) == '.' && dot >= lastDomainEnd) {
+        var start = dot
+        while (start > 0 && isDomainChar(b(start - 1))) start -= 1
+        var end = dot + 1
+        while (end < n && isDomainChar(b(end))) end += 1
+        if (start < dot && end > dot + 1) {
+          val tldStart = Psl.tldSuffixPos(b, start, end)
+          if (tldStart > 0) { // -1 = no TLD; 0 = bare TLD, rejected
+            val boundaryOk = !config.requireWordBoundaries ||
+              ((start == 0 || isBoundary(b(start - 1))) &&
+                (end == n || isBoundary(b(end))))
+            if (boundaryOk && validLabels(b, start, end) &&
+              utf8Valid(b, start, end)) {
+              val s = new String(b, start, end - start, StandardCharsets.UTF_8)
+              out += Ioc(T.Domain, s, s, start, end)
+              lastDomainEnd = end
+            }
+          }
+        }
+      }
+      dot += 1
+    }
+  }
+
+  /** Labels: non-empty, no leading/trailing hyphen, count >= min. */
+  private def validLabels(b: Array[Byte], start: Int, end: Int): Boolean = {
+    var count = 0
+    var labelStart = start
+    var i = start
+    while (i <= end) {
+      if (i == end || b(i) == '.') {
+        val len = i - labelStart
+        if (len == 0) return false
+        if (b(labelStart) == '-' || b(i - 1) == '-') return false
+        count += 1
+        labelStart = i + 1
+      }
+      i += 1
+    }
+    count >= config.minDomainLabels
+  }
+
+  // --------------------------------------------------------------- ipv4
+  private def scanIpv4(b: Array[Byte], out: ArrayBuffer[Ioc]): Unit = {
+    val n = b.length
+    // dot positions (shared-precompute in the reference; cheap here)
+    val dots = new ArrayBuffer[Int](8)
+    var i = 0
+    while (i < n) { if (b(i) == '.') dots += i; i += 1 }
+    var lastEnd = 0
+    var di = 0
+    while (di < dots.length) {
+      val dotPos = dots(di)
+      if (dotPos != 0 && dotPos + 6 <= n &&
+        isDigit(b(dotPos - 1)) && isDigit(b(dotPos + 1))) {
+        var start = dotPos
+        while (start > 0 && (isDigit(b(start - 1)) || b(start - 1) == '.'))
+          start -= 1
+        if (start >= lastEnd) {
+          // need >=3 dots within [this dot, start+15)
+          val endSearch = math.min(start + 15, n)
+          var cnt = 0
+          var dj = di
+          while (dj < dots.length && dots(dj) < endSearch) { cnt += 1; dj += 1 }
+          if (cnt >= 3) {
+            val parsed = tryParseIpv4(b, start)
+            if (parsed != null) {
+              val end = parsed._2
+              val s = parsed._1
+              out += Ioc(T.Ipv4, s,
+                new String(b, start, end - start, StandardCharsets.UTF_8),
+                start, end)
+              lastEnd = end
+            }
+          }
+        }
+      }
+      di += 1
+    }
+  }
+
+  /** Strict dotted-quad parse from `start`: 4 octets of 1-3 digits, each
+    * 0-255, no leading zeros, word boundaries both ends. Returns
+    * (canonical, end) or null.
+    */
+  private def tryParseIpv4(b: Array[Byte], start: Int): (String, Int) = {
+    val n = b.length
+    if (config.requireWordBoundaries && start > 0 && !isBoundary(b(start - 1)))
+      return null
+    var pos = start
+    val octets = new Array[Int](4)
+    var oi = 0
+    while (oi < 4) {
+      var value = 0
+      var digits = 0
+      val octetStart = pos
+      while (pos < n && isDigit(b(pos)) && digits < 3) {
+        value = value * 10 + (b(pos) - '0')
+        pos += 1
+        digits += 1
+      }
+      if (digits == 0) return null
+      if (value > 255) return null
+      if (digits > 1 && b(octetStart) == '0') return null
+      octets(oi) = value
+      if (oi < 3) {
+        if (pos >= n || b(pos) != '.') return null
+        pos += 1
+      }
+      oi += 1
+    }
+    if (config.requireWordBoundaries && pos < n && !isBoundary(b(pos)))
+      return null
+    (s"${octets(0)}.${octets(1)}.${octets(2)}.${octets(3)}", pos)
+  }
+
+  // -------------------------------------------------------------- emails
+  private def scanEmails(b: Array[Byte], out: ArrayBuffer[Ioc]): Unit = {
+    val n = b.length
+    var at = 0
+    while (at < n) {
+      if (b(at) == '@') {
+        var start = at
+        while (start > 0 && isEmailLocalChar(b(start - 1))) start -= 1
+        var ok = start < at
+        if (ok && config.requireWordBoundaries && start > 0 &&
+          !isBoundary(b(start - 1))) ok = false
+        if (ok) {
+          var end = at + 1
+          while (end < n && isDomainChar(b(end))) end += 1
+          if (end > at + 1) {
+            if (!config.requireWordBoundaries || end == n || isBoundary(b(end))) {
+              // local part: no "..", at least one ASCII letter
+              var hasLetter = false
+              var dd = false
+              var i = start
+              while (i < at) {
+                val c = b(i)
+                if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))
+                  hasLetter = true
+                if (c == '.' && i + 1 < at && b(i + 1) == '.') dd = true
+                i += 1
+              }
+              if (hasLetter && !dd) {
+                // domain part: at least one dot + PSL TLD
+                var hasDot = false
+                i = at + 1
+                while (i < end && !hasDot) { if (b(i) == '.') hasDot = true; i += 1 }
+                if (hasDot && Psl.tldSuffixPos(b, at + 1, end) >= 0 &&
+                  utf8Valid(b, start, end)) {
+                  val s =
+                    new String(b, start, end - start, StandardCharsets.UTF_8)
+                  out += Ioc(T.Email, s, s, start, end)
+                }
+              }
+            }
+          }
+        }
+      }
+      at += 1
+    }
+  }
+
+  // --------------------------------------------------------------- ipv6
+  private def scanIpv6(b: Array[Byte], out: ArrayBuffer[Ioc]): Unit = {
+    val n = b.length
+    var lastEnd = 0
+    var search = 0
+    while (search + 1 < n) {
+      // next non-overlapping "::"
+      var dc = -1
+      var k = search
+      while (dc < 0 && k + 1 < n) {
+        if (b(k) == ':' && b(k + 1) == ':') dc = k else k += 1
+      }
+      if (dc < 0) return
+      search = dc + 2
+      if (dc >= lastEnd) {
+        val hexBefore = dc > 0 && isHex(b(dc - 1))
+        val hexAfter = dc + 2 < n && isHex(b(dc + 2))
+        if (hexBefore || hexAfter) {
+          var start = dc
+          while (start > 0 && (isHex(b(start - 1)) || b(start - 1) == ':'))
+            start -= 1
+          var end = dc + 2
+          while (end < n && (isHex(b(end)) || b(end) == ':')) end += 1
+          val len = end - start
+          if (len < 8) { lastEnd = end }
+          else if (b(start) == ':' && b(start + 1) == ':') { lastEnd = end }
+          else if (b(end - 1) == ':' && b(end - 2) == ':') { lastEnd = end }
+          else if (isLoopbackOrLinkLocal(b, start, end)) { lastEnd = end }
+          else {
+            val raw = new String(b, start, len, StandardCharsets.US_ASCII)
+            val canonical = Ipv6Format.canonicalize(raw)
+            if (canonical != null) {
+              out += Ioc(T.Ipv6, canonical, raw, start, end)
+              lastEnd = end
+            } else lastEnd = dc + 2
+          }
+        } else lastEnd = dc + 2
+      }
+    }
+  }
+
+  /** Reject ::1 and fe80::/10 by textual prefix (lib.rs:1425-1456). */
+  private def isLoopbackOrLinkLocal(b: Array[Byte], start: Int, end: Int): Boolean = {
+    val len = end - start
+    if (len == 3 && b(start) == ':' && b(start + 1) == ':' && b(start + 2) == '1')
+      return true
+    if (len >= 3) {
+      val c0 = lower(b(start)); val c1 = lower(b(start + 1)); val c2 = lower(b(start + 2))
+      if (c0 == 'f' && c1 == 'e' && (c2 == '8' || c2 == '9' || c2 == 'a' || c2 == 'b'))
+        return true
+    }
+    false
+  }
+
+  // -------------------------------------------------------------- hashes
+  private def scanHashes(b: Array[Byte], tokens: ArrayBuffer[Int],
+      out: ArrayBuffer[Ioc]): Unit = {
+    var t = 0
+    while (t + 1 < tokens.length) {
+      val start = tokens(t)
+      val end = tokens(t + 1)
+      val len = end - start
+      val tpe = len match {
+        case 32  => T.Md5
+        case 40  => T.Sha1
+        case 64  => T.Sha256
+        case 96  => T.Sha384
+        case 128 => T.Sha512
+        case _   => null
+      }
+      if (tpe != null && allHex(b, start, end)) {
+        val s = new String(b, start, len, StandardCharsets.US_ASCII)
+        out += Ioc(tpe, s, s, start, end)
+      }
+      t += 2
+    }
+  }
+
+  // ------------------------------------------------------------- bitcoin
+  private def scanBitcoin(b: Array[Byte], tokens: ArrayBuffer[Int],
+      out: ArrayBuffer[Ioc]): Unit = {
+    var t = 0
+    while (t + 1 < tokens.length) {
+      val start = tokens(t)
+      val end = tokens(t + 1)
+      val len = end - start
+      if (len >= 26 && len <= 62) {
+        if (len >= 3 && b(start) == 'b' && b(start + 1) == 'c' &&
+          b(start + 2) == '1') {
+          if (asciiOnly(b, start, end)) {
+            val s = new String(b, start, len, StandardCharsets.US_ASCII)
+            if (Checksums.validBitcoinBech32(s))
+              out += Ioc(T.Bitcoin, s, s, start, end)
+          }
+        } else if (b(start) == '1' || b(start) == '3') {
+          if (asciiOnly(b, start, end)) {
+            val s = new String(b, start, len, StandardCharsets.US_ASCII)
+            if (Checksums.validBase58Check(s))
+              out += Ioc(T.Bitcoin, s, s, start, end)
+          }
+        }
+      }
+      t += 2
+    }
+  }
+
+  // ------------------------------------------------------------ ethereum
+  private def scanEthereum(b: Array[Byte], out: ArrayBuffer[Ioc]): Unit = {
+    val n = b.length
+    var i = 0
+    while (i + 1 < n) {
+      if (b(i) == '0' && b(i + 1) == 'x') {
+        val start = i
+        i += 2 // non-overlapping "0x" search
+        if (start + 42 <= n &&
+          (!config.requireWordBoundaries || start == 0 || isBoundary(b(start - 1)))) {
+          val end = start + 42
+          if ((!config.requireWordBoundaries || end == n || isBoundary(b(end))) &&
+            allHex(b, start + 2, end)) {
+            val s = new String(b, start, 42, StandardCharsets.US_ASCII)
+            if (Checksums.validEthereum(s))
+              out += Ioc(T.Ethereum, s, s, start, end)
+          }
+        }
+      } else i += 1
+    }
+  }
+
+  // -------------------------------------------------------------- monero
+  private def scanMonero(b: Array[Byte], tokens: ArrayBuffer[Int],
+      out: ArrayBuffer[Ioc]): Unit = {
+    var t = 0
+    while (t + 1 < tokens.length) {
+      val start = tokens(t)
+      val end = tokens(t + 1)
+      val len = end - start
+      if (len >= 90 && len <= 110 && (b(start) == '4' || b(start) == '8') &&
+        asciiOnly(b, start, end)) {
+        val s = new String(b, start, len, StandardCharsets.US_ASCII)
+        if (Checksums.validMonero(s))
+          out += Ioc(T.Monero, s, s, start, end)
+      }
+      t += 2
+    }
+  }
+}
+
+object IocScanner {
+  val default = new IocScanner(ScanConfig())
+
+  /** Boundary alphabet (reference BOUNDARY_LOOKUP, lib.rs:1568-1593):
+    * whitespace + / , ; : ( ) [ ] { } < > " ' @ =
+    */
+  private val boundaryTable: Array[Boolean] = {
+    val t = new Array[Boolean](256)
+    " \t\n\r/,;:()[]{}<>\"'@=".foreach(c => t(c.toInt) = true)
+    t
+  }
+
+  /** Domain chars: [A-Za-z0-9.-] plus bytes >= 0x80 (IDN), lib.rs:1597-1629. */
+  private val domainCharTable: Array[Boolean] = {
+    val t = new Array[Boolean](256)
+    var i = '0'.toInt; while (i <= '9') { t(i) = true; i += 1 }
+    i = 'a'.toInt; while (i <= 'z') { t(i) = true; i += 1 }
+    i = 'A'.toInt; while (i <= 'Z') { t(i) = true; i += 1 }
+    t('-'.toInt) = true
+    t('.'.toInt) = true
+    i = 0x80; while (i <= 0xff) { t(i) = true; i += 1 }
+    t
+  }
+
+  @inline def isBoundary(b: Byte): Boolean = boundaryTable(b & 0xff)
+  @inline def isDomainChar(b: Byte): Boolean = domainCharTable(b & 0xff)
+  @inline def isDigit(b: Byte): Boolean = b >= '0' && b <= '9'
+  @inline def isHex(b: Byte): Boolean =
+    (b >= '0' && b <= '9') || (b >= 'a' && b <= 'f') || (b >= 'A' && b <= 'F')
+  @inline def isEmailLocalChar(b: Byte): Boolean =
+    (b >= '0' && b <= '9') || (b >= 'a' && b <= 'z') ||
+      (b >= 'A' && b <= 'Z') || b == '.' || b == '-' || b == '_' || b == '+'
+  @inline private def lower(b: Byte): Int =
+    if (b >= 'A' && b <= 'Z') b + 32 else b.toInt
+
+  def allHex(b: Array[Byte], from: Int, to: Int): Boolean = {
+    var i = from
+    while (i < to) { if (!isHex(b(i))) return false; i += 1 }
+    true
+  }
+
+  def asciiOnly(b: Array[Byte], from: Int, to: Int): Boolean = {
+    var i = from
+    while (i < to) { if (b(i) < 0) return false; i += 1 }
+    true
+  }
+
+  /** Token spans: flat [start0, end0, start1, end1, ...] of maximal
+    * non-boundary runs (reference find_word_boundaries_into,
+    * lib.rs:1742-1782).
+    */
+  def tokenSpans(b: Array[Byte]): ArrayBuffer[Int] = {
+    val out = new ArrayBuffer[Int](16)
+    val n = b.length
+    if (n == 0) return out
+    var inToken = !isBoundary(b(0))
+    if (inToken) out += 0
+    var i = 1
+    while (i < n) {
+      val bd = isBoundary(b(i))
+      if (inToken && bd) { out += i; inToken = false }
+      else if (!inToken && !bd) { out += i; inToken = true }
+      i += 1
+    }
+    if (inToken) out += n
+    out
+  }
+
+  /** Strict UTF-8 validity of bytes[from, to). */
+  def utf8Valid(b: Array[Byte], from: Int, to: Int): Boolean = {
+    var i = from
+    while (i < to) {
+      val c = b(i) & 0xff
+      if (c < 0x80) i += 1
+      else if (c < 0xc2) return false // continuation or overlong lead
+      else if (c < 0xe0) {
+        if (i + 1 >= to || (b(i + 1) & 0xc0) != 0x80) return false
+        i += 2
+      } else if (c < 0xf0) {
+        if (i + 2 >= to || (b(i + 1) & 0xc0) != 0x80 ||
+          (b(i + 2) & 0xc0) != 0x80) return false
+        val cp = ((c & 0x0f) << 12) | ((b(i + 1) & 0x3f) << 6) | (b(i + 2) & 0x3f)
+        if (cp < 0x800 || (cp >= 0xd800 && cp <= 0xdfff)) return false
+        i += 3
+      } else if (c < 0xf5) {
+        if (i + 3 >= to || (b(i + 1) & 0xc0) != 0x80 ||
+          (b(i + 2) & 0xc0) != 0x80 || (b(i + 3) & 0xc0) != 0x80) return false
+        val cp = ((c & 0x07) << 18) | ((b(i + 1) & 0x3f) << 12) |
+          ((b(i + 2) & 0x3f) << 6) | (b(i + 3) & 0x3f)
+        if (cp < 0x10000 || cp > 0x10ffff) return false
+        i += 4
+      } else return false
+    }
+    true
+  }
+}

@@ -1,0 +1,335 @@
+package graft.intel
+
+import graft.extract.Ipv6Format
+
+import scala.collection.mutable
+
+/** IP/CIDR parsed into the unified 128-bit space: IPv4 a.b.c.d/p maps to
+  * ::ffff:a.b.c.d/(96+p) — the reference stores IPv4 under the v4-mapped
+  * node of one binary trie (crates/matchy-format/src/mmdb/tree.rs:46-90) and
+  * reports v4 prefix lengths; we do the same arithmetic on (hi, lo) longs.
+  */
+final case class Cidr(hi: Long, lo: Long, prefixLen: Int, isV4: Boolean)
+
+object Cidr {
+
+  /** Strict dotted-quad parse (no leading zeros, 4 octets, 0-255) — the
+    * grammar of Rust's `Ipv4Addr::from_str`, which gates entry
+    * classification (mmdb_builder.rs:338-365).
+    */
+  def parseV4(s: String): Long = {
+    var value = 0L
+    var octet = 0
+    var digits = 0
+    var octets = 0
+    var leadingZero = false
+    var acc = 0
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '.') {
+        if (digits == 0 || octets >= 3 || leadingZero && digits > 1) return -1L
+        if (leadingZero && digits > 1) return -1L
+        value = (value << 8) | acc
+        octets += 1; acc = 0; digits = 0; leadingZero = false
+      } else if (c >= '0' && c <= '9') {
+        if (digits == 0 && c == '0') leadingZero = true
+        acc = acc * 10 + (c - '0')
+        digits += 1
+        if (digits > 3 || acc > 255) return -1L
+      } else return -1L
+      i += 1
+    }
+    if (digits == 0 || octets != 3 || (leadingZero && digits > 1)) return -1L
+    (value << 8) | acc
+  }
+
+  /** Parse an IP or CIDR entry. Returns null if not one
+    * (mmdb_builder.rs:338-365: plain IP gets /32 or /128; CIDR prefix must
+    * be within range).
+    */
+  def parse(key: String): Cidr = {
+    val slash = key.indexOf('/')
+    if (slash < 0) {
+      val v4 = parseV4(key)
+      if (v4 >= 0)
+        return Cidr(0L, 0x0000ffff00000000L | v4, 96 + 32, isV4 = true)
+      val g = Ipv6Format.parse(key)
+      if (g != null) return fromGroups(g, 128, isV4 = false)
+      null
+    } else {
+      val addrStr = key.substring(0, slash)
+      val prefixStr = key.substring(slash + 1)
+      if (prefixStr.isEmpty || prefixStr.length > 3 ||
+        !prefixStr.forall(c => c >= '0' && c <= '9')) return null
+      val p = prefixStr.toInt
+      val v4 = parseV4(addrStr)
+      if (v4 >= 0) {
+        if (p > 32) return null
+        return Cidr(0L, 0x0000ffff00000000L | v4, 96 + p, isV4 = true)
+      }
+      val g = Ipv6Format.parse(addrStr)
+      if (g != null && p <= 128) return fromGroups(g, p, isV4 = false)
+      null
+    }
+  }
+
+  def fromGroups(g: Array[Int], prefixLen: Int, isV4: Boolean): Cidr = {
+    var hi = 0L
+    var lo = 0L
+    var i = 0
+    while (i < 4) { hi = (hi << 16) | (g(i) & 0xffffL); i += 1 }
+    while (i < 8) { lo = (lo << 16) | (g(i) & 0xffffL); i += 1 }
+    Cidr(hi, lo, prefixLen, isV4)
+  }
+
+  def v4ToUnified(v4: Long): (Long, Long) = (0L, 0x0000ffff00000000L | v4)
+
+  /** Mask (hi, lo) to the first `prefixLen` bits. */
+  def mask(hi: Long, lo: Long, prefixLen: Int): (Long, Long) = {
+    if (prefixLen >= 128) (hi, lo)
+    else if (prefixLen > 64) (hi, lo & (-1L << (128 - prefixLen)))
+    else if (prefixLen == 64) (hi, 0L)
+    else if (prefixLen > 0) (hi & (-1L << (64 - prefixLen)), 0L)
+    else (0L, 0L)
+  }
+}
+
+/** Longest-prefix-match index over a small intel CIDR set, broadcast to
+  * executors. Most-specific prefix wins regardless of insert order
+  * (reference matchy-ip-trie builder semantics, lib.rs:88-100, 233-252).
+  * Probe = one hash lookup per distinct prefix length, longest first —
+  * O(distinct lengths) per candidate, allocation-free on miss.
+  */
+final class LpmIndex private (
+    lengths: Array[Int], // distinct prefix lengths, descending
+    maps: Array[java.util.HashMap[(Long, Long), java.lang.Integer]]
+) extends Serializable {
+
+  /** Returns (entryIdx, unifiedPrefixLen) or null. */
+  def lookup(hi: Long, lo: Long): (Int, Int) = {
+    var i = 0
+    while (i < lengths.length) {
+      val len = lengths(i)
+      val key = Cidr.mask(hi, lo, len)
+      val hit = maps(i).get(key)
+      if (hit != null) return (hit.intValue(), len)
+      i += 1
+    }
+    null
+  }
+
+  /** LPM for a canonical dotted-quad string; reports v4 prefix length. */
+  def lookupV4(value: String): (Int, Int) = {
+    val v4 = Cidr.parseV4(value)
+    if (v4 < 0) return null
+    val (hi, lo) = Cidr.v4ToUnified(v4)
+    val r = lookup(hi, lo)
+    if (r == null) null else (r._1, math.max(0, r._2 - 96))
+  }
+
+  /** LPM for a canonical IPv6 string; reports v6 prefix length. */
+  def lookupV6(value: String): (Int, Int) = {
+    val g = Ipv6Format.parse(value)
+    if (g == null) return null
+    val c = Cidr.fromGroups(g, 128, isV4 = false)
+    lookup(c.hi, c.lo)
+  }
+
+  def isEmpty: Boolean = lengths.isEmpty
+}
+
+object LpmIndex {
+  def build(cidrs: Seq[(Cidr, Int)]): LpmIndex = {
+    val byLen = cidrs.groupBy(_._1.prefixLen).toSeq.sortBy(-_._1)
+    val lengths = byLen.map(_._1).toArray
+    val maps = byLen.map { case (len, group) =>
+      val m =
+        new java.util.HashMap[(Long, Long), java.lang.Integer](group.size * 2)
+      group.foreach { case (c, idx) =>
+        m.put(Cidr.mask(c.hi, c.lo, len), Int.box(idx))
+      }
+      m
+    }.toArray
+    new LpmIndex(lengths, maps)
+  }
+}
+
+/** Exact-literal index (reference matchy-literal-hash semantics: key
+  * normalized to lowercase iff case-insensitive, verified by full equality;
+  * lib.rs:162-166, 469-473).
+  */
+final class LiteralIndex private (
+    map: java.util.HashMap[String, Array[Int]],
+    val caseInsensitive: Boolean
+) extends Serializable {
+  def lookup(value: String): Array[Int] = {
+    val key = if (caseInsensitive) value.toLowerCase else value
+    val r = map.get(key)
+    if (r == null) LiteralIndex.empty else r
+  }
+  def isEmpty: Boolean = map.isEmpty
+  def size: Int = map.size
+}
+
+object LiteralIndex {
+  private val empty = Array.emptyIntArray
+  def build(literals: Seq[(String, Int)], caseInsensitive: Boolean)
+      : LiteralIndex = {
+    val m = new java.util.HashMap[String, Array[Int]](literals.size * 2)
+    literals.foreach { case (lit, idx) =>
+      val key = if (caseInsensitive) lit.toLowerCase else lit
+      val prev = m.get(key)
+      m.put(key, if (prev == null) Array(idx) else prev :+ idx)
+    }
+    new LiteralIndex(m, caseInsensitive)
+  }
+}
+
+/** Glob pattern set with paraglob semantics: per query, returns the sorted,
+  * deduplicated entry indices of all matching patterns
+  * (paraglob_offset.rs:1028-1182). Pure-literal patterns match as
+  * substring; globs are anchored; each pattern carries a longest-literal
+  * contains() prefilter.
+  */
+final class GlobIndex private (
+    patterns: Array[Glob.GlobPattern],
+    entryIdx: Array[Int]
+) extends Serializable {
+  def findAll(value: String): Array[Int] = {
+    var out: mutable.ArrayBuffer[Int] = null
+    var i = 0
+    while (i < patterns.length) {
+      if (patterns(i).matches(value)) {
+        if (out == null) out = new mutable.ArrayBuffer[Int](4)
+        out += entryIdx(i)
+      }
+      i += 1
+    }
+    if (out == null) Array.emptyIntArray
+    else out.distinct.sorted.toArray
+  }
+  def isEmpty: Boolean = patterns.isEmpty
+}
+
+object GlobIndex {
+  def build(globs: Seq[(String, Int)], caseInsensitive: Boolean): GlobIndex = {
+    val ps = new mutable.ArrayBuffer[Glob.GlobPattern](globs.size)
+    val ix = new mutable.ArrayBuffer[Int](globs.size)
+    globs.foreach { case (pat, idx) =>
+      Glob.parse(pat, caseInsensitive) match {
+        case Right(p) => ps += p; ix += idx
+        case Left(_)  => // invalid globs are rejected at build time
+      }
+    }
+    new GlobIndex(ps.toArray, ix.toArray)
+  }
+}
+
+/** Entry metadata carried through lookups (ThreatDB v1 required fields +
+  * confidence; schemas/threatdb-v1.schema.json).
+  */
+final case class IntelMeta(
+    entry: String,
+    entryType: String,
+    threatLevel: String,
+    category: String,
+    source: String,
+    confidence: Int
+)
+
+/** One compiled intel database: the Spark-side analog of a loaded .mxy —
+  * a broadcastable bundle of (LPM trie, literal hash, glob set, metadata).
+  * Entry classification follows mmdb_builder.rs:392-429.
+  */
+final class IntelDb(
+    val databaseId: String,
+    val entries: Array[IntelMeta],
+    val lpm: LpmIndex,
+    val literals: LiteralIndex,
+    val globs: GlobIndex,
+    val caseInsensitive: Boolean
+) extends Serializable {
+
+  /** IP-path lookup (L2): canonical string + family. Returns
+    * (entryIdx, familyPrefixLen) or null.
+    */
+  def lookupIp(value: String, isV6: Boolean): (Int, Int) =
+    if (isV6) lpm.lookupV6(value) else lpm.lookupV4(value)
+
+  /** String-path lookup (L3+L4 combined, L5 union semantics: literal ids
+    * first, then sorted glob ids; database.rs:911-981).
+    */
+  def lookupString(value: String): Array[Int] = {
+    val lit = literals.lookup(value)
+    val glob = globs.findAll(value)
+    if (glob.isEmpty) lit
+    else if (lit.isEmpty) glob
+    else lit ++ glob
+  }
+
+  def hasIpSection: Boolean = !lpm.isEmpty
+  def hasStringSection: Boolean = !literals.isEmpty || !globs.isEmpty
+}
+
+object IntelDb {
+
+  sealed trait EntryType
+  final case class IpEntry(cidr: Cidr) extends EntryType
+  final case class LiteralEntry(key: String) extends EntryType
+  final case class GlobEntry(pattern: String) extends EntryType
+
+  /** Classify an entry key (mmdb_builder.rs:392-429):
+    * 1. `literal:` / `glob:` / `ip:` prefixes force a class (invalid forced
+    *    glob/ip => entry dropped, mirroring the builder's hard error);
+    * 2. else IP/CIDR if it parses;
+    * 3. else glob if it contains * ? [ AND validates;
+    * 4. else literal.
+    */
+  def classify(key: String): Option[EntryType] = {
+    if (key.startsWith("literal:"))
+      return Some(LiteralEntry(key.substring(8)))
+    if (key.startsWith("glob:")) {
+      val p = key.substring(5)
+      return if (Glob.isValid(p)) Some(GlobEntry(p)) else None
+    }
+    if (key.startsWith("ip:"))
+      return Option(Cidr.parse(key.substring(3))).map(IpEntry.apply)
+    val cidr = Cidr.parse(key)
+    if (cidr != null) return Some(IpEntry(cidr))
+    if ((key.indexOf('*') >= 0 || key.indexOf('?') >= 0 ||
+      key.indexOf('[') >= 0) && Glob.isValid(key))
+      return Some(GlobEntry(key))
+    Some(LiteralEntry(key))
+  }
+
+  def entryTypeName(t: EntryType): String = t match {
+    case _: IpEntry      => "ip"
+    case _: LiteralEntry => "literal"
+    case _: GlobEntry    => "glob"
+  }
+
+  /** Build a database from raw feed rows. */
+  def build(databaseId: String, rows: Seq[graft.model.IntelEntry],
+      caseInsensitive: Boolean = false): IntelDb = {
+    val metas = new mutable.ArrayBuffer[IntelMeta](rows.size)
+    val cidrs = new mutable.ArrayBuffer[(Cidr, Int)]
+    val lits = new mutable.ArrayBuffer[(String, Int)]
+    val globs = new mutable.ArrayBuffer[(String, Int)]
+    rows.foreach { r =>
+      classify(r.entry).foreach { et =>
+        val idx = metas.size
+        metas += IntelMeta(r.entry, entryTypeName(et), r.threat_level,
+          r.category, r.source, r.confidence)
+        et match {
+          case IpEntry(c)       => cidrs += ((c, idx))
+          case LiteralEntry(k)  => lits += ((k, idx))
+          case GlobEntry(p)     => globs += ((p, idx))
+        }
+      }
+    }
+    new IntelDb(databaseId, metas.toArray, LpmIndex.build(cidrs.toSeq),
+      LiteralIndex.build(lits.toSeq, caseInsensitive),
+      GlobIndex.build(globs.toSeq, caseInsensitive), caseInsensitive)
+  }
+}

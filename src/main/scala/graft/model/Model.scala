@@ -1,0 +1,99 @@
+package graft.model
+
+import java.sql.Timestamp
+
+/** Core data model of the pipeline (SURVEY.md §1.1).
+  *
+  * One matchy "log line" (reference: crates/matchy/src/processing/mod.rs:78-83)
+  * corresponds to one row of the transcript table — the `text` field of a turn.
+  * Schema fixed by the driver contract (BASELINE.json input_hint).
+  */
+final case class Turn(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: String,
+    ts: Timestamp
+)
+
+/** One extracted IoC candidate: reference `Match{item, span}`
+  * (crates/matchy-extractor/src/lib.rs:315-321). `value` is the canonical
+  * form (IPs canonicalized, everything else verbatim); `matched_text` is the
+  * raw span text. Spans are byte offsets into the UTF-8 encoding of `text`.
+  */
+final case class Ioc(
+    indicator_type: String,
+    value: String,
+    matched_text: String,
+    span_start: Int,
+    span_end: Int
+)
+
+/** Candidate row: (turn × extracted indicator). */
+final case class Candidate(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    indicator_type: String,
+    value: String,
+    matched_text: String,
+    span_start: Int,
+    span_end: Int
+)
+
+/** A threat-intel entry after classification (reference
+  * matchy-format/src/mmdb_builder.rs:392-429): entry_type in
+  * {ip, literal, glob}. For IPs, `network`/`prefix_len` carry the parsed
+  * CIDR. Metadata mirrors the ThreatDB v1 required/optional fields
+  * (schemas/threatdb-v1.schema.json).
+  */
+final case class IntelEntry(
+    entry: String,
+    threat_level: String,
+    category: String,
+    source: String,
+    confidence: Int
+)
+
+/** Matched output row: reference `MatchResult`
+  * (crates/matchy/src/processing/mod.rs:131-145) + routing keys.
+  * match_type is "ip" or "pattern" as in the NDJSON sink
+  * (bin/match_processor/sequential.rs:154-187).
+  */
+final case class Matched(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    indicator_type: String,
+    value: String,
+    matched_text: String,
+    span_start: Int,
+    span_end: Int,
+    database_id: String,
+    match_type: String,
+    prefix_len: Int, // -1 for pattern matches
+    pattern_id: Int, // -1 for ip matches
+    threat_level: String,
+    category: String,
+    source: String,
+    confidence: Int
+)
+
+object IndicatorType {
+  val Domain = "domain"
+  val Email = "email"
+  val Ipv4 = "ipv4"
+  val Ipv6 = "ipv6"
+  val Md5 = "md5"
+  val Sha1 = "sha1"
+  val Sha256 = "sha256"
+  val Sha384 = "sha384"
+  val Sha512 = "sha512"
+  val Bitcoin = "bitcoin"
+  val Ethereum = "ethereum"
+  val Monero = "monero"
+
+  val all: Seq[String] = Seq(Domain, Email, Ipv4, Ipv6, Md5, Sha1, Sha256,
+    Sha384, Sha512, Bitcoin, Ethereum, Monero)
+}

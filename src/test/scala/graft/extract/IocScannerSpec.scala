@@ -1,0 +1,232 @@
+package graft.extract
+
+import graft.model.{IndicatorType => T}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parity vectors lifted from the reference extractor's unit tests
+  * (crates/matchy-extractor/src/lib.rs tests, cited per case).
+  */
+class IocScannerSpec extends AnyFunSuite {
+  private val sc = IocScanner.default
+  private def scan(s: String) = sc.scanText(s)
+  private def values(s: String, t: String) =
+    scan(s).filter(_.indicator_type == t).map(_.value)
+
+  // ---- domains (lib.rs test_domain_extraction_*)
+  test("domain basic") {
+    assert(values("Visit example.com for more info", T.Domain) ==
+      Seq("example.com"))
+  }
+  test("domain multiple") {
+    assert(values("Check google.com and github.com", T.Domain) ==
+      Seq("google.com", "github.com"))
+  }
+  test("domain subdomain") {
+    assert(values("Visit api.example.com today", T.Domain) ==
+      Seq("api.example.com"))
+  }
+  test("domain with protocol and path") {
+    assert(values("Go to https://www.example.com/path", T.Domain) ==
+      Seq("www.example.com"))
+  }
+  test("domain log line") {
+    val ds = values(
+      "2024-01-15 10:32:45 GET /api evil.example.com 192.168.1.1 - malware.badsite.org",
+      T.Domain)
+    assert(ds == Seq("evil.example.com", "malware.badsite.org"))
+  }
+  test("domain min labels config") {
+    val s3 = new IocScanner(ScanConfig(minDomainLabels = 3))
+    val ds = s3.scanText("Visit example.com and api.test.example.com")
+      .filter(_.indicator_type == T.Domain).map(_.value)
+    assert(ds == Seq("api.test.example.com"))
+  }
+  test("bare TLD rejected, .community not .com (test_false_positive_rejection)") {
+    assert(values("This is blah.community stuff", T.Domain) ==
+      Seq("blah.community"))
+  }
+  test("key=value boundary (test_key_value_pair_extraction)") {
+    assert(values("Request: host=api.example.com method=GET path=/test",
+      T.Domain) == Seq("api.example.com"))
+  }
+  test("uppercase TLD does not validate (byte-exact PSL compare)") {
+    assert(values("SHOUTY.COM is loud", T.Domain).isEmpty)
+  }
+  test("unicode domain accepted (test_unicode_domain_extraction)") {
+    assert(values("Visit münchen.de for info", T.Domain) == Seq("münchen.de"))
+  }
+  test("invalid utf8 domain rejected") {
+    val bytes = "Visit ".getBytes("UTF-8") ++
+      Array(0xff.toByte, 0xc0.toByte) ++ ".com".getBytes("UTF-8")
+    assert(sc.scan(bytes).filter(_.indicator_type == T.Domain).isEmpty)
+  }
+  test("label with leading hyphen rejected") {
+    assert(values("see -bad.com and ok-site.com", T.Domain) ==
+      Seq("ok-site.com"))
+  }
+  test("empty label rejected") {
+    assert(values("see a..com here", T.Domain).isEmpty)
+  }
+
+  // ---- ipv4 (lib.rs test_ipv4_*)
+  test("ipv4 basic") {
+    assert(values("Server at 192.168.1.1 responded", T.Ipv4) ==
+      Seq("192.168.1.1"))
+  }
+  test("ipv4 multiple") {
+    assert(values("Traffic from 10.0.0.5 to 172.16.0.10", T.Ipv4) ==
+      Seq("10.0.0.5", "172.16.0.10"))
+  }
+  test("ipv4 invalid (test_ipv4_invalid)") {
+    assert(values("Not IPs: 256.1.1.1 1.2.3.999 1.2.3", T.Ipv4).isEmpty)
+  }
+  test("ipv4 leading zeros rejected") {
+    assert(values("addr 192.168.01.1 nope", T.Ipv4).isEmpty)
+  }
+  test("ipv4 five octets rejected") {
+    assert(values("ver 1.2.3.4.5 nope", T.Ipv4).isEmpty)
+  }
+  test("ipv4 in brackets and with port") {
+    assert(values("[10.1.2.3]:8080 connect 8.8.8.8:53", T.Ipv4) ==
+      Seq("10.1.2.3", "8.8.8.8"))
+  }
+  test("ipv4 embedded in word rejected") {
+    assert(values("v1.2.3.4 is a version", T.Ipv4).isEmpty)
+  }
+
+  // ---- emails (lib.rs email tests)
+  test("email basic + its domain extracted separately (E4 note)") {
+    val r = scan("Contact test@example.com now")
+    assert(r.filter(_.indicator_type == T.Email).map(_.value) ==
+      Seq("test@example.com"))
+    assert(r.filter(_.indicator_type == T.Domain).map(_.value) ==
+      Seq("example.com"))
+  }
+  test("email consecutive dots in local rejected") {
+    assert(values("bad s...x@example.com", T.Email).isEmpty)
+  }
+  test("email local needs a letter") {
+    assert(values("num 12345@example.com", T.Email).isEmpty)
+    assert(values("id 34480FE2-5610-4973-AA09-3ABB60D38D55@example.com",
+      T.Email) == Seq("34480FE2-5610-4973-AA09-3ABB60D38D55@example.com"))
+  }
+  test("email domain needs dot and PSL TLD") {
+    assert(values("x user@localhost y", T.Email).isEmpty)
+    assert(values("x user@Uv3.peer y", T.Email).isEmpty)
+  }
+  test("email plus tag") {
+    assert(values("to a.b+tag@mail.co.uk done", T.Email) ==
+      Seq("a.b+tag@mail.co.uk"))
+  }
+
+  // ---- ipv6 (lib.rs ipv6 semantics)
+  test("ipv6 compressed extracted, canonical form") {
+    assert(values("peer 2001:db8::1 up", T.Ipv6) == Seq("2001:db8::1"))
+    assert(values("peer 2001:DB8::A up", T.Ipv6) == Seq("2001:db8::a"))
+  }
+  test("ipv6 loopback and link-local rejected") {
+    assert(values("lo ::1 and fe80::1 and FE80::abcd", T.Ipv6).isEmpty)
+  }
+  test("ipv6 leading/trailing :: rejected") {
+    assert(values("x ::ffff:abcd:1234 y", T.Ipv6).isEmpty)
+    assert(values("x 2001:db8:: y", T.Ipv6).isEmpty)
+  }
+  test("ipv6 too short rejected") {
+    assert(values("a::b is short", T.Ipv6).isEmpty)
+  }
+  test("ipv6 full-form without :: is not a candidate (>95% rule)") {
+    assert(values("addr 2001:0db8:0000:0000:0000:0000:0000:0001 x",
+      T.Ipv6).isEmpty)
+  }
+
+  // ---- hashes (lib.rs hash tests)
+  test("md5") {
+    assert(values("hash 5d41402abc4b2a76b9719d911017c592 found", T.Md5) ==
+      Seq("5d41402abc4b2a76b9719d911017c592"))
+  }
+  test("sha1 preserves case") {
+    assert(values("sha1 AAF4C61DDCC5E8A2DABEDE0F3B482CD9AEA9434D x", T.Sha1) ==
+      Seq("AAF4C61DDCC5E8A2DABEDE0F3B482CD9AEA9434D"))
+  }
+  test("sha256") {
+    val h = "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
+    assert(values(s"checksum $h ok", T.Sha256) == Seq(h))
+  }
+  test("sha512 (test_sha512_extraction)") {
+    val h = "cf83e1357eefb8bdf1542850d66d8007d620e4050b5715dc83f4a921d36ce9ce47d0d13c5d85f2b0ff8318d2877eec2f63b931bd47417a81a538327af927da3e"
+    assert(values(s"SHA512: $h found", T.Sha512) == Seq(h))
+  }
+  test("63 hex chars is not a hash") {
+    val h = "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b85"
+    assert(scan(s"x $h y").isEmpty)
+  }
+  test("hash inside URL token split on slash boundary") {
+    val h = "5d41402abc4b2a76b9719d911017c592"
+    assert(values(s"GET /mal/$h/x HTTP", T.Md5) == Seq(h))
+  }
+
+  // ---- bitcoin
+  test("bitcoin legacy, p2sh, bech32") {
+    val r = values(
+      "pay 1A1zP1eP5QGefi2DMPTfTL5SLmv7DivfNa or 3J98t1WpEZ73CNmQviecrnyiWrnqRhWNLy or bc1qw508d6qejxtdg4y5r3zarvary0c5xw7kv8f3t4",
+      T.Bitcoin)
+    assert(r == Seq("1A1zP1eP5QGefi2DMPTfTL5SLmv7DivfNa",
+      "3J98t1WpEZ73CNmQviecrnyiWrnqRhWNLy",
+      "bc1qw508d6qejxtdg4y5r3zarvary0c5xw7kv8f3t4"))
+  }
+  test("bitcoin bad checksum rejected") {
+    assert(values("pay 1A1zP1eP5QGefi2DMPTfTL5SLmv7DivfNb now", T.Bitcoin)
+      .isEmpty)
+  }
+
+  // ---- ethereum
+  test("ethereum lower, EIP-55 mixed, broken mixed") {
+    assert(values("to 0xde709f2102306220921060314715629080e2fb77 sent",
+      T.Ethereum) == Seq("0xde709f2102306220921060314715629080e2fb77"))
+    assert(values("to 0x5aAeb6053F3E94C9b9A09f33669435E7Ef1BeAed sent",
+      T.Ethereum) == Seq("0x5aAeb6053F3E94C9b9A09f33669435E7Ef1BeAed"))
+    assert(values("to 0x5Aaeb6053F3E94C9b9A09f33669435E7Ef1BeAed sent",
+      T.Ethereum).isEmpty)
+  }
+  test("ethereum needs boundaries and exactly 40 hex") {
+    assert(values("x0xde709f2102306220921060314715629080e2fb77 glued",
+      T.Ethereum).isEmpty)
+    assert(values("to 0xde709f2102306220921060314715629080e2fb771 long",
+      T.Ethereum).isEmpty)
+  }
+
+  // ---- monero (synthetic per the reference's plain-bs58+keccak validator)
+  test("monero synthetic valid / corrupted") {
+    val payload = new Array[Byte](65)
+    payload(0) = 0x06
+    var i = 1
+    while (i < 65) { payload(i) = ((i * 11 + 5) & 0x7f).toByte; i += 1 }
+    val full = payload ++ Checksums.keccak256(payload).take(4)
+    val addr = Checksums.base58Encode(full)
+    assume(addr.length >= 90 && addr.length <= 110 &&
+      (addr.head == '4' || addr.head == '8'))
+    assert(values(s"xmr $addr end", T.Monero) == Seq(addr))
+    val bad = addr.substring(0, addr.length - 1) +
+      (if (addr.last == '2') '3' else '2')
+    assert(values(s"xmr $bad end", T.Monero).isEmpty)
+  }
+
+  // ---- ordering + overlap semantics
+  test("line-mode emission order: domains, ipv4, emails, ipv6, hashes, ...") {
+    val r = scan("a@b.com 1.2.3.4 2001:db8::2 c.org")
+    val types = r.map(_.indicator_type)
+    assert(types == Seq(T.Domain, T.Domain, T.Ipv4, T.Email, T.Ipv6))
+  }
+  test("spans are byte offsets") {
+    val r = scan("é example.com")
+    val d = r.find(_.indicator_type == T.Domain).get
+    assert(d.span_start == 3) // 'é' is 2 bytes + space
+    assert(d.span_end == 3 + "example.com".length)
+  }
+  test("concurrency smoke (test_concurrent_extraction vector)") {
+    val r = scan("Check test@example.com and 192.168.1.1 and malware.evil.com")
+    assert(r.exists(_.indicator_type == T.Email))
+    assert(r.exists(_.indicator_type == T.Ipv4))
+    assert(r.count(_.indicator_type == T.Domain) == 2)
+  }
+}

@@ -1,0 +1,102 @@
+package graft.intel
+
+import graft.model.IntelEntry
+import org.scalatest.funsuite.AnyFunSuite
+
+class IntelDbSpec extends AnyFunSuite {
+
+  private def entry(e: String) = IntelEntry(e, "high", "c2", "test", 90)
+
+  // ---- classification (mmdb_builder.rs:392-429 semantics)
+  test("classify: auto-detect") {
+    import IntelDb._
+    assert(classify("1.2.3.4").contains(IpEntry(Cidr.parse("1.2.3.4"))))
+    assert(classify("10.0.0.0/8").contains(IpEntry(Cidr.parse("10.0.0.0/8"))))
+    assert(classify("2001:db8::/32").contains(
+      IpEntry(Cidr.parse("2001:db8::/32"))))
+    assert(classify("*.example.com").contains(GlobEntry("*.example.com")))
+    assert(classify("evil.com").contains(LiteralEntry("evil.com")))
+    // glob-like but invalid glob => literal
+    assert(classify("bad[glob").contains(LiteralEntry("bad[glob")))
+  }
+  test("classify: explicit prefixes") {
+    import IntelDb._
+    assert(classify("literal:*.not-a-glob.com").contains(
+      LiteralEntry("*.not-a-glob.com")))
+    assert(classify("glob:no-wildcards.com").contains(
+      GlobEntry("no-wildcards.com")))
+    assert(classify("ip:1.2.3.4").contains(IpEntry(Cidr.parse("1.2.3.4"))))
+    assert(classify("glob:bad[glob").isEmpty) // forced glob must validate
+    assert(classify("ip:not-an-ip").isEmpty)
+  }
+  test("classify: strict IP grammar") {
+    import IntelDb._
+    assert(classify("1.2.3.04").contains(LiteralEntry("1.2.3.04")))
+    assert(classify("1.2.3.4/33").contains(LiteralEntry("1.2.3.4/33")))
+    assert(classify("256.1.1.1").contains(LiteralEntry("256.1.1.1")))
+  }
+
+  // ---- LPM (tests/test_ip_longest_prefix_match.rs semantics)
+  test("LPM: most-specific wins regardless of insert order") {
+    val db = IntelDb.build("t", Seq(
+      entry("192.0.2.0/24"), entry("192.0.2.1"), entry("192.0.0.0/16")))
+    val r1 = db.lookupIp("192.0.2.1", isV6 = false)
+    assert(r1 != null && db.entries(r1._1).entry == "192.0.2.1" && r1._2 == 32)
+    val r2 = db.lookupIp("192.0.2.77", isV6 = false)
+    assert(r2 != null && db.entries(r2._1).entry == "192.0.2.0/24" &&
+      r2._2 == 24)
+    val r3 = db.lookupIp("192.0.99.1", isV6 = false)
+    assert(r3 != null && db.entries(r3._1).entry == "192.0.0.0/16" &&
+      r3._2 == 16)
+    assert(db.lookupIp("10.0.0.1", isV6 = false) == null)
+  }
+  test("LPM: exact /32 and ipv6") {
+    val db = IntelDb.build("t", Seq(entry("2001:db8::/32"),
+      entry("2001:db8::1")))
+    val r = db.lookupIp("2001:db8::1", isV6 = true)
+    assert(r != null && r._2 == 128)
+    val r2 = db.lookupIp("2001:db8:1::2", isV6 = true)
+    assert(r2 != null && db.entries(r2._1).entry == "2001:db8::/32" &&
+      r2._2 == 32)
+    assert(db.lookupIp("2001:db9::1", isV6 = true) == null)
+  }
+  test("LPM: v4 and v6 coexist; v4 never matches v6-only prefixes") {
+    val db = IntelDb.build("t", Seq(entry("2001:db8::/32"),
+      entry("1.2.3.0/24")))
+    assert(db.lookupIp("1.2.3.9", isV6 = false)._2 == 24)
+    assert(db.lookupIp("4.5.6.7", isV6 = false) == null)
+  }
+
+  // ---- literal + combined string lookup (database.rs:911-981)
+  test("string lookup: literal exact, glob substring-literal, union") {
+    val db = IntelDb.build("t", Seq(
+      entry("evil.com"), // literal: exact only
+      entry("glob:plain-sub"), // forced glob, pure literal => substring
+      entry("*.bad.org"), // suffix glob
+      entry("*c2*"))) // pure wildcard
+    assert(db.lookupString("evil.com").map(i => db.entries(i).entry).toSeq ==
+      Seq("evil.com"))
+    assert(db.lookupString("x.evil.com").isEmpty) // literal is exact
+    val sub = db.lookupString("zz plain-sub zz")
+    assert(sub.map(i => db.entries(i).entry).toSeq == Seq("glob:plain-sub"))
+    assert(db.lookupString("host.bad.org").map(i => db.entries(i).entry)
+      .toSeq == Seq("*.bad.org"))
+    assert(db.lookupString("my-c2-box").map(i => db.entries(i).entry).toSeq ==
+      Seq("*c2*"))
+    // union: literal + matching globs, literal first
+    val db2 = IntelDb.build("t", Seq(entry("abc"), entry("a*")))
+    val hits = db2.lookupString("abc").map(i => db2.entries(i).entry).toSeq
+    assert(hits == Seq("abc", "a*"))
+  }
+  test("case-insensitive mode lowers literals and globs") {
+    val db = IntelDb.build("t", Seq(entry("Evil.COM"), entry("*.Bad.ORG")),
+      caseInsensitive = true)
+    assert(db.lookupString("EVIL.com").nonEmpty)
+    assert(db.lookupString("x.BAD.org").nonEmpty)
+  }
+  test("glob ids sorted and deduped") {
+    val db = IntelDb.build("t", Seq(entry("*b*"), entry("*a*")))
+    val hits = db.lookupString("ab")
+    assert(hits.toSeq == hits.sorted.toSeq && hits.length == 2)
+  }
+}
