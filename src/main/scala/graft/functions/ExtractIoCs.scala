@@ -1,0 +1,92 @@
+package graft.functions
+
+import graft.extract.{IocScanner, ScanConfig}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst expression: `extract_iocs(text)` returns
+  * `array<struct<indicator_type, value, matched_text, span_start, span_end>>`
+  * — the generator/UDTF analog of the reference extractor (SURVEY.md §2.8),
+  * evaluated as ONE single-pass scan per row (the reference's
+  * extract_from_chunk shape) instead of eight regex passes.
+  *
+  * Stays inside whole-stage codegen: doGenCode emits a direct static call,
+  * so the surrounding operators keep their codegen span.
+  */
+case class ExtractIoCs(child: Expression, config: ScanConfig)
+    extends UnaryExpression {
+
+  @transient private lazy val scanner = new IocScanner(config)
+
+  override def dataType: DataType = ExtractIoCs.schema
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "extract_iocs"
+
+  override def nullSafeEval(input: Any): Any =
+    ExtractIoCs.scanToArrayData(scanner, input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val scannerRef =
+      ctx.addReferenceObj("scanner", scanner, classOf[IocScanner].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ExtractIoCs.scanToArrayData($scannerRef, $c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ExtractIoCs =
+    copy(child = newChild)
+}
+
+object ExtractIoCs {
+  val elementSchema: StructType = StructType(Seq(
+    StructField("indicator_type", StringType, nullable = false),
+    StructField("value", StringType, nullable = false),
+    StructField("matched_text", StringType, nullable = false),
+    StructField("span_start", IntegerType, nullable = false),
+    StructField("span_end", IntegerType, nullable = false)
+  ))
+  val schema: DataType = ArrayType(elementSchema, containsNull = false)
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def scanToArrayData(scanner: IocScanner, text: UTF8String): ArrayData = {
+    val iocs = scanner.scan(text.getBytes)
+    val n = iocs.length
+    val rows = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val m = iocs(i)
+      rows(i) = InternalRow(
+        UTF8String.fromString(m.indicator_type),
+        UTF8String.fromString(m.value),
+        UTF8String.fromString(m.matched_text),
+        m.span_start,
+        m.span_end)
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+}
+
+/** Column-level API for the graft engine's custom expressions. */
+object GraftFunctions {
+  def extract_iocs(text: Column): Column =
+    ExpressionUtils.column(
+      ExtractIoCs(ExpressionUtils.expression(text), ScanConfig()))
+
+  def extract_iocs(text: Column, config: ScanConfig): Column =
+    ExpressionUtils.column(
+      ExtractIoCs(ExpressionUtils.expression(text), config))
+
+  /** Register SQL-callable functions on a session (used by tests/jobs). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "extract_iocs",
+      exprs => ExtractIoCs(exprs.head, ScanConfig()),
+      "built-in")
+  }
+}

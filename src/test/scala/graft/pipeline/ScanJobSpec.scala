@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import graft.intel.IntelDb
+import graft.oracle.Oracle
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** End-to-end gold parity: the distributed pipeline must equal the
+  * single-threaded oracle on the deterministic fixture — counts, routed-row
+  * sets, per-turn text round-trip (FIXTURES.md §3).
+  */
+class ScanJobSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val nTurns = 2000
+  private lazy val turnsSeq = Fixtures.turns(nTurns)
+  private lazy val dbs = Seq(
+    IntelDb.build("threats", Fixtures.intelThreats),
+    IntelDb.build("allowlist", Fixtures.intelAllowlist))
+  private lazy val turnsDf = spark.createDataFrame(turnsSeq)
+
+  test("fixture plants a meaningful mix") {
+    val cands = Oracle.candidates(turnsSeq)
+    val types = cands.groupBy(_.indicator_type).map { case (k, v) => k -> v.size }
+    // every extractor family must fire on the fixture
+    assert(types.keySet.intersect(Set("ipv4", "ipv6", "domain", "email",
+      "md5", "sha256", "bitcoin", "ethereum")).size == 8, types.toString)
+    val m = Oracle.matched(turnsSeq, dbs)
+    assert(m.nonEmpty)
+    assert(m.exists(_.match_type == "ip"))
+    assert(m.exists(_.match_type == "pattern"))
+    assert(m.exists(_.database_id == "allowlist"))
+  }
+
+  test("candidate rows equal oracle extraction (set + multiset counts)") {
+    val sparkCands = ScanJob.candidates(turnsDf)
+      .as[graft.model.Candidate].collect().toSeq
+    val oracleCands = Oracle.candidates(turnsSeq)
+    assert(sparkCands.size == oracleCands.size)
+    assert(sparkCands.toSet == oracleCands.toSet)
+  }
+
+  test("matched rows equal oracle (routed-row set equality)") {
+    val sparkMatched = ScanJob.matched(turnsDf, dbs, spark)
+      .withColumnRenamed("entry_idx", "pattern_id")
+      .select("conv_id", "turn_idx", "role", "indicator_type", "value",
+        "matched_text", "span_start", "span_end", "database_id",
+        "match_type", "prefix_len", "pattern_id", "threat_level", "category",
+        "source", "confidence")
+      .as[graft.model.Matched].collect().toSeq
+    val oracleMatched = Oracle.matched(turnsSeq, dbs)
+    assert(sparkMatched.size == oracleMatched.size)
+    assert(sparkMatched.toSet == oracleMatched.toSet)
+  }
+
+  test("full run: sinks, gold counts, stats, clean, resume markers") {
+    val out = Files.createTempDirectory("graft-scan").toString
+    val stats = ScanJob.run(spark, turnsDf, dbs, out,
+      ScanJob.RunConfig(buckets = 8, runId = "test-run"))
+
+    val oracleStats = Oracle.stats(turnsSeq, dbs)
+    oracleStats.foreach { case (k, v) =>
+      assert(stats.getOrElse(k, -1L) == v, s"stat $k")
+    }
+
+    // gold counts parity (A10)
+    val gold = spark.read.parquet(s"$out/gold_counts")
+      .as[(String, String, String, Long)].collect()
+      .map { case (d, t, r, c) => (d, t, r) -> c }.toMap
+    assert(gold == Oracle.goldCounts(turnsSeq, dbs))
+
+    // routed rows carry the sink partition column; per-turn text equality
+    val matchedBack = spark.read.parquet(s"$out/matched")
+    assert(matchedBack.columns.contains("indicator_type"))
+    assert(matchedBack.columns.contains("bucket"))
+
+    // clean sink: disjoint from matched, union covers all turns, text
+    // round-trips byte-exact under stable (conv_id, turn_idx) order
+    val clean = spark.read.parquet(s"$out/clean")
+    val matchedKeys = matchedBack.select("conv_id", "turn_idx").distinct()
+    assert(clean.join(matchedKeys, Seq("conv_id", "turn_idx"), "inner").count() == 0)
+    assert(clean.count() + matchedKeys.count() == nTurns)
+    val cleanTexts = clean.select("conv_id", "turn_idx", "text")
+      .orderBy("conv_id", "turn_idx")
+      .as[(String, Int, String)].collect()
+    val expectTexts = {
+      val mk = Oracle.matched(turnsSeq, dbs).map(m => (m.conv_id, m.turn_idx)).toSet
+      turnsSeq.filterNot(t => mk((t.conv_id, t.turn_idx)))
+        .sortBy(t => (t.conv_id, t.turn_idx))
+        .map(t => (t.conv_id, t.turn_idx, t.text))
+    }
+    assert(cleanTexts.toSeq == expectTexts)
+
+    // metrics table exists with per-partition lineage
+    val metrics = spark.read.parquet(s"$out/metrics")
+    assert(metrics.columns.toSet.contains("partition_id"))
+    assert(metrics.agg(sum("candidates")).as[Long].head() ==
+      Oracle.candidates(turnsSeq).size.toLong)
+
+    // resume: all buckets marked done => second run processes nothing new
+    val stats2 = ScanJob.run(spark, turnsDf, dbs, out,
+      ScanJob.RunConfig(buckets = 8, resume = true, runId = "test-run-2"))
+    assert(stats2("total_matches") == stats("total_matches"))
+    val gold2 = spark.read.parquet(s"$out/gold_counts")
+      .as[(String, String, String, Long)].collect()
+      .map { case (d, t, r, c) => (d, t, r) -> c }.toMap
+    assert(gold2 == gold)
+  }
+
+  test("plan shape: no shuffle before the aggregate; broadcast join used") {
+    val m = ScanJob.matched(turnsDf, dbs, spark)
+    val plan = m.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // the matched plan itself must contain no shuffle exchange
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+  }
+}
