@@ -1,13 +1,100 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.intel.IntelDb
+import graft.pipeline.{Fixtures, ScanJob}
+import graft.queries.{OracleDefs, QueryDefs}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — one `queries` entry per operator family from
+  * SURVEY.md §2 (+ the training-data ops), each with a DuckDB oracle in
+  * `oracleSql`. Column names are aligned between the Spark queries and the
+  * oracle SQL (the driver compares by sorted column name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: the full IoC scan pipeline (extract -> enrich -> match) over
+    * the deterministic transcript fixture, enriched against two intel
+    * databases. Driver smoke-checks rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val turns = spark.createDataFrame(Fixtures.turns(2000))
+    val dbs = Seq(
+      IntelDb.build("threats", Fixtures.intelThreats),
+      IntelDb.build("allowlist", Fixtures.intelAllowlist))
+    ScanJob.matched(turns, dbs, spark)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // E1-E8 extraction (SURVEY.md §2.2)
+    "q01_extract_ipv4" -> (QueryDefs.qExtractIpv4 _),
+    "q02_extract_ipv6" -> (QueryDefs.qExtractIpv6 _),
+    "q03_extract_domain" -> (QueryDefs.qExtractDomain _),
+    "q04_extract_email" -> (QueryDefs.qExtractEmail _),
+    "q05_extract_hashes" -> (QueryDefs.qExtractHashes _),
+    "q06_extract_bitcoin" -> (QueryDefs.qExtractBitcoin _),
+    "q07_extract_ethereum" -> (QueryDefs.qExtractEthereum _),
+    "q08_extract_monero" -> (QueryDefs.qExtractMonero _),
+    // intel build/classify (§1.4, §3.3)
+    "q09_intel_classify" -> (QueryDefs.qIntelClassify _),
+    // lookups (§2.3)
+    "q10_lookup_literal" -> (QueryDefs.qLookupLiteral _),
+    "q11_lookup_lpm" -> (QueryDefs.qLookupLpm _),
+    "q12_lookup_glob" -> (QueryDefs.qLookupGlob _),
+    "q13_lookup_multidb" -> (QueryDefs.qLookupMultiDb _),
+    // e2e match + routing + stats (§2.4-2.6)
+    "q14_match_gold" -> (QueryDefs.qMatchGold _),
+    "q15_route_counts" -> (QueryDefs.qRouteCounts _),
+    "q16_scan_stats" -> (QueryDefs.qScanStats _),
+    // dedup family (training-data ops)
+    "q17_dedup_exact" -> (QueryDefs.qDedupExact _),
+    "q18_dedup_minhash" -> (QueryDefs.qDedupMinhash _),
+    "q19_dedup_simhash" -> (QueryDefs.qDedupSimhash _),
+    "q20_dedup_ngram" -> (QueryDefs.qDedupNgram _),
+    "q21_dedup_embedding" -> (QueryDefs.qDedupEmbedding _),
+    // similarity search
+    "q22_sim_topk" -> (QueryDefs.qSimTopk _),
+    "q23_sim_lsh" -> (QueryDefs.qSimLsh _),
+    // text analysis
+    "q24_text_lang" -> (QueryDefs.qTextLang _),
+    "q25_text_quality" -> (QueryDefs.qTextQuality _),
+    "q26_text_fingerprint" -> (QueryDefs.qTextFingerprint _),
+    // relational/core engine
+    "q27_tpch_agg" -> (QueryDefs.qTpchAgg _),
+    "q28_join_broadcast" -> (QueryDefs.qJoinBroadcast _),
+    "q29_window_first_order" -> (QueryDefs.qWindowFirstOrder _),
+    "q30_events_hourly" -> (QueryDefs.qEventsHourly _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_extract_ipv4" -> OracleDefs.extractIpv4,
+    "q02_extract_ipv6" -> OracleDefs.extractIpv6,
+    "q03_extract_domain" -> OracleDefs.extractDomain,
+    "q04_extract_email" -> OracleDefs.extractEmail,
+    "q05_extract_hashes" -> OracleDefs.extractHashes,
+    "q06_extract_bitcoin" -> OracleDefs.extractBitcoin,
+    "q07_extract_ethereum" -> OracleDefs.extractEthereum,
+    "q08_extract_monero" -> OracleDefs.extractMonero,
+    "q09_intel_classify" -> OracleDefs.intelClassify,
+    "q10_lookup_literal" -> OracleDefs.lookupLiteral,
+    "q11_lookup_lpm" -> OracleDefs.lookupLpm,
+    "q12_lookup_glob" -> OracleDefs.lookupGlob,
+    "q13_lookup_multidb" -> OracleDefs.lookupMultiDb,
+    "q14_match_gold" -> OracleDefs.matchGold,
+    "q15_route_counts" -> OracleDefs.routeCounts,
+    "q16_scan_stats" -> OracleDefs.scanStats,
+    "q17_dedup_exact" -> OracleDefs.dedupExact,
+    "q18_dedup_minhash" -> OracleDefs.dedupMinhash,
+    "q19_dedup_simhash" -> OracleDefs.dedupSimhash,
+    "q20_dedup_ngram" -> OracleDefs.dedupNgram,
+    "q21_dedup_embedding" -> OracleDefs.dedupEmbedding,
+    "q22_sim_topk" -> OracleDefs.simTopk,
+    "q23_sim_lsh" -> OracleDefs.simLsh,
+    "q24_text_lang" -> OracleDefs.textLang,
+    "q25_text_quality" -> OracleDefs.textQuality,
+    "q26_text_fingerprint" -> OracleDefs.textFingerprint,
+    "q27_tpch_agg" -> OracleDefs.tpchAgg,
+    "q28_join_broadcast" -> OracleDefs.joinBroadcast,
+    "q29_window_first_order" -> OracleDefs.windowFirstOrder,
+    "q30_events_hourly" -> OracleDefs.eventsHourly
+  )
 }

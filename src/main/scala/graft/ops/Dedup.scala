@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data deduplication operators over a `documents`
+  * table (doc_id, text, ...). All hashes are md5-hex based so the DuckDB
+  * oracle can reproduce them bit-exactly; all scores use integer arithmetic
+  * until a final single division (deterministic doubles across engines).
+  *
+  * Scale notes: exact dedup is one hash-shuffle; MinHash-LSH shuffles once
+  * on band keys (bounded fanout per band); SimHash emits fingerprints
+  * map-side and joins on exact band keys. No O(n^2) stage anywhere except
+  * inside an LSH bucket.
+  */
+object Dedup {
+
+  /** Character shingles of length k as a deduplicated array column. */
+  def shingles(text: Column, k: Int): Column = {
+    // positions 0..len-k => substring(i, k); array_distinct for set form
+    array_distinct(
+      filter(
+        transform(
+          sequence(lit(1), greatest(length(text) - lit(k - 1), lit(1))),
+          i => text.substr(i, lit(k))),
+        s => length(s) === lit(k)))
+  }
+
+  /** Exact dedup (hash-groupBy): one row per distinct text hash with the
+    * canonical (min) doc_id and the duplicate count.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("text_hash", md5(col("text")))
+      .groupBy("text_hash")
+      .agg(min("doc_id").as("canonical_doc_id"),
+        count(lit(1)).as("n_docs"))
+
+  /** MinHash signature: h_i(doc) = min over shingles of md5(i || '|' ||
+    * shingle) — string-min over hex digests is a valid exchangeable hash
+    * family and is reproducible in any engine with md5.
+    */
+  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
+    val sh = shingles(text, k)
+    array((0 until numHashes).map { i =>
+      array_min(transform(sh, s => md5(concat(lit(i.toString), lit("|"), s))))
+    }: _*)
+  }
+
+  /** MinHash + LSH near-dup candidate pairs: band the signature, bucket-join
+    * on (band_idx, band_key), emit doc pairs sharing >= 1 band.
+    */
+  def minhashLshPairs(docs: DataFrame, k: Int = 5, numHashes: Int = 8,
+      bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sig = docs.select(col("doc_id"),
+      minhashSignature(col("text"), k, numHashes).as("sig"))
+    val banded = sig.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => concat_ws("#",
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+        .as(Seq("band_idx", "band_key")))
+    val a = banded.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("doc_a"))
+    val b = banded.select(col("band_idx"), col("band_key"),
+      col("doc_id").as("doc_b"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** SimHash-64-ish fingerprint built from 60-bit token hashes (15 md5 hex
+    * chars => fits a signed 64-bit int in every engine). Deterministic
+    * integer arithmetic only.
+    */
+  def simhash(text: Column, bits: Int = 32): Column = {
+    val tokens = split(trim(lower(text)), "\\s+")
+    val tokenHashes = transform(array_distinct(tokens),
+      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    // for each bit: +1 if set else -1, summed over tokens; bit set iff sum>0
+    val bitCols = (0 until bits).map { b =>
+      val vote = aggregate(tokenHashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L,
+          lit(1L)).otherwise(lit(-1L)))
+      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bitCols.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** SimHash near-dup candidates: identical fingerprints (exact band). */
+  def simhashGroups(docs: DataFrame, bits: Int = 32): DataFrame =
+    docs.select(col("doc_id"), simhash(col("text"), bits).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical_doc_id"))
+      .where(col("n_docs") > 1)
+
+  /** N-gram Jaccard similarity for candidate pairs that share at least one
+    * shingle. |A ∩ B| / |A ∪ B| with integer set sizes; one shuffle on the
+    * shingle key. `minJaccard` prunes the tail.
+    */
+  def ngramJaccardPairs(docs: DataFrame, k: Int = 5,
+      minJaccard: Double = 0.5): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(shingles(col("text"), k)).as("shingle"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+    val pairs = sh.as("x")
+      .join(sh.as("y"), col("x.shingle") === col("y.shingle"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("set_size", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("set_size", "size_b"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")).cast("double"))
+      .where(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
+  }
+
+  /** Embedding near-dup: cosine over integer-quantized vectors (exact
+    * cross-engine arithmetic), pairs above threshold. Quadratic — intended
+    * for within-LSH-bucket use or small candidate sets; the scale path is
+    * Similarity.lshBuckets.
+    */
+  def embeddingCosinePairs(embeddings: DataFrame,
+      minCosine: Double): DataFrame = {
+    val q = embeddings.select(col("vec_id"),
+      Similarity.quantize(col("embedding")).as("qv"))
+    q.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        Similarity.cosineQ(col("a.qv"), col("b.qv")).as("cosine"))
+      .where(col("cosine") >= minCosine)
+  }
+}

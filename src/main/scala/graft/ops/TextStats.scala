@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation: language ID
+  * (marker-word heuristic), quality scoring, token counting, document
+  * fingerprinting. Deterministic integer/string arithmetic only, so the
+  * DuckDB oracle reproduces every value bit-exactly.
+  */
+object TextStats {
+
+  /** Occurrences of `needle` in `hay` (non-overlapping, by replace). */
+  def occurrences(hay: Column, needle: String): Column =
+    ((length(hay) - length(regexp_replace(hay, java.util.regex.Pattern.quote(needle), ""))) /
+      needle.length).cast("int")
+
+  /** Marker words per language — tiny n-gram-ish heuristic. Scores are
+    * marker hit counts over the lowercased, space-padded text; the argmax
+    * (ties -> lexicographically first language) is the detected language.
+    */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq(" der ", " und ", " die ", " nicht ", " das "),
+    "en" -> Seq(" the ", " and ", " of ", " to ", " is "),
+    "es" -> Seq(" el ", " los ", " que ", " de ", " una "),
+    "fr" -> Seq(" le ", " les ", " des ", " une ", " est ")
+  )
+
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    markers.map { case (lang, words) =>
+      lang -> words.map(w => occurrences(padded, w)).reduce(_ + _)
+    }
+  }
+
+  /** Detected language: argmax of marker scores; "und" (undetermined) when
+    * every score is zero. Ties break to the lexicographically first
+    * language because the fold keeps the incumbent on equality.
+    */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((bestLang, bestScore), (lang, score)) =>
+        (when(score > bestScore, lit(lang)).otherwise(bestLang),
+          when(score > bestScore, score).otherwise(bestScore))
+    }
+    when(best._2 === 0, lit("und")).otherwise(best._1)
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword count: word-piece segments of <= 4 chars, i.e.
+    * ceil(len/4) summed over whitespace tokens, plus punctuation runs —
+    * a deterministic proxy for tokenizer cost (real BPE needs a vocab).
+    */
+  def subwordCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(aggregate(split(trim(text), "\\s+"), lit(0L),
+        (acc, w) => acc + ceil(length(w).cast("double") / 4.0).cast("long")))
+
+  /** Quality features + a composite score in [0,1]:
+    * fraction of alnum chars, stopword presence, length band. Single
+    * deterministic arithmetic expression (cross-engine exact).
+    */
+  def qualityFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    val nAlnum = length(regexp_replace(t, "[^a-zA-Z0-9]", ""))
+    val nSpaces = length(t) - length(regexp_replace(t, " ", ""))
+    val nPunct = length(regexp_replace(t, "[^.,;:!?]", ""))
+    val tokens = tokenCount(t)
+    val stopHits = Seq(" the ", " and ", " a ", " of ")
+      .map(w => occurrences(concat(lit(" "), lower(t), lit(" ")), w))
+      .reduce(_ + _)
+    docs
+      .withColumn("n_chars_m", nChars)
+      .withColumn("n_tokens", tokens)
+      .withColumn("n_subwords", subwordCount(t))
+      .withColumn("alnum_ratio",
+        nAlnum.cast("double") / greatest(nChars, lit(1)).cast("double"))
+      .withColumn("space_ratio",
+        nSpaces.cast("double") / greatest(nChars, lit(1)).cast("double"))
+      .withColumn("punct_ratio",
+        nPunct.cast("double") / greatest(nChars, lit(1)).cast("double"))
+      .withColumn("stopword_hits", stopHits)
+      .withColumn("mean_token_len",
+        nChars.cast("double") / greatest(tokens, lit(1)).cast("double"))
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text —
+    * the canonical key for fuzzy-exact dedup across formatting variants.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+}

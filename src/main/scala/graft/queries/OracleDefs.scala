@@ -1,0 +1,386 @@
+package graft.queries
+
+/** DuckDB oracle SQL for every entry in SparkEntry.queries. Each statement
+  * runs against views named after the testdata parquet tables and must
+  * produce the same rows/columns as the Spark query (columns are matched by
+  * name). Extraction oracles compute the EXPECTED output in closed form
+  * from the same deterministic text synthesis — planted negatives that
+  * wrongly extract would break the count/hash compare.
+  */
+object OracleDefs {
+  import QueryDefs._
+  import graft.ops.TextStats
+
+  val extractIpv4: String =
+    """SELECT '10.'||(user_id%200)||'.'||(event_id%250)||'.'||(event_id%100) AS value,
+      |       count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val extractIpv6: String =
+    """SELECT '2001:db8:'||(event_id%9998+1)||'::'||(user_id%8999+1000) AS value,
+      |       count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val extractDomain: String =
+    """SELECT 'host'||(event_id%50)||'.example.com' AS value, count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val extractEmail: String =
+    """SELECT * FROM (
+      |  SELECT 'domain' AS indicator_type,
+      |         'mail'||(user_id%5)||'.org' AS value, count(*) AS n
+      |  FROM events GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'email',
+      |         'user'||(event_id%20)||'@mail'||(user_id%5)||'.org', count(*)
+      |  FROM events GROUP BY 2
+      |) ORDER BY indicator_type, value""".stripMargin
+
+  val extractHashes: String =
+    """SELECT * FROM (
+      |  SELECT 'md5' AS indicator_type, count(*) AS n,
+      |         min(md5(event_id::VARCHAR)) AS min_value,
+      |         max(md5(event_id::VARCHAR)) AS max_value
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'sha256', count(*),
+      |         min(sha256(event_id::VARCHAR||'s')),
+      |         max(sha256(event_id::VARCHAR||'s'))
+      |  FROM events
+      |) ORDER BY indicator_type""".stripMargin
+
+  val extractBitcoin: String =
+    s"""SELECT CASE event_id%4 WHEN 0 THEN '$btcGenesis'
+       |            WHEN 1 THEN '$btcP2sh' ELSE '$btcBech32' END AS value,
+       |       count(*) AS n
+       |FROM events WHERE event_id%4 < 3 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val extractEthereum: String =
+    s"""SELECT CASE event_id%4 WHEN 0 THEN '$ethLower'
+       |            WHEN 1 THEN '$ethMixed' ELSE '$ethUpper' END AS value,
+       |       count(*) AS n
+       |FROM events WHERE event_id%4 < 3 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val extractMonero: String =
+    s"""SELECT CASE event_id%3 WHEN 0 THEN '$xmrA' ELSE '$xmrB' END AS value,
+       |       count(*) AS n
+       |FROM events WHERE event_id%3 < 2 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val intelClassify: String =
+    """SELECT CASE event_id%6 WHEN 0 THEN 'ip' WHEN 1 THEN 'ip'
+      |            WHEN 2 THEN 'literal' WHEN 3 THEN 'glob'
+      |            ELSE 'literal' END AS entry_type,
+      |       count(*) AS n
+      |FROM events WHERE event_id%6 < 5 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val lookupLiteral: String =
+    """SELECT c.value AS value, count(*) AS n
+      |FROM (SELECT 'host'||(event_id%50)||'.example.com' AS value FROM events) c
+      |JOIN (SELECT 'host'||n_nationkey||'.example.com' AS entry
+      |      FROM nation WHERE n_nationkey < 5) i
+      |  ON c.value = i.entry
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val lookupLpm: String =
+    """SELECT '10.'||o2||'.'||o3||'.'||o4 AS value,
+      |       CASE WHEN o3 = o2*3 THEN 24 ELSE 16 END AS prefix_len,
+      |       CASE WHEN o3 = o2*3 THEN '10.'||o2||'.'||o2*3||'.0/24'
+      |            ELSE '10.'||o2||'.0.0/16' END AS entry,
+      |       count(*) AS n
+      |FROM (SELECT user_id%200 AS o2, event_id%250 AS o3, event_id%100 AS o4
+      |      FROM events) t
+      |WHERE o2 <= 24
+      |GROUP BY 1,2,3 ORDER BY 1,2""".stripMargin
+
+  val lookupGlob: String =
+    """SELECT i.entry AS entry, count(*) AS n
+      |FROM (SELECT event_id%7 AS m FROM events) c
+      |JOIN (SELECT '*.glob'||r_regionkey||'.net' AS entry, r_regionkey AS k
+      |      FROM region WHERE r_regionkey < 4
+      |      UNION ALL SELECT 'glob:glob5', 5) i
+      |  ON c.m = i.k
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val lookupMultiDb: String =
+    """SELECT i.database_id AS database_id, c.value AS value, count(*) AS n
+      |FROM (SELECT 'host'||(event_id%50)||'.example.com' AS value,
+      |             event_id%50 AS m FROM events) c
+      |JOIN (SELECT 'threats' AS database_id, n_nationkey AS k FROM nation
+      |      WHERE n_nationkey < 5
+      |      UNION ALL
+      |      SELECT 'allowlist', n_nationkey FROM nation
+      |      WHERE n_nationkey >= 5 AND n_nationkey < 10) i
+      |  ON c.m = i.k
+      |GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  // closed-form A10 gold for goldTurns/goldIntel (QueryDefs):
+  //  e%5==0 -> 1 ipv4 match (LPM: /16 when e%20==5, else /8)
+  //  e%5==1 -> glob '*.example.com' always + literal when e%3==0
+  //  e%5==2 -> md5 literal match when e%4==1
+  val matchGold: String =
+    """SELECT 'threats' AS database_id, indicator_type, role,
+      |       CAST(SUM(c) AS BIGINT) AS match_count
+      |FROM (
+      |  SELECT 'ipv4' AS indicator_type, event_type AS role, count(*) AS c
+      |  FROM events WHERE event_id%5 = 0 GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'domain', event_type, count(*)
+      |  FROM events WHERE event_id%5 = 1 GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'domain', event_type, count(*)
+      |  FROM events WHERE event_id%5 = 1 AND event_id%3 = 0 GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'md5', event_type, count(*)
+      |  FROM events WHERE event_id%5 = 2 AND event_id%4 = 1 GROUP BY 2
+      |)
+      |GROUP BY 1,2,3 ORDER BY indicator_type, role""".stripMargin
+
+  val routeCounts: String =
+    """SELECT * FROM (
+      |  SELECT 'ipv4' AS sink, count(*) AS n FROM events WHERE event_id%5 = 0
+      |  UNION ALL
+      |  SELECT 'domain', CAST(SUM(c) AS BIGINT) FROM (
+      |    SELECT count(*) AS c FROM events WHERE event_id%5 = 1
+      |    UNION ALL
+      |    SELECT count(*) FROM events WHERE event_id%5 = 1 AND event_id%3 = 0)
+      |  UNION ALL
+      |  SELECT 'md5', count(*) FROM events
+      |  WHERE event_id%5 = 2 AND event_id%4 = 1
+      |  UNION ALL
+      |  SELECT 'clean', count(*) FROM events
+      |  WHERE event_id%5 = 3 OR event_id%5 = 4
+      |     OR (event_id%5 = 2 AND event_id%4 <> 1)
+      |) ORDER BY sink""".stripMargin
+
+  // A1-A6 in closed form over the same synthesized text
+  val scanStats: String =
+    """WITH t AS (
+      |  SELECT CASE event_id%5
+      |    WHEN 0 THEN 'saw 10.'||(event_id%20)||'.2.3 in log'
+      |    WHEN 1 THEN 'ping evil'||(event_id%3)||'.example.com now'
+      |    WHEN 2 THEN 'hash '||md5((event_id%4)::VARCHAR)||' seen'
+      |    WHEN 3 THEN 'visit clean'||(event_id%5)||'.org today'
+      |    ELSE 'all quiet here' END AS text,
+      |    event_id AS e FROM events)
+      |SELECT * FROM (
+      |  SELECT 'candidates_tested' AS stat, count(*) AS value
+      |  FROM t WHERE e%5 < 4
+      |  UNION ALL SELECT 'lines_processed', count(*) FROM t
+      |  UNION ALL SELECT 'lines_with_matches', count(*) FROM t
+      |    WHERE e%5 = 0 OR e%5 = 1 OR (e%5 = 2 AND e%4 = 1)
+      |  UNION ALL SELECT 'total_bytes', CAST(SUM(strlen(text)) AS BIGINT) FROM t
+      |  UNION ALL SELECT 'total_matches', CAST(SUM(c) AS BIGINT) FROM (
+      |    SELECT count(*) AS c FROM t WHERE e%5 = 0
+      |    UNION ALL SELECT count(*) FROM t WHERE e%5 = 1
+      |    UNION ALL SELECT count(*) FROM t WHERE e%5 = 1 AND e%3 = 0
+      |    UNION ALL SELECT count(*) FROM t WHERE e%5 = 2 AND e%4 = 1)
+      |) ORDER BY stat""".stripMargin
+
+  val dedupExact: String =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
+      |       count(*) AS n_docs
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Shingle set expression (k=5), mirroring Dedup.shingles. */
+  private def duckShingles(textExpr: String): String =
+    s"list_distinct([x FOR x IN [substr($textExpr, i, 5) " +
+      s"FOR i IN range(1, greatest(length($textExpr)-4, 1)+1)] " +
+      "IF length(x) = 5])"
+
+  val dedupMinhash: String = {
+    val numHashes = 8
+    val bands = 4
+    val r = numHashes / bands
+    val sig = (0 until numHashes)
+      .map(i => s"list_min(list_transform(sh, s -> md5('$i'||'|'||s)))")
+      .mkString("[", ", ", "]")
+    val bandRows = (0 until bands).map { b =>
+      s"SELECT doc_id, $b AS band_idx, " +
+        s"array_to_string(list_slice(sig, ${b * r + 1}, ${b * r + r}), '#') AS band_key FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+       |sh_t AS (SELECT doc_id, ${duckShingles("text")} AS sh FROM d),
+       |sigs AS (SELECT doc_id, $sig AS sig FROM sh_t),
+       |banded AS (
+       |  $bandRows
+       |)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM banded a JOIN banded b
+       |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |WHERE a.doc_id < b.doc_id
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  val dedupSimhash: String = {
+    val bits = 32
+    val votes = (0 until bits).map { b =>
+      s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << $b) ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_transform(
+       |      list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
+       |      t -> CAST('0x'||substr(md5(t),1,15) AS BIGINT)) AS hs
+       |  FROM documents),
+       |fps AS (SELECT doc_id, CAST($votes AS BIGINT) AS fingerprint FROM toks)
+       |SELECT fingerprint, count(*) AS n_docs,
+       |       min(doc_id) AS canonical_doc_id
+       |FROM fps GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin
+  }
+
+  val dedupNgram: String =
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+       |sh AS (SELECT doc_id, unnest(${duckShingles("text")}) AS shingle FROM d),
+       |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+       |  FROM sh x JOIN sh y ON x.shingle = y.shingle
+       |  WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter, sa.set_size AS size_a,
+       |       sb.set_size AS size_b,
+       |       CAST(inter AS DOUBLE) /
+       |         CAST(sa.set_size + sb.set_size - inter AS DOUBLE) AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON pairs.doc_a = sa.doc_id
+       |JOIN sizes sb ON pairs.doc_b = sb.doc_id
+       |WHERE CAST(inter AS DOUBLE) /
+       |      CAST(sa.set_size + sb.set_size - inter AS DOUBLE) >= 0.2
+       |ORDER BY 1, 2""".stripMargin
+
+  /** Quantized-vector expression mirroring Similarity.quantize. */
+  private val qv =
+    "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT))"
+  private def dot(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2])) AS BIGINT)"
+  private def cosine(a: String, b: String): String =
+    s"CAST(${dot(a, b)} AS DOUBLE) / " +
+      s"(sqrt(CAST(${dot(a, a)} AS DOUBLE)) * sqrt(CAST(${dot(b, b)} AS DOUBLE)))"
+
+  val dedupEmbedding: String =
+    s"""WITH q AS (SELECT vec_id, $qv AS v FROM embeddings WHERE vec_id < 100)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       ${cosine("a.v", "b.v")} AS cosine
+       |FROM q a JOIN q b ON a.vec_id < b.vec_id
+       |WHERE ${cosine("a.v", "b.v")} >= 0.2
+       |ORDER BY 1, 2""".stripMargin
+
+  val simTopk: String =
+    s"""WITH c AS (SELECT vec_id AS corpus_id, $qv AS cq FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, $qv AS qq FROM embeddings
+       |      WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT query_id, corpus_id, ${cosine("qq", "cq")} AS cosine
+       |  FROM c CROSS JOIN q WHERE corpus_id <> query_id),
+       |ranked AS (
+       |  SELECT query_id, corpus_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, corpus_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, cosine
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  val simLsh: String = {
+    val planes = 6
+    def sign(p: Int) =
+      s"(CASE WHEN CAST('0x'||substr(md5('p$p-'||CAST(pair[2] AS VARCHAR)),1,1) AS INT)%2 = 0 THEN 1 ELSE -1 END)"
+    val bucketBits = (0 until planes).map { p =>
+      s"CASE WHEN list_sum(list_transform(list_zip(v, range(length(embedding))), pair -> pair[1] * ${sign(p)})) > 0 THEN (1::BIGINT << $p) ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding, $qv AS v FROM embeddings WHERE vec_id < 200),
+       |wb AS (SELECT vec_id, v, CAST($bucketBits AS BIGINT) AS bucket FROM base),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS corpus_id,
+       |         ${cosine("a.v", "b.v")} AS cosine
+       |  FROM wb a JOIN wb b ON a.bucket = b.bucket
+       |  WHERE a.vec_id <> b.vec_id),
+       |ranked AS (
+       |  SELECT query_id, corpus_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, corpus_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, cosine
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Marker-hit count, mirroring TextStats.occurrences (plain replace —
+    * markers contain no regex metachars).
+    */
+  private def occ(hay: String, needle: String): String =
+    s"CAST((length($hay) - length(replace($hay, '$needle', ''))) / ${needle.length} AS INT)"
+
+  val textLang: String = {
+    val padded = "(' '||lower(text)||' ')"
+    val scores = TextStats.markers.map { case (lang, words) =>
+      lang -> words.map(w => occ(padded, w)).mkString(" + ")
+    }
+    val (sDe, sEn, sEs, sFr) = (scores(0)._2, scores(1)._2, scores(2)._2,
+      scores(3)._2)
+    s"""WITH s AS (SELECT $sDe AS de, $sEn AS en, $sEs AS es, $sFr AS fr
+       |           FROM documents)
+       |SELECT CASE
+       |    WHEN de = 0 AND en = 0 AND es = 0 AND fr = 0 THEN 'und'
+       |    WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+       |    WHEN en >= es AND en >= fr THEN 'en'
+       |    WHEN es >= fr THEN 'es'
+       |    ELSE 'fr' END AS lang_detected,
+       |  count(*) AS n
+       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  val textQuality: String = {
+    val stop = Seq(" the ", " and ", " a ", " of ")
+      .map(w => occ("(' '||lower(text)||' ')", w)).mkString(" + ")
+    s"""SELECT doc_id,
+       |  length(text) AS n_chars_m,
+       |  CASE WHEN length(trim(text)) = 0 THEN 0
+       |       ELSE length(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+       |  CASE WHEN length(trim(text)) = 0 THEN 0
+       |       ELSE CAST(list_sum(list_transform(
+       |         string_split_regex(trim(text), '\\s+'),
+       |         w -> CAST(ceil(CAST(length(w) AS DOUBLE)/4.0) AS BIGINT))) AS BIGINT)
+       |       END AS n_subwords,
+       |  CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS DOUBLE)
+       |    / CAST(greatest(length(text), 1) AS DOUBLE) AS alnum_ratio,
+       |  CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+       |    / CAST(greatest(length(text), 1) AS DOUBLE) AS space_ratio,
+       |  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+       |    / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+       |  $stop AS stopword_hits,
+       |  CAST(length(text) AS DOUBLE) /
+       |    CAST(greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+       |      ELSE length(string_split_regex(trim(text), '\\s+')) END, 1) AS DOUBLE)
+       |    AS mean_token_len
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  val textFingerprint: String =
+    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      |       count(*) AS n_docs, min(doc_id) AS canonical_doc_id
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val tpchAgg: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  val joinBroadcast: String =
+    """SELECT c_mktsegment, count(*) AS n,
+      |       CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT)
+      |         AS cents
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val windowFirstOrder: String =
+    """SELECT o_custkey, o_orderkey AS first_orderkey FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_orderdate, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
+  val eventsHourly: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+      |       CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS cents
+      |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+}

@@ -1,0 +1,354 @@
+package graft.queries
+
+import graft.functions.{GraftFunctions, IntelLookup}
+import graft.intel.IntelDb
+import graft.model.IntelEntry
+import graft.ops.{Dedup, Similarity, TextStats}
+import graft.pipeline.ScanJob
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver-contract query inventory: one entry per operator family from
+  * SURVEY.md §2 plus the training-data ops, each with a DuckDB oracle in
+  * OracleDefs. Extraction queries synthesize their input text
+  * deterministically FROM the testdata tables so the oracle knows the
+  * expected output in closed form (planted positives AND planted negatives
+  * that must not extract).
+  */
+object QueryDefs {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // shared synthesized-text columns (must mirror OracleDefs SQL exactly)
+  private def e = col("event_id")
+  private def u = col("user_id")
+
+  private def extract(df: DataFrame, textCol: Column): DataFrame =
+    df.select(explode(GraftFunctions.extract_iocs(textCol)).as("ioc"))
+      .select(col("ioc.*"))
+
+  // ------------------------------------------------------ E1-E8 extraction
+  def qExtractIpv4(s: SparkSession, dir: String): DataFrame =
+    extract(t(s, dir, "events"), concat(lit("from 10."), u % 200, lit("."),
+      e % 250, lit("."), e % 100, lit(" to 999.1.2.3 and 192.168.01.7 port 80")))
+      .where(col("indicator_type") === "ipv4")
+      .groupBy("value").agg(count(lit(1)).as("n"))
+      .orderBy("value")
+
+  def qExtractIpv6(s: SparkSession, dir: String): DataFrame =
+    extract(t(s, dir, "events"), concat(lit("peer 2001:db8:"), e % 9998 + 1,
+      lit("::"), u % 8999 + 1000, lit(" and fe80::1 done")))
+      .where(col("indicator_type") === "ipv6")
+      .groupBy("value").agg(count(lit(1)).as("n"))
+      .orderBy("value")
+
+  def qExtractDomain(s: SparkSession, dir: String): DataFrame =
+    extract(t(s, dir, "events"), concat(lit("visit host"), e % 50,
+      lit(".example.com and bare .com plus fake"), e % 9, lit(".notatld end")))
+      .where(col("indicator_type") === "domain")
+      .groupBy("value").agg(count(lit(1)).as("n"))
+      .orderBy("value")
+
+  def qExtractEmail(s: SparkSession, dir: String): DataFrame =
+    extract(t(s, dir, "events"), concat(lit("mail user"), e % 20, lit("@mail"),
+      u % 5, lit(".org now")))
+      .groupBy("indicator_type", "value").agg(count(lit(1)).as("n"))
+      .orderBy("indicator_type", "value")
+
+  def qExtractHashes(s: SparkSession, dir: String): DataFrame =
+    extract(t(s, dir, "events"),
+      concat(lit("md5 "), md5(e.cast("string")), lit(" sha "),
+        sha2(concat(e.cast("string"), lit("s")), 256), lit(" bad "),
+        substring(md5(concat(e.cast("string"), lit("x"))), 1, 31)))
+      .groupBy("indicator_type")
+      .agg(count(lit(1)).as("n"), min("value").as("min_value"),
+        max("value").as("max_value"))
+      .orderBy("indicator_type")
+
+  val btcGenesis = "1A1zP1eP5QGefi2DMPTfTL5SLmv7DivfNa"
+  val btcP2sh = "3J98t1WpEZ73CNmQviecrnyiWrnqRhWNLy"
+  val btcBech32 = "bc1qw508d6qejxtdg4y5r3zarvary0c5xw7kv8f3t4"
+  val btcBad = "1A1zP1eP5QGefi2DMPTfTL5SLmv7DivfNb"
+
+  def qExtractBitcoin(s: SparkSession, dir: String): DataFrame =
+    extract(t(s, dir, "events"), concat(lit("pay "),
+      when(e % 4 === 0, btcGenesis).when(e % 4 === 1, btcP2sh)
+        .when(e % 4 === 2, btcBech32).otherwise(btcBad),
+      lit(" now")))
+      .where(col("indicator_type") === "bitcoin")
+      .groupBy("value").agg(count(lit(1)).as("n"))
+      .orderBy("value")
+
+  val ethLower = "0xde709f2102306220921060314715629080e2fb77"
+  val ethMixed = "0x5aAeb6053F3E94C9b9A09f33669435E7Ef1BeAed"
+  val ethUpper = "0x52908400098527886E0F7030069857D2E4169EE7"
+  val ethBad = "0x5Aaeb6053F3E94C9b9A09f33669435E7Ef1BeAed"
+
+  def qExtractEthereum(s: SparkSession, dir: String): DataFrame =
+    extract(t(s, dir, "events"), concat(lit("to "),
+      when(e % 4 === 0, ethLower).when(e % 4 === 1, ethMixed)
+        .when(e % 4 === 2, ethUpper).otherwise(ethBad),
+      lit(" sent")))
+      .where(col("indicator_type") === "ethereum")
+      .groupBy("value").agg(count(lit(1)).as("n"))
+      .orderBy("value")
+
+  // synthetic monero-shaped addresses valid under the reference's
+  // plain-base58 + legacy-keccak checksum rule (see ChecksumsSpec)
+  val xmrA = "4VGdn4xWLbXz5e1NrLbN3bPa891s7vbeUWpReyY6Bxv3NMJgVW1vex9NionnmeYUNpPpsQQzsJi9rtUWdaZ4tmzsdhjHBn"
+  val xmrB = "4W4Thttq5KSdiv6HAw4qsuAY8r87xg2xHbcNKVTDiPpqGVhw1CmbJhmtsMT6XWLFHcLjjWxd2FifdSjbZCHhUJBhBMynp4"
+  val xmrBad = xmrA.dropRight(1) + "2"
+
+  def qExtractMonero(s: SparkSession, dir: String): DataFrame =
+    extract(t(s, dir, "events"), concat(lit("xmr "),
+      when(e % 3 === 0, xmrA).when(e % 3 === 1, xmrB).otherwise(xmrBad),
+      lit(" end")))
+      .where(col("indicator_type") === "monero")
+      .groupBy("value").agg(count(lit(1)).as("n"))
+      .orderBy("value")
+
+  // ----------------------------------------------------- intel classify
+  def qIntelClassify(s: SparkSession, dir: String): DataFrame = {
+    val classifyUdf = udf { (entry: String) =>
+      IntelDb.classify(entry).map(IntelDb.entryTypeName).orNull
+    }
+    t(s, dir, "events")
+      .withColumn("entry",
+        when(e % 6 === 0, concat(lit("10."), e % 250, lit(".0.0/16")))
+          .when(e % 6 === 1, concat(lit("1.2.3."), e % 250))
+          .when(e % 6 === 2, concat(lit("host"), e % 50, lit(".com")))
+          .when(e % 6 === 3, concat(lit("*.glob"), e % 9, lit(".net")))
+          .when(e % 6 === 4, concat(lit("literal:*.raw"), e % 9))
+          .otherwise(concat(lit("glob:bad["), e % 9)))
+      .withColumn("entry_type", classifyUdf(col("entry")))
+      .where(col("entry_type").isNotNull)
+      .groupBy("entry_type").agg(count(lit(1)).as("n"))
+      .orderBy("entry_type")
+  }
+
+  // ----------------------------------------------------- lookups L2/L3/L4
+  private def domainCands(s: SparkSession, dir: String): DataFrame =
+    extract(t(s, dir, "events"), concat(lit("visit host"), e % 50,
+      lit(".example.com and bare .com plus fake"), e % 9, lit(".notatld end")))
+      .where(col("indicator_type") === "domain")
+
+  def qLookupLiteral(s: SparkSession, dir: String): DataFrame = {
+    val intel = t(s, dir, "nation").where(col("n_nationkey") < 5)
+      .select(concat(lit("host"), col("n_nationkey"), lit(".example.com"))
+        .as("entry"))
+    domainCands(s, dir)
+      .join(broadcast(intel), col("value") === col("entry"))
+      .groupBy("value").agg(count(lit(1)).as("n"))
+      .orderBy("value")
+  }
+
+  def qLookupLpm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ks = t(s, dir, "nation").select(col("n_nationkey").cast("int"))
+      .as[Int].collect().toSeq.sorted
+    val entries = ks.map(k => IntelEntry(s"10.$k.0.0/16", "high", "c2",
+      "feed", 80)) ++
+      ks.map(k => IntelEntry(s"10.$k.${k * 3}.0/24", "critical", "c2",
+        "feed", 95))
+    val db = IntelDb.build("lpm", entries)
+    val cands = extract(t(s, dir, "events"), concat(lit("src 10."), u % 200,
+      lit("."), e % 250, lit("."), e % 100, lit(" seen")))
+      .where(col("indicator_type") === "ipv4")
+    val meta = ScanJob.intelMetaDf(s, Seq(db))
+    cands
+      .withColumn("hit",
+        explode(IntelLookup.column(col("value"), col("indicator_type"), db)))
+      .select(col("value"), col("hit.entry_idx").as("entry_idx"),
+        col("hit.prefix_len").as("prefix_len"))
+      .join(broadcast(meta.select("entry_idx", "entry")), Seq("entry_idx"))
+      .groupBy("value", "prefix_len", "entry").agg(count(lit(1)).as("n"))
+      .orderBy("value", "prefix_len")
+  }
+
+  def qLookupGlob(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ks = t(s, dir, "region").where(col("r_regionkey") < 4)
+      .select(col("r_regionkey").cast("int")).as[Int].collect().toSeq.sorted
+    val entries = ks.map(k => IntelEntry(s"*.glob$k.net", "high", "c2",
+      "feed", 80)) :+ IntelEntry("glob:glob5", "low", "heuristic", "feed", 40)
+    val db = IntelDb.build("glob", entries)
+    val cands = extract(t(s, dir, "events"), concat(lit("see host"), e % 50,
+      lit(".glob"), e % 7, lit(".net ok")))
+      .where(col("indicator_type") === "domain")
+    val meta = ScanJob.intelMetaDf(s, Seq(db))
+    cands
+      .withColumn("hit",
+        explode(IntelLookup.column(col("value"), col("indicator_type"), db)))
+      .select(col("value"), col("hit.entry_idx").as("entry_idx"))
+      .join(broadcast(meta.select("entry_idx", "entry")), Seq("entry_idx"))
+      .groupBy("entry").agg(count(lit(1)).as("n"))
+      .orderBy("entry")
+  }
+
+  def qLookupMultiDb(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ks = t(s, dir, "nation").select(col("n_nationkey").cast("int"))
+      .as[Int].collect().toSeq.sorted
+    val db1 = IntelDb.build("threats", ks.filter(_ < 5).map(k =>
+      IntelEntry(s"host$k.example.com", "high", "c2", "a", 90)))
+    val db2 = IntelDb.build("allowlist", ks.filter(k => k >= 5 && k < 10)
+      .map(k => IntelEntry(s"host$k.example.com", "unknown", "allow", "b", 99)))
+    val cands = domainCands(s, dir)
+    val matched = ScanJob.enriched(cands
+      .withColumn("conv_id", lit("c")).withColumn("turn_idx", lit(0))
+      .withColumn("role", lit("r")), Seq(db1, db2), s)
+    matched.groupBy("database_id", "value").agg(count(lit(1)).as("n"))
+      .orderBy("database_id", "value")
+  }
+
+  // --------------------------------------------- flagship e2e gold (A10)
+  def goldIntel: Seq[IntelEntry] = Seq(
+    IntelEntry("10.0.0.0/8", "high", "c2", "feed", 80),
+    IntelEntry("10.5.0.0/16", "critical", "c2", "feed", 95),
+    IntelEntry("evil0.example.com", "high", "phishing", "feed", 90),
+    IntelEntry("*.example.com", "low", "heuristic", "feed", 40),
+    // md5("1") — planted by goldTurns when event_id%5==2 && event_id%4==1
+    IntelEntry("c4ca4238a0b923820dcc509a6f75849b", "medium", "malware",
+      "feed", 70))
+
+  def goldTurns(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(
+      concat(lit("conv-"), u % 50).as("conv_id"),
+      e.cast("int").as("turn_idx"),
+      col("event_type").as("role"),
+      when(e % 5 === 0, concat(lit("saw 10."), e % 20, lit(".2.3 in log")))
+        .when(e % 5 === 1, concat(lit("ping evil"), e % 3,
+          lit(".example.com now")))
+        .when(e % 5 === 2, concat(lit("hash "), md5((e % 4).cast("string")),
+          lit(" seen")))
+        .when(e % 5 === 3, concat(lit("visit clean"), e % 5,
+          lit(".org today")))
+        .otherwise(lit("all quiet here")).as("text"),
+      lit("").as("tool"), col("ts"))
+
+  def qMatchGold(s: SparkSession, dir: String): DataFrame = {
+    val db = IntelDb.build("threats", goldIntel)
+    ScanJob.goldCounts(ScanJob.matched(goldTurns(s, dir), Seq(db), s))
+      .orderBy("indicator_type", "role")
+  }
+
+  def qRouteCounts(s: SparkSession, dir: String): DataFrame = {
+    val db = IntelDb.build("threats", goldIntel)
+    val turns = goldTurns(s, dir)
+    val matched = ScanJob.matched(turns, Seq(db), s)
+    val sinkCounts = matched.groupBy(col("indicator_type").as("sink"))
+      .agg(count(lit(1)).as("n"))
+    val cleanCount = turns
+      .join(matched.select("conv_id", "turn_idx").distinct(),
+        Seq("conv_id", "turn_idx"), "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("clean").as("sink"), col("n"))
+    sinkCounts.unionByName(cleanCount).orderBy("sink")
+  }
+
+  def qScanStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val db = IntelDb.build("threats", goldIntel)
+    val turns = goldTurns(s, dir)
+    val cands = ScanJob.candidates(turns)
+    val matched = ScanJob.matched(turns, Seq(db), s)
+    val rows = Seq(
+      ("candidates_tested", cands.count()),
+      ("lines_processed", turns.count()),
+      ("lines_with_matches",
+        matched.select("conv_id", "turn_idx").distinct().count()),
+      ("total_bytes", turns.agg(sum(octet_length(col("text"))))
+        .as[Long].head()),
+      ("total_matches", matched.count()))
+    rows.toDF("stat", "value").orderBy("stat")
+  }
+
+  // --------------------------------------------------- dedup family
+  def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents")).orderBy("text_hash")
+
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(t(s, dir, "documents").where(col("doc_id") < 100))
+      .orderBy("doc_a", "doc_b")
+
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashGroups(t(s, dir, "documents"))
+      .orderBy("fingerprint")
+
+  def qDedupNgram(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents")
+      .where(col("doc_id") < 60), k = 5, minJaccard = 0.2)
+      .orderBy("doc_a", "doc_b")
+
+  def qDedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosinePairs(t(s, dir, "embeddings")
+      .where(col("vec_id") < 100), minCosine = 0.2)
+      .orderBy("vec_a", "vec_b")
+
+  // --------------------------------------------------- similarity family
+  def qSimTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  def qSimLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(t(s, dir, "embeddings").where(col("vec_id") < 200),
+      k = 3, planes = 6)
+      .orderBy("query_id", "rank")
+
+  // --------------------------------------------------- text family
+  def qTextLang(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("lang_detected", TextStats.langId(col("text")))
+      .groupBy("lang_detected").agg(count(lit(1)).as("n"))
+      .orderBy("lang_detected")
+
+  def qTextQuality(s: SparkSession, dir: String): DataFrame =
+    TextStats.qualityFeatures(t(s, dir, "documents"))
+      .select("doc_id", "n_chars_m", "n_tokens", "n_subwords", "alnum_ratio",
+        "space_ratio", "punct_ratio", "stopword_hits", "mean_token_len")
+      .orderBy("doc_id")
+
+  def qTextFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("fp", TextStats.fingerprint(col("text")))
+      .groupBy("fp").agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("canonical_doc_id"))
+      .orderBy("fp")
+
+  // --------------------------------------------------- relational family
+  def qTpchAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("bigint")).as("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  def qJoinBroadcast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("o_totalprice") * 100, 0).cast("bigint")).as("cents"))
+      .orderBy("c_mktsegment")
+
+  def qWindowFirstOrder(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("first_orderkey"))
+      .orderBy("o_custkey")
+  }
+
+  def qEventsHourly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("bigint")).as("cents"))
+      .orderBy("hour", "event_type")
+}

@@ -1,0 +1,68 @@
+package graft.sources
+
+import graft.model.IntelEntry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Intel feed ingestion (SURVEY.md §2.1 S5-S7): CSV with an entry/key
+  * column, JSON array of {key, data}, and plain text (one entry per line,
+  * '#' comments skipped) — the auto-build inputs of the reference
+  * (bin/commands/match_cmd.rs:38-155). The builder's "schema" analog is the
+  * typed IntelEntry projection with ThreatDB defaults for missing fields.
+  */
+object IntelIngest {
+
+  private val defaults = Map(
+    "threat_level" -> "unknown", "category" -> "unknown",
+    "source" -> "unknown")
+
+  /** Normalize an arbitrary feed DataFrame into the IntelEntry shape.
+    * Accepts `entry` or `key` as the key column; fills ThreatDB defaults.
+    */
+  def normalize(df: DataFrame): DataFrame = {
+    val keyCol =
+      if (df.columns.contains("entry")) "entry"
+      else if (df.columns.contains("key")) "key"
+      else df.columns.head
+    var out = df.withColumnRenamed(keyCol, "entry")
+    defaults.foreach { case (c, d) =>
+      out =
+        if (out.columns.contains(c)) out.withColumn(c, coalesce(col(c).cast("string"), lit(d)))
+        else out.withColumn(c, lit(d))
+    }
+    out = if (out.columns.contains("confidence"))
+      out.withColumn("confidence", coalesce(col("confidence").cast("int"), lit(0)))
+    else out.withColumn("confidence", lit(0))
+    out.select("entry", "threat_level", "category", "source", "confidence")
+      .where(col("entry").isNotNull && length(col("entry")) > 0)
+  }
+
+  /** CSV feed: header row, entry/key column + metadata columns (S5). */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    normalize(spark.read.option("header", "true").csv(path))
+
+  /** JSON feed: [{"key": ..., "data": {...}}] or NDJSON of the same (S6). */
+  def readJson(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("multiLine", "true").json(path)
+    val flat =
+      if (raw.columns.contains("data"))
+        raw.select(col("key"), col("data.*"))
+      else raw
+    normalize(flat)
+  }
+
+  /** Text feed: one entry per line, '#' comments and blanks skipped (S7). */
+  def readText(spark: SparkSession, path: String): DataFrame =
+    normalize(
+      spark.read.text(path)
+        .select(trim(col("value")).as("entry"))
+        .where(length(col("entry")) > 0 && !col("entry").startsWith("#")))
+
+  /** Collect a normalized feed to typed entries (driver-side: feeds are
+    * small by design — the broadcast side of the pipeline).
+    */
+  def toEntries(df: DataFrame): Seq[IntelEntry] = {
+    import df.sparkSession.implicits._
+    df.as[IntelEntry].collect().toSeq
+  }
+}
