@@ -1,0 +1,122 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+    (2L, "the quick brown fox jumps over a lazy dog"), // near dup
+    (3L, "completely different content about spark engines"),
+    (4L, "THE  Quick Brown   Fox jumps over the lazy dog") // fmt variant
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val r = Dedup.exact(docs).collect()
+    val dup = r.find(_.getAs[Long]("n_docs") == 2)
+    assert(dup.isDefined && dup.get.getAs[Long]("canonical_doc_id") == 0L)
+    assert(r.length == 4) // 5 docs, one pair collapsed
+  }
+
+  test("minhash LSH finds the near-dup pair and not the distinct one") {
+    val pairs = Dedup.minhashLshPairs(docs, k = 5, numHashes = 8, bands = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // identical => all bands agree
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // distinct doc
+  }
+
+  test("simhash: identical token sets share a fingerprint") {
+    val groups = Dedup.simhashGroups(docs).collect()
+    // docs 0 and 1 are identical => same fingerprint group
+    assert(groups.exists(g => g.getAs[Long]("n_docs") >= 2 &&
+      g.getAs[Long]("canonical_doc_id") == 0L))
+  }
+
+  test("ngram jaccard: exact dup scores 1.0, near dup is high") {
+    val pairs = Dedup.ngramJaccardPairs(docs, k = 5, minJaccard = 0.3)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(pairs((0L, 1L)) == 1.0)
+    assert(pairs((0L, 2L)) > 0.6 && pairs((0L, 2L)) < 1.0)
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("fingerprint collapses formatting variants") {
+    val fp = docs.withColumn("fp", TextStats.fingerprint(col("text")))
+      .select("doc_id", "fp").as[(Long, String)].collect().toMap
+    assert(fp(0L) == fp(1L))
+    assert(fp(0L) == fp(4L)) // case/whitespace normalized
+    assert(fp(0L) != fp(2L))
+  }
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)), // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)), // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f)) // opposite of 0
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force top-k cosine ordering") {
+    val r = Similarity.bruteForceTopK(vecs, vecs.where($"vec_id" === 0), k = 3)
+      .select("rank", "corpus_id", "cosine")
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(r.map(_._2).toSeq == Seq(1L, 2L, 3L))
+    assert(r(0)._3 > 0.99 && math.abs(r(1)._3) < 1e-9 && r(2)._3 == -1.0)
+  }
+
+  test("LSH buckets put near-identical vectors together") {
+    val buckets = vecs
+      .select($"vec_id", Similarity.lshBucket($"embedding", 6).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(buckets(0L) == buckets(1L)) // same directions, same signs
+    assert(buckets(0L) != buckets(3L)) // opposite vector flips every plane
+  }
+
+  test("language ID picks marker language; und when no markers") {
+    val texts = Seq(
+      (0L, "the cat and the dog is of interest to the owner"),
+      (1L, "der hund und die katze und nicht das pferd"),
+      (2L, "el gato y los perros que corren de una casa"),
+      (3L, "zzz qqq xxx")).toDF("doc_id", "text")
+    val r = texts.withColumn("lang", TextStats.langId(col("text")))
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    assert(r(0L) == "en" && r(1L) == "de" && r(2L) == "es" && r(3L) == "und")
+  }
+
+  test("token and subword counts") {
+    val r = Seq((0L, "hello world abcdefgh"), (1L, ""), (2L, "  a  "))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextStats.tokenCount(col("text")).as("t"),
+        TextStats.subwordCount(col("text")).as("s"))
+      .as[(Long, Int, Long)].collect().map(x => x._1 -> (x._2, x._3)).toMap
+    assert(r(0L) == ((3, 2 + 2 + 2))) // 5->2, 5->2, 8->2
+    assert(r(1L) == ((0, 0L)))
+    assert(r(2L) == ((1, 1L)))
+  }
+
+  test("multimodal: decode stub, metadata, frame sampling") {
+    val media = Multimodal.synthesize(spark, 30)
+    val meta = Multimodal.decodeMeta(media).collect()
+    assert(meta.length == 30)
+    assert(meta.forall(m => m.width >= 16 && m.height >= 16))
+    assert(meta.filter(_.kind == "video").forall(_.n_frames >= 1))
+    val frames = Multimodal.sampleFrames(media, stride = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_bytes.length <= 64))
+    // deterministic: same id => same payload
+    val again = Multimodal.decodeMeta(Multimodal.synthesize(spark, 30))
+      .collect()
+    assert(meta.map(m => (m.media_id, m.width, m.height)).toSet ==
+      again.map(m => (m.media_id, m.width, m.height)).toSet)
+    val withMeta = Multimodal.withMeta(spark, media)
+    assert(withMeta.schema("payload").dataType.typeName == "binary")
+    assert(withMeta.schema("meta").dataType.typeName == "struct")
+  }
+}
