@@ -44,7 +44,7 @@ final class IocScanner(val config: ScanConfig) extends Serializable {
     val out = new ArrayBuffer[Ioc](4)
     // shared token boundaries (used by hashes/bitcoin/monero)
     val needTokens = config.hashes || config.bitcoin || config.monero
-    val tokens = if (needTokens) tokenSpans(bytes) else null
+    val tokens: IntVec = if (needTokens) tokenSpans(bytes) else null
     if (config.domains) scanDomains(bytes, out)
     if (config.ipv4) scanIpv4(bytes, out)
     if (config.emails) scanEmails(bytes, out)
@@ -108,9 +108,9 @@ final class IocScanner(val config: ScanConfig) extends Serializable {
   private def scanIpv4(b: Array[Byte], out: ArrayBuffer[Ioc]): Unit = {
     val n = b.length
     // dot positions (shared-precompute in the reference; cheap here)
-    val dots = new ArrayBuffer[Int](8)
+    val dots = new IntVec(8)
     var i = 0
-    while (i < n) { if (b(i) == '.') dots += i; i += 1 }
+    while (i < n) { if (b(i) == '.') dots.add(i); i += 1 }
     var lastEnd = 0
     var di = 0
     while (di < dots.length) {
@@ -280,7 +280,7 @@ final class IocScanner(val config: ScanConfig) extends Serializable {
   }
 
   // -------------------------------------------------------------- hashes
-  private def scanHashes(b: Array[Byte], tokens: ArrayBuffer[Int],
+  private def scanHashes(b: Array[Byte], tokens: IntVec,
       out: ArrayBuffer[Ioc]): Unit = {
     var t = 0
     while (t + 1 < tokens.length) {
@@ -304,7 +304,7 @@ final class IocScanner(val config: ScanConfig) extends Serializable {
   }
 
   // ------------------------------------------------------------- bitcoin
-  private def scanBitcoin(b: Array[Byte], tokens: ArrayBuffer[Int],
+  private def scanBitcoin(b: Array[Byte], tokens: IntVec,
       out: ArrayBuffer[Ioc]): Unit = {
     var t = 0
     while (t + 1 < tokens.length) {
@@ -354,7 +354,7 @@ final class IocScanner(val config: ScanConfig) extends Serializable {
   }
 
   // -------------------------------------------------------------- monero
-  private def scanMonero(b: Array[Byte], tokens: ArrayBuffer[Int],
+  private def scanMonero(b: Array[Byte], tokens: IntVec,
       out: ArrayBuffer[Ioc]): Unit = {
     var t = 0
     while (t + 1 < tokens.length) {
@@ -419,24 +419,42 @@ object IocScanner {
     true
   }
 
+  /** Unboxed growable int vector — the scan hot path must not box ints
+    * (ArrayBuffer[Int] boxes; the resulting GC pressure halves throughput).
+    */
+  final class IntVec(initial: Int) {
+    private var arr = new Array[Int](initial)
+    var length: Int = 0
+    def add(v: Int): Unit = {
+      if (length == arr.length) {
+        val next = new Array[Int](arr.length * 2)
+        System.arraycopy(arr, 0, next, 0, arr.length)
+        arr = next
+      }
+      arr(length) = v
+      length += 1
+    }
+    def apply(i: Int): Int = arr(i)
+  }
+
   /** Token spans: flat [start0, end0, start1, end1, ...] of maximal
     * non-boundary runs (reference find_word_boundaries_into,
     * lib.rs:1742-1782).
     */
-  def tokenSpans(b: Array[Byte]): ArrayBuffer[Int] = {
-    val out = new ArrayBuffer[Int](16)
+  def tokenSpans(b: Array[Byte]): IntVec = {
+    val out = new IntVec(16)
     val n = b.length
     if (n == 0) return out
     var inToken = !isBoundary(b(0))
-    if (inToken) out += 0
+    if (inToken) out.add(0)
     var i = 1
     while (i < n) {
       val bd = isBoundary(b(i))
-      if (inToken && bd) { out += i; inToken = false }
-      else if (!inToken && !bd) { out += i; inToken = true }
+      if (inToken && bd) { out.add(i); inToken = false }
+      else if (!inToken && !bd) { out.add(i); inToken = true }
       i += 1
     }
-    if (inToken) out += n
+    if (inToken) out.add(n)
     out
   }
 

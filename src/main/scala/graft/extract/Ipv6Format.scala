@@ -10,17 +10,42 @@ package graft.extract
   */
 object Ipv6Format {
 
+  /** Regex-free single-char split keeping trailing empties. */
+  private def splitChar(s: String, c: Char): Array[String] = {
+    var n = 1
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) == c) n += 1; i += 1 }
+    val out = new Array[String](n)
+    var from = 0
+    var k = 0
+    i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == c) { out(k) = s.substring(from, i); k += 1; from = i + 1 }
+      i += 1
+    }
+    out(k) = s.substring(from)
+    out
+  }
+
   /** Parse an IPv6 textual form (with optional ::-compression and optional
     * embedded trailing IPv4). Returns the 8 16-bit groups, or null if
     * invalid. Mirrors the grammar accepted by Rust's Ipv6Addr::from_str.
     */
   def parse(s: String): Array[Int] = {
     if (s == null || s.isEmpty) return null
-    val parts = s.split("::", -1)
-    if (parts.length > 2) return null
+    // split on "::" without java.util.regex (String.split compiles a
+    // Pattern per call — measurable in the scan hot path)
+    val dc = s.indexOf("::")
+    val parts: Array[String] =
+      if (dc < 0) Array(s)
+      else {
+        val tail = s.substring(dc + 2)
+        if (tail.contains("::")) return null
+        Array(s.substring(0, dc), tail)
+      }
     def parseGroups(str: String, allowV4Tail: Boolean): Array[Int] = {
       if (str.isEmpty) return Array.emptyIntArray
-      val toks = str.split(":", -1)
+      val toks = splitChar(str, ':')
       val out = new scala.collection.mutable.ArrayBuffer[Int](toks.length + 1)
       var i = 0
       while (i < toks.length) {
@@ -73,7 +98,7 @@ object Ipv6Format {
     * rejects leading zeros and values >255 (same grammar as Ipv4Addr).
     */
   private def parseIpv4Strictish(s: String): Array[Int] = {
-    val toks = s.split("\\.", -1)
+    val toks = splitChar(s, '.')
     if (toks.length != 4) return null
     val out = new Array[Int](4)
     var i = 0

@@ -1,0 +1,40 @@
+package graft.functions
+
+import graft.intel.CleanPreScreen
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `might_match(text)` — broadcast clean-turn pre-screen (SURVEY.md §4.3):
+  * a codegen'd superset filter evaluated before extraction so clean turns
+  * never reach the (more expensive) scanner. False = provably no match in
+  * any configured database.
+  */
+case class MightMatch(child: Expression, screen: CleanPreScreen)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "might_match"
+
+  override def nullSafeEval(input: Any): Any =
+    screen.mightMatch(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("prescreen", screen,
+      classOf[CleanPreScreen].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.mightMatch($c.getBytes());")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MightMatch =
+    copy(child = newChild)
+}
+
+object MightMatch {
+  def column(text: Column, screen: CleanPreScreen): Column =
+    ExpressionUtils.column(MightMatch(ExpressionUtils.expression(text), screen))
+}

@@ -1,0 +1,78 @@
+package graft.intel
+
+import graft.model.IntelEntry
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Persisted form of a compiled intel database (the .mxy analog, S9): a
+  * parquet table of classified entries. The mmap/offset machinery of the
+  * reference is replaced by rebuilding the broadcast matcher structures at
+  * load — build is O(entries) and entries are small by design, the analog
+  * of the reference's <1ms mmap open (DEVELOPMENT.md:198-206) at Spark's
+  * granularity. Parquet dictionary encoding plays the role of the
+  * content-addressed data-section dedup (mmdb_builder.rs:274-289).
+  */
+object IntelStore {
+
+  def save(spark: SparkSession, db: IntelDb, path: String): Unit = {
+    import spark.implicits._
+    val rows = db.entries.toSeq.map { m =>
+      (db.databaseId, m.entry, m.entryType, m.threatLevel, m.category,
+        m.source, m.confidence, db.caseInsensitive)
+    }
+    rows.toDF("database_id", "entry", "entry_type", "threat_level",
+      "category", "source", "confidence", "case_insensitive")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  def load(spark: SparkSession, path: String): IntelDb = {
+    import spark.implicits._
+    val df = spark.read.parquet(path)
+    val rows = df.select("database_id", "entry", "threat_level", "category",
+      "source", "confidence", "case_insensitive")
+      .as[(String, String, String, String, String, Int, Boolean)]
+      .collect()
+    require(rows.nonEmpty, s"empty intel store at $path")
+    val databaseId = rows.head._1
+    val ci = rows.head._7
+    IntelDb.build(databaseId,
+      rows.toSeq.map(r => IntelEntry(r._2, r._3, r._4, r._5, r._6)), ci)
+  }
+}
+
+/** Point-lookup convenience (S12, the `matchy query` analog): evaluate the
+  * same broadcast structures driver-side for a single key; returns matched
+  * entry metadata (empty = NotFound, the CLI's exit-code-1 case).
+  */
+object QueryApi {
+
+  final case class QueryHit(databaseId: String, entry: String,
+      entryType: String, matchType: String, prefixLen: Int,
+      threatLevel: String, category: String, source: String, confidence: Int)
+
+  /** Dispatch like the reference (database.rs:760-764): parse as IP first,
+    * else string path.
+    */
+  def query(db: IntelDb, key: String): Seq[QueryHit] = {
+    val asCidr = Cidr.parse(key)
+    if (asCidr != null && !key.contains("/")) {
+      val isV6 = key.indexOf(':') >= 0
+      val hit = db.lookupIp(key, isV6)
+      if (hit == null) Nil
+      else {
+        val m = db.entries(hit._1)
+        Seq(QueryHit(db.databaseId, m.entry, m.entryType, "ip", hit._2,
+          m.threatLevel, m.category, m.source, m.confidence))
+      }
+    } else {
+      db.lookupString(key).toSeq.map { idx =>
+        val m = db.entries(idx)
+        QueryHit(db.databaseId, m.entry, m.entryType, "pattern", -1,
+          m.threatLevel, m.category, m.source, m.confidence)
+      }
+    }
+  }
+
+  /** Multi-database query (L8). */
+  def query(dbs: Seq[IntelDb], key: String): Seq[QueryHit] =
+    dbs.flatMap(db => query(db, key))
+}

@@ -70,27 +70,33 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** SimHash-64-ish fingerprint built from 60-bit token hashes (15 md5 hex
-    * chars => fits a signed 64-bit int in every engine). Deterministic
-    * integer arithmetic only.
+  /** SimHash fingerprints, relational form: explode distinct tokens, hash
+    * each ONCE (60-bit int from 15 md5 hex chars — reproducible in any
+    * engine), then one groupBy computing all bit votes as conditional sums
+    * (map-side partial agg => one shuffle; codegen-friendly; the md5 is
+    * never recomputed per bit).
     */
-  def simhash(text: Column, bits: Int = 32): Column = {
-    val tokens = split(trim(lower(text)), "\\s+")
-    val tokenHashes = transform(array_distinct(tokens),
-      t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
-    // for each bit: +1 if set else -1, summed over tokens; bit set iff sum>0
-    val bitCols = (0 until bits).map { b =>
-      val vote = aggregate(tokenHashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L,
-          lit(1L)).otherwise(lit(-1L)))
-      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+  def simhashFingerprints(docs: DataFrame, bits: Int = 32): DataFrame = {
+    val tokenHashes = docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(trim(lower(col("text"))), "\\s+")))
+          .as("token"))
+      .withColumn("h", conv(substring(md5(col("token")), 1, 15), 16, 10)
+        .cast("long"))
+    val votes = (0 until bits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$b")
     }
-    bitCols.reduce((x, y) => x.bitwiseOR(y))
+    tokenHashes.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map { b =>
+          when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+        }.reduce((x, y) => x.bitwiseOR(y)).as("fingerprint"))
   }
 
   /** SimHash near-dup candidates: identical fingerprints (exact band). */
   def simhashGroups(docs: DataFrame, bits: Int = 32): DataFrame =
-    docs.select(col("doc_id"), simhash(col("text"), bits).as("fingerprint"))
+    simhashFingerprints(docs, bits)
       .groupBy("fingerprint")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical_doc_id"))
       .where(col("n_docs") > 1)

@@ -133,6 +133,18 @@ object Fixtures {
     * conversation, exercises AQE/skew handling); the rest are spread over
     * conversations of ~24 turns.
     */
+  /** Zero-padded conv id without java.util.Formatter (which is regex-based
+    * and dominates row-generation cost at bench scale).
+    */
+  private def convId(conv: Long): String = {
+    val d = conv.toString
+    val sb = new java.lang.StringBuilder(13)
+    sb.append("conv-")
+    var pad = 6 - d.length
+    while (pad > 0) { sb.append('0'); pad -= 1 }
+    sb.append(d).toString
+  }
+
   def turn(i: Long, totalRows: Long): Turn = {
     val hotRows = math.max(1L, totalRows / 16)
     val (conv, turnIdx) =
@@ -142,7 +154,7 @@ object Fixtures {
         (1L + j / 24, j % 24)
       }
     Turn(
-      conv_id = f"conv-$conv%06d",
+      conv_id = convId(conv),
       turn_idx = turnIdx.toInt,
       role = roles(((mix(i * 11 + 3) >>> 16) % 4).toInt),
       text = text(i),

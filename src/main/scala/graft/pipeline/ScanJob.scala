@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.functions.{GraftFunctions, IntelLookup}
+import graft.functions.{GraftFunctions, IntelLookupMulti}
 import graft.intel.IntelDb
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -41,49 +41,58 @@ object ScanJob {
         explode(GraftFunctions.extract_iocs(col("text"))).as("ioc"))
       .select(col("conv_id"), col("turn_idx"), col("role"), col("ioc.*"))
 
-  /** Intel metadata as a DataFrame, one row per (database_id, entry_idx) —
-    * the broadcast side of the enrichment join.
+  /** Intel metadata as a DataFrame, one row per (db_idx, entry_idx) — the
+    * broadcast side of the enrichment join.
     */
   def intelMetaDf(spark: SparkSession, dbs: Seq[IntelDb]): DataFrame = {
     import spark.implicits._
-    dbs.flatMap { db =>
+    dbs.zipWithIndex.flatMap { case (db, d) =>
       db.entries.zipWithIndex.map { case (m, i) =>
-        (db.databaseId, i, m.entry, m.entryType, m.threatLevel, m.category,
-          m.source, m.confidence)
+        (d, i, db.databaseId, m.entry, m.entryType, m.threatLevel,
+          m.category, m.source, m.confidence)
       }
-    }.toDF("database_id", "entry_idx", "entry", "entry_type", "threat_level",
-      "category", "source", "confidence")
+    }.toDF("db_idx", "entry_idx", "database_id", "entry", "entry_type",
+      "threat_level", "category", "source", "confidence")
   }
 
-  /** Enrichment stage (L2+L3+L4 x L8): per database, probe the broadcast
-    * matcher structures and keep hits (F1), then attach metadata via an
-    * explicit broadcast hash join.
+  /** Enrichment stage (L2+L3+L4 x L8): probe ALL broadcast databases in one
+    * generator (the input is extracted exactly once), keep hits (F1), then
+    * attach metadata via an explicit broadcast hash join.
     */
   def enriched(cands: DataFrame, dbs: Seq[IntelDb],
       spark: SparkSession): DataFrame = {
-    val perDb = dbs.map { db =>
-      cands
-        .withColumn("hit",
-          explode(IntelLookup.column(col("value"), col("indicator_type"), db)))
-        .withColumn("database_id", lit(db.databaseId))
-        .select((CandidateCols.map(col) :+ col("database_id") :+
-          col("hit.entry_idx").as("entry_idx") :+
-          col("hit.prefix_len").as("prefix_len") :+
-          col("hit.match_type").as("match_type")): _*)
-    }
-    val unioned = perDb.reduce(_ unionByName _)
+    val hits = cands
+      .withColumn("hit", explode(
+        IntelLookupMulti.column(col("value"), col("indicator_type"), dbs)))
+      .select((CandidateCols.map(col) :+
+        col("hit.db_idx").as("db_idx") :+
+        col("hit.entry_idx").as("entry_idx") :+
+        col("hit.prefix_len").as("prefix_len") :+
+        col("hit.match_type").as("match_type")): _*)
     val meta = intelMetaDf(spark, dbs)
-    unioned
-      .join(broadcast(meta), Seq("database_id", "entry_idx"), "inner")
+    hits
+      .join(broadcast(meta), Seq("db_idx", "entry_idx"), "inner")
+      .drop("db_idx")
       .withColumn("cidr",
         when(col("match_type") === "ip",
           concat(col("value"), lit("/"), col("prefix_len"))))
   }
 
-  /** Full matched dataset for a set of databases. */
-  def matched(turns: DataFrame, dbs: Seq[IntelDb],
-      spark: SparkSession): DataFrame =
-    enriched(candidates(turns), dbs, spark)
+  /** Full matched dataset for a set of databases. With `prescreen` the
+    * broadcast clean-turn filter (CleanPreScreen — a sound superset filter)
+    * rejects turns before extraction; output is identical either way
+    * (asserted by ScanJobSpec).
+    */
+  def matched(turns: DataFrame, dbs: Seq[IntelDb], spark: SparkSession,
+      prescreen: Boolean = false): DataFrame = {
+    val input =
+      if (!prescreen) turns
+      else {
+        val screen = graft.intel.CleanPreScreen.build(dbs)
+        turns.where(graft.functions.MightMatch.column(col("text"), screen))
+      }
+    enriched(candidates(input), dbs, spark)
+  }
 
   /** North-rule gold aggregate (A10): per-sink match counts. */
   def goldCounts(matchedDf: DataFrame): DataFrame =
@@ -128,24 +137,20 @@ object ScanJob {
         explode(GraftFunctions.extract_iocs(col("text"))).as("ioc"))
       .select(col("bucket"), col("conv_id"), col("turn_idx"), col("role"),
         col("ioc.*"))
-    val matchedDf = {
-      val perDb = dbs.map { db =>
-        candsB
-          .withColumn("hit", explode(
-            IntelLookup.column(col("value"), col("indicator_type"), db)))
-          .withColumn("database_id", lit(db.databaseId))
-          .select((col("bucket") +: (CandidateCols.map(col) :+
-            col("database_id") :+ col("hit.entry_idx").as("entry_idx") :+
-            col("hit.prefix_len").as("prefix_len") :+
-            col("hit.match_type").as("match_type"))): _*)
-      }
-      perDb.reduce(_ unionByName _)
-        .join(broadcast(intelMetaDf(spark, dbs)),
-          Seq("database_id", "entry_idx"), "inner")
-        .withColumn("cidr",
-          when(col("match_type") === "ip",
-            concat(col("value"), lit("/"), col("prefix_len"))))
-    }
+    val matchedDf = candsB
+      .withColumn("hit", explode(
+        IntelLookupMulti.column(col("value"), col("indicator_type"), dbs)))
+      .select((col("bucket") +: (CandidateCols.map(col) :+
+        col("hit.db_idx").as("db_idx") :+
+        col("hit.entry_idx").as("entry_idx") :+
+        col("hit.prefix_len").as("prefix_len") :+
+        col("hit.match_type").as("match_type"))): _*)
+      .join(broadcast(intelMetaDf(spark, dbs)), Seq("db_idx", "entry_idx"),
+        "inner")
+      .drop("db_idx")
+      .withColumn("cidr",
+        when(col("match_type") === "ip",
+          concat(col("value"), lit("/"), col("prefix_len"))))
 
     val writeMode =
       if (cfg.resume && doneBuckets.nonEmpty) SaveMode.Append

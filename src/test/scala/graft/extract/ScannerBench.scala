@@ -1,0 +1,107 @@
+package graft.extract
+
+/** Micro-benchmark main (not a test): single-thread scanner throughput on
+  * fixture texts, to separate scanner cost from Spark overhead.
+  * Run: sbt "Test/runMain graft.extract.ScannerBench"
+  */
+object ScannerBench {
+  def main(args: Array[String]): Unit = {
+    val n = 200000
+    val texts = (0 until n).map(i => graft.pipeline.Fixtures.text(i.toLong))
+    val bytes = texts.map(_.getBytes("UTF-8"))
+    val totalBytes = bytes.map(_.length.toLong).sum
+    val sc = IocScanner.default
+    // warmup
+    var found = 0L
+    bytes.foreach(b => found += sc.scan(b).length)
+    (1 to 2).foreach { _ =>
+      found = 0
+      val t0 = System.nanoTime()
+      bytes.foreach(b => found += sc.scan(b).length)
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"scan: $n rows, $totalBytes bytes, $dt%.3f s, " +
+        f"${totalBytes / dt / 1e6}%.1f MB/s, ${n / dt}%.0f rows/s, $found iocs")
+    }
+    // text generation cost
+    val t1 = System.nanoTime()
+    var len = 0L
+    (0 until n).foreach(i => len += graft.pipeline.Fixtures.text(i.toLong).length)
+    val dtGen = (System.nanoTime() - t1) / 1e9
+    println(f"gen:  $dtGen%.3f s (${n / dtGen}%.0f rows/s)")
+    // turn generation cost (includes conv-id formatting)
+    val t2 = System.nanoTime()
+    var k = 0L
+    (0 until n).foreach(i => k += graft.pipeline.Fixtures.turn(i.toLong, n.toLong).turn_idx)
+    val dtTurn = (System.nanoTime() - t2) / 1e9
+    println(f"turn: $dtTurn%.3f s (${n / dtTurn}%.0f rows/s)")
+  }
+}
+
+/** scan + lookup microbench: the full per-row work without Spark. */
+object LookupBench {
+  def main(args: Array[String]): Unit = {
+    val n = 100000
+    val texts = (0 until n).map(i => graft.pipeline.Fixtures.text(i.toLong))
+    val bytes = texts.map(_.getBytes("UTF-8"))
+    val sc = IocScanner.default
+    val dbs = Seq(
+      graft.intel.IntelDb.build("threats", graft.pipeline.Fixtures.intelThreats),
+      graft.intel.IntelDb.build("allowlist", graft.pipeline.Fixtures.intelAllowlist))
+    def run(): Long = {
+      var hits = 0L
+      bytes.foreach { b =>
+        val iocs = sc.scan(b)
+        var i = 0
+        while (i < iocs.length) {
+          val m = iocs(i)
+          dbs.foreach { db =>
+            if (m.indicator_type == "ipv4" || m.indicator_type == "ipv6") {
+              if (db.lookupIp(m.value, m.indicator_type == "ipv6") != null) hits += 1
+            } else hits += db.lookupString(m.value).length
+          }
+          i += 1
+        }
+      }
+      hits
+    }
+    run()
+    (1 to 2).foreach { _ =>
+      val t0 = System.nanoTime()
+      val h = run()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"scan+lookup: $n rows, $dt%.3f s, ${n / dt}%.0f rows/s, $h hits")
+    }
+  }
+}
+
+/** Spark-side scan bench with plan dump, to localize overhead. */
+object SparkScanBench {
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val n = 500000L
+    val turns = spark.range(n).map(i => graft.pipeline.Fixtures.turn(i, n)).toDF()
+    turns.write.mode("overwrite").parquet("/tmp/bench-turns-small")
+    val input = spark.read.parquet("/tmp/bench-turns-small")
+    val dbs = Seq(
+      graft.intel.IntelDb.build("threats", graft.pipeline.Fixtures.intelThreats),
+      graft.intel.IntelDb.build("allowlist", graft.pipeline.Fixtures.intelAllowlist))
+    val m = graft.pipeline.ScanJob.matched(input, dbs, spark)
+    println(m.queryExecution.executedPlan.toString().take(4000))
+    (1 to 8).foreach { r =>
+      val t0 = System.nanoTime()
+      val c = m.count()
+      val dt = (System.nanoTime()-t0)/1e9
+      val gc = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+      var gcms = 0L
+      gc.forEach(b => gcms += b.getCollectionTime)
+      println(f"rep$r: $dt%.2f s, $c matches, ${n/dt}%.0f rows/s, cumGC=${gcms}ms")
+    }
+    spark.stop()
+  }
+}
