@@ -55,11 +55,25 @@ object Bench {
     val dbs = Seq(
       IntelDb.build("threats", Fixtures.intelThreats),
       IntelDb.build("allowlist", Fixtures.intelAllowlist))
-    def run(): Long = {
-      val turns = spark.read.parquet(turnsDir)
-      ScanJob.matched(turns, dbs, spark).count()
+    // ONE plan object reused across runs: rebuilding the DataFrame per run
+    // generates fresh codegen classes each time, forcing the JIT to
+    // recompile every run (observed as order-of-magnitude flakiness)
+    val m = ScanJob.matched(spark.read.parquet(turnsDir), dbs, spark)
+    def run(): Long = m.count()
+    // warm until the run time stabilizes near the best observed (C2 JIT of
+    // the generated stages dominates the first few runs)
+    var bestWarm = Double.MaxValue
+    var stable = 0
+    var w = 0
+    while ((stable < 2 || w < 4) && w < 10) {
+      val t0 = System.nanoTime()
+      run()
+      val dt = (System.nanoTime() - t0) / 1e9
+      // stable = two consecutive runs with no significant improvement
+      if (dt > bestWarm * 0.90) stable += 1 else stable = 0
+      if (dt < bestWarm) bestWarm = dt
+      w += 1
     }
-    run(); run() // warmup (codegen + C2 JIT of the generated stages)
     var best = Double.MaxValue
     var r = 0
     while (r < reps) {

@@ -42,9 +42,11 @@ final class IocScanner(val config: ScanConfig) extends Serializable {
 
   def scan(bytes: Array[Byte]): ArrayBuffer[Ioc] = {
     val out = new ArrayBuffer[Ioc](4)
-    // shared token boundaries (used by hashes/bitcoin/monero)
+    // shared token boundaries (used by hashes/bitcoin/monero); thread-local
+    // scratch — the scan path is the allocation hot spot at 32 cores
     val needTokens = config.hashes || config.bitcoin || config.monero
-    val tokens: IntVec = if (needTokens) tokenSpans(bytes) else null
+    val tokens: IntVec =
+      if (needTokens) tokenSpansInto(bytes, scratchTokens.get()) else null
     if (config.domains) scanDomains(bytes, out)
     if (config.ipv4) scanIpv4(bytes, out)
     if (config.emails) scanEmails(bytes, out)
@@ -107,8 +109,9 @@ final class IocScanner(val config: ScanConfig) extends Serializable {
   // --------------------------------------------------------------- ipv4
   private def scanIpv4(b: Array[Byte], out: ArrayBuffer[Ioc]): Unit = {
     val n = b.length
-    // dot positions (shared-precompute in the reference; cheap here)
-    val dots = new IntVec(8)
+    // dot positions (shared-precompute in the reference); scratch reused
+    val dots = scratchDots.get()
+    dots.clear()
     var i = 0
     while (i < n) { if (b(i) == '.') dots.add(i); i += 1 }
     var lastEnd = 0
@@ -396,6 +399,13 @@ object IocScanner {
     t
   }
 
+  private val scratchTokens = new ThreadLocal[IntVec] {
+    override def initialValue(): IntVec = new IntVec(64)
+  }
+  private val scratchDots = new ThreadLocal[IntVec] {
+    override def initialValue(): IntVec = new IntVec(16)
+  }
+
   @inline def isBoundary(b: Byte): Boolean = boundaryTable(b & 0xff)
   @inline def isDomainChar(b: Byte): Boolean = domainCharTable(b & 0xff)
   @inline def isDigit(b: Byte): Boolean = b >= '0' && b <= '9'
@@ -425,6 +435,7 @@ object IocScanner {
   final class IntVec(initial: Int) {
     private var arr = new Array[Int](initial)
     var length: Int = 0
+    def clear(): Unit = length = 0
     def add(v: Int): Unit = {
       if (length == arr.length) {
         val next = new Array[Int](arr.length * 2)
@@ -441,8 +452,11 @@ object IocScanner {
     * non-boundary runs (reference find_word_boundaries_into,
     * lib.rs:1742-1782).
     */
-  def tokenSpans(b: Array[Byte]): IntVec = {
-    val out = new IntVec(16)
+  def tokenSpans(b: Array[Byte]): IntVec =
+    tokenSpansInto(b, new IntVec(16))
+
+  def tokenSpansInto(b: Array[Byte], out: IntVec): IntVec = {
+    out.clear()
     val n = b.length
     if (n == 0) return out
     var inToken = !isBoundary(b(0))

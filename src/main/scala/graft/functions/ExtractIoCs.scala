@@ -52,20 +52,34 @@ object ExtractIoCs {
   ))
   val schema: DataType = ArrayType(elementSchema, containsNull = false)
 
+  private val EMPTY: ArrayData = new GenericArrayData(Array.empty[Any])
+  // interned indicator-type UTF8Strings (12 constants; avoids a per-
+  // candidate conversion + allocation)
+  private val typeInterned: java.util.HashMap[String, UTF8String] = {
+    val m = new java.util.HashMap[String, UTF8String]()
+    graft.model.IndicatorType.all.foreach(t =>
+      m.put(t, UTF8String.fromString(t)))
+    m
+  }
+
   /** Static entry point shared by interpreted eval and generated code. */
   def scanToArrayData(scanner: IocScanner, text: UTF8String): ArrayData = {
     val iocs = scanner.scan(text.getBytes)
     val n = iocs.length
+    if (n == 0) return EMPTY
     val rows = new Array[Any](n)
     var i = 0
     while (i < n) {
       val m = iocs(i)
-      rows(i) = InternalRow(
-        UTF8String.fromString(m.indicator_type),
-        UTF8String.fromString(m.value),
-        UTF8String.fromString(m.matched_text),
-        m.span_start,
-        m.span_end)
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(5)
+      row.update(0, typeInterned.get(m.indicator_type))
+      row.update(1, UTF8String.fromString(m.value))
+      row.update(2,
+        if (m.matched_text eq m.value) row.getUTF8String(1)
+        else UTF8String.fromString(m.matched_text))
+      row.update(3, m.span_start)
+      row.update(4, m.span_end)
+      rows(i) = row
       i += 1
     }
     new GenericArrayData(rows)

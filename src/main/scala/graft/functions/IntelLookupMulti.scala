@@ -56,13 +56,14 @@ object IntelLookupMulti {
   private val IP = UTF8String.fromString("ip")
   private val PATTERN = UTF8String.fromString("pattern")
   private val EMPTY = new GenericArrayData(Array.empty[Any])
+  private val IPV4 = UTF8String.fromString(T.Ipv4)
+  private val IPV6 = UTF8String.fromString(T.Ipv6)
 
   def lookup(dbs: Array[IntelDb], value: UTF8String,
       itype: UTF8String): ArrayData = {
-    val t = itype.toString
+    val isV6 = itype.equals(IPV6)
+    val isIp = isV6 || itype.equals(IPV4)
     val v = value.toString
-    val isIp = t == T.Ipv4 || t == T.Ipv6
-    val isV6 = t == T.Ipv6
     var out: scala.collection.mutable.ArrayBuffer[Any] = null
     var d = 0
     while (d < dbs.length) {

@@ -105,3 +105,41 @@ object SparkScanBench {
     spark.stop()
   }
 }
+
+/** Degradation probe: run the scan N times in one session, print per-run
+  * time + GC + code-cache occupancy to localize progressive slowdown. */
+object DegradeProbe {
+  def main(args: Array[String]): Unit = {
+    val cores = args.headOption.getOrElse("32")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val n = 2000000L
+    val dir = "/tmp/probe-turns"
+    if (!new java.io.File(dir + "/_SUCCESS").exists()) {
+      spark.range(n).map(i => graft.pipeline.Fixtures.turn(i, n)).toDF()
+        .write.mode("overwrite").parquet(dir)
+    }
+    val dbs = Seq(
+      graft.intel.IntelDb.build("threats", graft.pipeline.Fixtures.intelThreats),
+      graft.intel.IntelDb.build("allowlist", graft.pipeline.Fixtures.intelAllowlist))
+    val mgmt = java.lang.management.ManagementFactory.getMemoryPoolMXBeans()
+    (1 to 16).foreach { r =>
+      val t0 = System.nanoTime()
+      val input = spark.read.parquet(dir)
+      val c = graft.pipeline.ScanJob.matched(input, dbs, spark).count()
+      val dt = (System.nanoTime()-t0)/1e9
+      var code = 0L
+      mgmt.forEach(p => if (p.getName.startsWith("CodeHeap")) code += p.getUsage.getUsed)
+      var gcms = 0L
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+        .forEach(b => gcms += b.getCollectionTime)
+      println(f"run$r%02d: $dt%6.2f s  ${n/dt}%9.0f rows/s  code=${code/1024/1024}MB gc=${gcms}ms  ($c)")
+    }
+    spark.stop()
+  }
+}
