@@ -55,17 +55,20 @@ object Bench {
     val dbs = Seq(
       IntelDb.build("threats", Fixtures.intelThreats),
       IntelDb.build("allowlist", Fixtures.intelAllowlist))
-    // ONE plan object reused across runs: rebuilding the DataFrame per run
-    // generates fresh codegen classes each time, forcing the JIT to
-    // recompile every run (observed as order-of-magnitude flakiness)
+    // ONE Dataset instance for the count: df.count() would build a fresh
+    // plan per call (fresh expr ids => codegen cache miss => JIT recompile
+    // every run — observed as order-of-magnitude flakiness). collect() on
+    // the same instance reuses one QueryExecution and one set of generated
+    // classes, so the JIT stays hot across runs.
     val m = ScanJob.matched(spark.read.parquet(turnsDir), dbs, spark)
-    def run(): Long = m.count()
+    val cnt = m.groupBy().count()
+    def run(): Long = cnt.collect()(0).getLong(0)
     // warm until the run time stabilizes near the best observed (C2 JIT of
     // the generated stages dominates the first few runs)
     var bestWarm = Double.MaxValue
     var stable = 0
     var w = 0
-    while ((stable < 2 || w < 4) && w < 10) {
+    while ((stable < 2 || w < 3) && w < 6) {
       val t0 = System.nanoTime()
       run()
       val dt = (System.nanoTime() - t0) / 1e9
@@ -90,19 +93,27 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "2000000").toLong
+    val nTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "8000000").toLong
 
     val turnsDir = materializeTurns(nTurns, cpus)
+
+    // --- part 0: JIT pre-warm at full parallelism (fast wall-clock) so the
+    // low-cores phase does not absorb all compilation cost (the JVM is
+    // shared across sessions; measuring an unwarmed first phase skews the
+    // ratio in either direction)
+    val sparkWarm = newSession(cpus)
+    scanElapsed(sparkWarm, turnsDir, reps = 1)
+    sparkWarm.stop()
 
     // --- part 1: scan throughput at N/4 cores (fresh session)
     val lowCores = math.max(1, cpus / 4)
     val sparkLow = newSession(lowCores)
-    val tLow = scanElapsed(sparkLow, turnsDir, reps = 3)
+    val tLow = scanElapsed(sparkLow, turnsDir, reps = 2)
     sparkLow.stop()
 
     // --- part 2: scan throughput at N cores (fresh session)
     val sparkHigh = newSession(cpus)
-    val tN = scanElapsed(sparkHigh, turnsDir, reps = 3)
+    val tN = scanElapsed(sparkHigh, turnsDir, reps = 2)
     sparkHigh.stop()
 
     // --- part 3: driver-contract queries at full parallelism
