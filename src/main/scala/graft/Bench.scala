@@ -25,6 +25,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // several task waves per core at BOTH parallelism levels (at real
+      // cluster scale the default 128m is right — there the table has
+      // thousands of splits regardless)
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -39,7 +43,10 @@ object Bench {
     if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
       val spark = newSession(cores)
       import spark.implicits._
-      spark.range(nTurns).map(i => Fixtures.turn(i, nTurns)).toDF()
+      // 8 files per core: a single wave of core-count tasks would leave
+      // cores idle behind stragglers at the high parallelism level
+      spark.range(0L, nTurns, 1L, cores * 8)
+        .map(i => Fixtures.turn(i, nTurns)).toDF()
         .write.mode("overwrite").parquet(dir)
       spark.stop()
     }
@@ -55,28 +62,35 @@ object Bench {
     val dbs = Seq(
       IntelDb.build("threats", Fixtures.intelThreats),
       IntelDb.build("allowlist", Fixtures.intelAllowlist))
-    // ONE Dataset instance for the count: df.count() would build a fresh
-    // plan per call (fresh expr ids => codegen cache miss => JIT recompile
-    // every run — observed as order-of-magnitude flakiness). collect() on
-    // the same instance reuses one QueryExecution and one set of generated
-    // classes, so the JIT stays hot across runs.
+    // ONE plan instance, driven via its raw RDD: df.count() would build a
+    // fresh plan per call (fresh expr ids => codegen cache miss => JIT
+    // recompile every run — order-of-magnitude flakiness), while re-
+    // collecting one aggregated Dataset would REUSE its materialized final
+    // stage under AQE (measuring nothing). mapPartitions over the same
+    // toRdd recomputes the full scan every run with one set of generated
+    // classes, so the JIT stays hot and every run does the real work.
     val m = ScanJob.matched(spark.read.parquet(turnsDir), dbs, spark)
-    val cnt = m.groupBy().count()
-    def run(): Long = cnt.collect()(0).getLong(0)
-    // warm until the run time stabilizes near the best observed (C2 JIT of
-    // the generated stages dominates the first few runs)
-    var bestWarm = Double.MaxValue
-    var stable = 0
+    val rdd = m.queryExecution.toRdd
+    def run(): Long =
+      rdd.mapPartitions { it =>
+        var c = 0L
+        while (it.hasNext) { it.next(); c += 1 }
+        Iterator.single(c)
+      }.collect().sum
+    // JIT warm on SINGLE partitions of the same RDD: each session's plan
+    // has its own generated classes, so warming must execute exactly these
+    // classes — single-partition jobs compile the hot row loops (OSR) in a
+    // few seconds instead of gambling full-input runs on compile timing
+    val nParts = rdd.getNumPartitions
+    val counter = (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+      var c = 0L; while (it.hasNext) { it.next(); c += 1 }; c
+    }
     var w = 0
-    while ((stable < 2 || w < 3) && w < 6) {
-      val t0 = System.nanoTime()
-      run()
-      val dt = (System.nanoTime() - t0) / 1e9
-      // stable = two consecutive runs with no significant improvement
-      if (dt > bestWarm * 0.90) stable += 1 else stable = 0
-      if (dt < bestWarm) bestWarm = dt
+    while (w < math.min(12, nParts)) {
+      spark.sparkContext.runJob(rdd, counter, Seq(w % nParts))
       w += 1
     }
+    run() // one full-input warm pass (all executor threads hot)
     var best = Double.MaxValue
     var r = 0
     while (r < reps) {
@@ -93,25 +107,23 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "8000000").toLong
+    val nTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "4000000").toLong
 
     val turnsDir = materializeTurns(nTurns, cpus)
 
     // --- part 0: JIT pre-warm at full parallelism (fast wall-clock) so the
-    // low-cores phase does not absorb all compilation cost (the JVM is
+    // lower-core phases do not absorb all compilation cost (the JVM is
     // shared across sessions; measuring an unwarmed first phase skews the
     // ratio in either direction)
     val sparkWarm = newSession(cpus)
     scanElapsed(sparkWarm, turnsDir, reps = 1)
     sparkWarm.stop()
 
-    // --- part 1: scan throughput at N/4 cores (fresh session)
+    // --- scan throughput at N/4 and N cores (fresh session each)
     val lowCores = math.max(1, cpus / 4)
     val sparkLow = newSession(lowCores)
     val tLow = scanElapsed(sparkLow, turnsDir, reps = 2)
     sparkLow.stop()
-
-    // --- part 2: scan throughput at N cores (fresh session)
     val sparkHigh = newSession(cpus)
     val tN = scanElapsed(sparkHigh, turnsDir, reps = 2)
     sparkHigh.stop()

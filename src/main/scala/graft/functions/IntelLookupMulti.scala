@@ -33,8 +33,11 @@ case class IntelLookupMulti(left: Expression, right: Expression,
       itype.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("inteldbs", dbArr,
-      classOf[Array[IntelDb]].getName)
+    // NOTE: classOf[Array[IntelDb]].getName is the JVM binary name
+    // ("[Lgraft.intel.IntelDb;") which is NOT valid Java source — it would
+    // break whole-stage codegen for the entire stage and silently fall back
+    // to interpreted execution (~70x slower scans)
+    val ref = ctx.addReferenceObj("inteldbs", dbArr, "graft.intel.IntelDb[]")
     nullSafeCodeGen(ctx, ev, (v, t) =>
       s"${ev.value} = graft.functions.IntelLookupMulti.lookup($ref, $v, $t);")
   }

@@ -33,18 +33,46 @@ object TextStats {
     }
   }
 
-  /** Detected language: argmax of marker scores; "und" (undetermined) when
-    * every score is zero. Ties break to the lexicographically first
-    * language because the fold keeps the incumbent on equality.
+  /** Argmax over already-projected per-language score COLUMNS; ties break
+    * to the first language in `markers` order.
+    */
+  def langIdFromScores(scoreCols: Seq[(String, Column)]): Column = {
+    val allZero = scoreCols.map(_._2 === 0).reduce(_ && _)
+    // lang l wins iff its score >= every later language's score (earliest
+    // max wins, same semantics as an incumbent-keeps-ties fold)
+    val cases = scoreCols.zipWithIndex.map { case ((lang, s), i) =>
+      val laterGeq = scoreCols.drop(i + 1).map(o => s >= o._2)
+      (lang, if (laterGeq.isEmpty) lit(true) else laterGeq.reduce(_ && _))
+    }
+    val picked = cases.init.foldRight(lit(cases.last._1)) {
+      case ((lang, cond), rest) => when(cond, lit(lang)).otherwise(rest)
+    }
+    when(allZero, lit("und")).otherwise(picked)
+  }
+
+  /** Two-step language ID: PROJECT the marker scores first, then argmax
+    * over the score columns. Inlining the scores into one Column (a fold)
+    * duplicates each score subtree exponentially — it blew the 64KB codegen
+    * method limit and disabled whole-stage codegen for the stage.
+    */
+  def withLangId(df: DataFrame, textCol: String = "text",
+      out: String = "lang_detected"): DataFrame = {
+    val scored = langScores(col(textCol)).foldLeft(df) {
+      case (acc, (lang, score)) => acc.withColumn(s"_score_$lang", score)
+    }
+    val scoreCols = markers.map { case (lang, _) =>
+      lang -> col(s"_score_$lang")
+    }
+    scored.withColumn(out, langIdFromScores(scoreCols))
+      .drop(markers.map(m => s"_score_${m._1}"): _*)
+  }
+
+  /** Single-Column language ID (small texts / tests). Prefer withLangId in
+    * pipelines — see its note on expression duplication.
     */
   def langId(text: Column): Column = {
     val scores = langScores(text)
-    val best = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
-      case ((bestLang, bestScore), (lang, score)) =>
-        (when(score > bestScore, lit(lang)).otherwise(bestLang),
-          when(score > bestScore, score).otherwise(bestScore))
-    }
-    when(best._2 === 0, lit("und")).otherwise(best._1)
+    langIdFromScores(scores.map { case (l, s) => l -> s })
   }
 
   /** Whitespace token count. */

@@ -300,8 +300,7 @@ object QueryDefs {
 
   // --------------------------------------------------- text family
   def qTextLang(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .withColumn("lang_detected", TextStats.langId(col("text")))
+    TextStats.withLangId(t(s, dir, "documents"))
       .groupBy("lang_detected").agg(count(lit(1)).as("n"))
       .orderBy("lang_detected")
 

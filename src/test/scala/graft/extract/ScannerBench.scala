@@ -143,3 +143,49 @@ object DegradeProbe {
     spark.stop()
   }
 }
+
+/** Raw-thread scaling probe: scanner+lookup in N threads, no Spark. */
+object ThreadScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val texts = (0 until 200000).map(i => graft.pipeline.Fixtures.text(i.toLong))
+    val bytes = texts.map(_.getBytes("UTF-8")).toArray
+    val sc = IocScanner.default
+    val dbs = Array(
+      graft.intel.IntelDb.build("threats", graft.pipeline.Fixtures.intelThreats),
+      graft.intel.IntelDb.build("allowlist", graft.pipeline.Fixtures.intelAllowlist))
+    def work(reps: Int): Long = {
+      var hits = 0L
+      var r = 0
+      while (r < reps) {
+        var j = 0
+        while (j < bytes.length) {
+          val iocs = sc.scan(bytes(j))
+          var i = 0
+          while (i < iocs.length) {
+            val m = iocs(i)
+            var d = 0
+            while (d < dbs.length) {
+              if (m.indicator_type == "ipv4" || m.indicator_type == "ipv6") {
+                if (dbs(d).lookupIp(m.value, m.indicator_type == "ipv6") != null) hits += 1
+              } else hits += dbs(d).lookupString(m.value).length
+              d += 1
+            }
+            i += 1
+          }
+          j += 1
+        }
+        r += 1
+      }
+      hits
+    }
+    work(2) // warmup
+    Seq(1, 8, 32).foreach { n =>
+      val t0 = System.nanoTime()
+      val threads = (0 until n).map(_ => new Thread(() => { work(2); () }))
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val dt = (System.nanoTime() - t0) / 1e9
+      val rows = 200000L * 2 * n
+      println(f"threads=$n%2d: $dt%6.2f s  total=${rows/dt}%9.0f rows/s  per-thread=${rows/dt/n}%8.0f rows/s")
+    }
+  }
+}
