@@ -1,0 +1,71 @@
+package graft
+
+import graft.intel.{IntelDb, IntelStore}
+import graft.pipeline.ScanJob
+import graft.sources.IntelIngest
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit entry point for the production scan job:
+  *
+  * {{{
+  * spark-submit --class graft.ScanMain matchyspark.jar \
+  *   --turns <table-path> --intel <feed.csv|feed.json|feed.txt|store-dir> \
+  *   [--intel2 <...>] --out <dir> [--buckets 256] [--resume] [--run-id r1]
+  * }}}
+  *
+  * In local mode this is exercised by the verify probes; on a cluster the
+  * same binary runs at N and 4N executors (the master/executor topology
+  * comes from spark-submit, nothing here changes).
+  */
+object ScanMain {
+
+  private def loadIntel(spark: SparkSession, id: String, path: String): IntelDb = {
+    val entries =
+      if (path.endsWith(".csv"))
+        IntelIngest.toEntries(IntelIngest.readCsv(spark, path))
+      else if (path.endsWith(".json"))
+        IntelIngest.toEntries(IntelIngest.readJson(spark, path))
+      else if (path.endsWith(".txt"))
+        IntelIngest.toEntries(IntelIngest.readText(spark, path))
+      else return IntelStore.load(spark, path) // compiled-db store dir
+    IntelDb.build(id, entries)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opts = scala.collection.mutable.Map[String, String]()
+    var resume = false
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--resume" => resume = true; i += 1
+        case k if k.startsWith("--") && i + 1 < args.length =>
+          opts(k.drop(2)) = args(i + 1); i += 2
+        case other => sys.error(s"unexpected argument: $other")
+      }
+    }
+    val turnsPath = opts.getOrElse("turns",
+      sys.error("--turns <path> is required"))
+    val intelPath = opts.getOrElse("intel",
+      sys.error("--intel <feed-or-store> is required"))
+
+    val spark = SparkSession.builder()
+      .appName("graft-scan")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dbs = Seq(loadIntel(spark, "threats", intelPath)) ++
+      opts.get("intel2").map(p => loadIntel(spark, "allowlist", p))
+    val stats = ScanJob.run(spark,
+      spark.read.parquet(turnsPath), dbs,
+      opts.getOrElse("out", sys.error("--out <dir> is required")),
+      ScanJob.RunConfig(
+        buckets = opts.getOrElse("buckets", "256").toInt,
+        resume = resume,
+        runId = opts.getOrElse("run-id", "run-0")))
+    stats.toSeq.sorted.foreach { case (k, v) => println(s"$k=$v") }
+    spark.stop()
+  }
+}

@@ -2,8 +2,9 @@ package graft.streaming
 
 import graft.intel.IntelDb
 import graft.pipeline.ScanJob
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 /** Streaming variant of the scan job — the follow/tail -f analog (S4,
@@ -43,6 +44,96 @@ object StreamingScan {
           .write.mode(SaveMode.Append)
           .partitionBy("indicator_type")
           .parquet(s"$outDir/matched_stream")
+        ()
+      }
+      .start()
+  }
+
+  /** Watermarked windowed aggregate over the match stream: per-minute match
+    * counts by indicator type, tolerating 2 minutes of event-time lateness
+    * (the streaming analog of the A10 gold counts). Classic
+    * readStream -> withWatermark -> window -> agg shape.
+    */
+  def windowedMatchCounts(spark: SparkSession, inDir: String, outDir: String,
+      dbs: Seq[IntelDb],
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val stream = spark.readStream.schema(turnSchema).json(inDir)
+    val cands = stream
+      .select(col("ts"), col("conv_id"), col("turn_idx"), col("role"),
+        explode(graft.functions.GraftFunctions.extract_iocs(col("text")))
+          .as("ioc"))
+      .select(col("ts"), col("conv_id"), col("turn_idx"), col("role"),
+        col("ioc.*"))
+    val matched = cands.withColumn("hit", explode(
+      graft.functions.IntelLookupMulti.column(
+        col("value"), col("indicator_type"), dbs)))
+    matched
+      .withWatermark("ts", "2 minutes")
+      .groupBy(window(col("ts"), "1 minute"), col("indicator_type"))
+      .agg(count(lit(1)).as("matches"))
+      .select(col("window.start").as("window_start"),
+        col("indicator_type"), col("matches"))
+      .writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint_windowed")
+      .trigger(trigger)
+      .outputMode(OutputMode.Append())
+      .format("parquet")
+      .option("path", s"$outDir/windowed_counts")
+      .start()
+  }
+
+  /** Per-conversation running state via mapGroupsWithState: first/last
+    * event time, turns seen, turns with at least one candidate — the
+    * custom-state shape (KeyValueGroupedDataset) the north star calls for.
+    * State expires after 30 minutes of conversation inactivity
+    * (processing-time timeout), bounding state size on an unbounded
+    * conversation keyspace.
+    */
+  final case class ConvState(conv_id: String, turns: Long,
+      turnsWithCandidates: Long, firstTs: Long, lastTs: Long)
+
+  def conversationState(spark: SparkSession, inDir: String, outDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import spark.implicits._
+    val stream = spark.readStream.schema(turnSchema).json(inDir)
+    val perTurn = stream.select(col("conv_id"), col("ts").cast("long").as("ts_s"),
+      (size(graft.functions.GraftFunctions.extract_iocs(col("text"))) > 0)
+        .as("has_candidates"))
+      .as[(String, Long, Boolean)]
+    val updated = perTurn
+      .groupByKey(_._1)
+      .mapGroupsWithState[ConvState, ConvState](
+        GroupStateTimeout.ProcessingTimeTimeout()) {
+        case (convId, rows, state: GroupState[ConvState]) =>
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption
+              .getOrElse(ConvState(convId, 0L, 0L, Long.MaxValue, 0L))
+            var turns = prev.turns
+            var withCands = prev.turnsWithCandidates
+            var first = prev.firstTs
+            var last = prev.lastTs
+            rows.foreach { case (_, ts, has) =>
+              turns += 1
+              if (has) withCands += 1
+              if (ts < first) first = ts
+              if (ts > last) last = ts
+            }
+            val next = ConvState(convId, turns, withCands, first, last)
+            state.update(next)
+            state.setTimeoutDuration("30 minutes")
+            next
+          }
+      }
+    updated.writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint_state")
+      .trigger(trigger)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[ConvState], _: Long) =>
+        batch.write.mode(SaveMode.Append).parquet(s"$outDir/conv_state")
         ()
       }
       .start()

@@ -41,4 +41,51 @@ class StreamingScanSpec extends AnyFunSuite {
     assert(m2.count() == 2)
     assert(m2.where("indicator_type = 'domain'").count() == 1)
   }
+
+  test("watermarked windowed match counts (streaming A10 analog)") {
+    val inDir = Files.createTempDirectory("stream-w-in").toString
+    val outDir = Files.createTempDirectory("stream-w-out").toString
+    val dbs = Seq(IntelDb.build("threats", Seq(
+      IntelEntry("192.0.2.0/24", "high", "c2", "f", 90))))
+    // two matches in minute 0, one in minute 1
+    Files.writeString(java.nio.file.Paths.get(inDir, "b1.json"),
+      turnJson("c1", 0, "x 192.0.2.4 y") + "\n" +
+        turnJson("c1", 1, "x 192.0.2.5 y") + "\n" +
+        s"""{"conv_id":"c2","turn_idx":0,"role":"user","text":"x 192.0.2.6 y","tool":"","ts":"2024-01-01T00:01:30.000Z"}""" + "\n" +
+        // a far-future row advances the watermark past both windows
+        s"""{"conv_id":"c9","turn_idx":0,"role":"user","text":"x 192.0.2.7 y","tool":"","ts":"2024-01-01T01:00:00.000Z"}""" + "\n")
+    val q = StreamingScan.windowedMatchCounts(spark, inDir, outDir, dbs)
+    q.awaitTermination()
+    val counts = spark.read.parquet(s"$outDir/windowed_counts")
+      .orderBy("window_start")
+      .select("indicator_type", "matches")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(counts == Seq(("ipv4", 2L), ("ipv4", 1L)))
+  }
+
+  test("per-conversation state via mapGroupsWithState") {
+    val inDir = Files.createTempDirectory("stream-s-in").toString
+    val outDir = Files.createTempDirectory("stream-s-out").toString
+    Files.writeString(java.nio.file.Paths.get(inDir, "b1.json"),
+      turnJson("c1", 0, "hit 192.0.2.55 here") + "\n" +
+        turnJson("c1", 1, "all clean here") + "\n" +
+        turnJson("c2", 0, "nothing to see") + "\n")
+    val q = StreamingScan.conversationState(spark, inDir, outDir)
+    q.awaitTermination()
+    val st = spark.read.parquet(s"$outDir/conv_state")
+      .collect().map(r => r.getAs[String]("conv_id") ->
+        (r.getAs[Long]("turns"), r.getAs[Long]("turnsWithCandidates"))).toMap
+    assert(st("c1") == ((2L, 1L)))
+    assert(st("c2") == ((1L, 0L)))
+    // incremental batch updates existing state
+    Files.writeString(java.nio.file.Paths.get(inDir, "b2.json"),
+      turnJson("c1", 2, "another 192.0.2.56 seen") + "\n")
+    val q2 = StreamingScan.conversationState(spark, inDir, outDir)
+    q2.awaitTermination()
+    val st2 = spark.read.parquet(s"$outDir/conv_state")
+      .orderBy(org.apache.spark.sql.functions.col("turns").desc)
+      .collect().map(r => r.getAs[String]("conv_id") ->
+        (r.getAs[Long]("turns"), r.getAs[Long]("turnsWithCandidates"))).toSeq
+    assert(st2.head == ("c1" -> ((3L, 2L)))) // state carried across restart
+  }
 }
