@@ -4,16 +4,31 @@ import graft.intel.IntelDb
 import graft.pipeline.{Fixtures, ScanJob}
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main. Prints ONE JSON line:
+import scala.collection.mutable.ArrayBuffer
+
+/** Benchmark main. Prints ONE JSON line (and writes it to BENCH_LOCAL.json):
   * {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
-  *  "scan":{...N vs 4N scaling evidence...}}
+  *  "scan":{...N vs 4N scaling evidence...},"errors":{...}}
   *
   * Two parts:
   *  1. the driver-contract queries on SPARK_GRAFT_SF_DIR;
-  *  2. the flagship IoC scan throughput on a generated transcript table
-  *     (spark.range -> deterministic turns; no disk I/O in the loop), run
-  *     at local[N/4] and local[N] on the SAME input — the cluster-size
-  *     scaling criterion evidenced via parallelism levels (BASELINE.md).
+  *  2. the flagship IoC scan throughput on a generated transcript table,
+  *     measured at local[N/4] and local[N] on the SAME input — the
+  *     cluster-size scaling criterion evidenced via parallelism levels
+  *     (BASELINE.md / north rule).
+  *
+  * Scaling methodology (round-2 redesign after the round-1 measurement did
+  * not reproduce):
+  *  - window-based timing: each sample times as many FULL passes over the
+  *    input as fit in >= minWindowSec seconds and reports throughput over
+  *    the whole window, so the high-parallelism level always measures many
+  *    seconds of real work (a sub-second phase measures scheduler noise);
+  *  - interleaved A/B/A/B rounds: low- and high-parallelism sessions
+  *    alternate, so a transient machine-load blip hits both levels, not one;
+  *  - median of SPARK_GRAFT_BENCH_ROUNDS (default 5) samples per level, raw
+  *    samples emitted in the JSON so variance is visible;
+  *  - the JSON line is printed bare (build.sbt routes forked stdout through
+  *    unprefixed) AND written to BENCH_LOCAL.json.
   */
 object Bench {
 
@@ -28,7 +43,7 @@ object Bench {
       // several task waves per core at BOTH parallelism levels (at real
       // cluster scale the default 128m is right — there the table has
       // thousands of splits regardless)
-      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.files.maxPartitionBytes", "32m")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -53,103 +68,143 @@ object Bench {
     dir
   }
 
-  /** The scan workload: parquet transcript scan -> extract -> enrich
-    * (2 dbs) -> count matches. Returns elapsed seconds (best of `reps`
-    * after a warmup run).
+  /** Build the scan workload against a session: parquet transcript scan ->
+    * extract -> enrich (2 dbs) -> count matches, driven via one plan
+    * instance's toRdd (see BENCH.md "measurement pitfalls": df.count()
+    * rebuilds the plan per call; re-collecting a cached Dataset reuses the
+    * materialized stage under AQE and measures nothing).
     */
-  private def scanElapsed(spark: SparkSession, turnsDir: String,
-      reps: Int): Double = {
+  private def scanRunner(spark: SparkSession, turnsDir: String)
+      : (org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow], () => Long) = {
     val dbs = Seq(
       IntelDb.build("threats", Fixtures.intelThreats),
       IntelDb.build("allowlist", Fixtures.intelAllowlist))
-    // ONE plan instance, driven via its raw RDD: df.count() would build a
-    // fresh plan per call (fresh expr ids => codegen cache miss => JIT
-    // recompile every run — order-of-magnitude flakiness), while re-
-    // collecting one aggregated Dataset would REUSE its materialized final
-    // stage under AQE (measuring nothing). mapPartitions over the same
-    // toRdd recomputes the full scan every run with one set of generated
-    // classes, so the JIT stays hot and every run does the real work.
     val m = ScanJob.matched(spark.read.parquet(turnsDir), dbs, spark)
     val rdd = m.queryExecution.toRdd
-    def run(): Long =
+    val run = () =>
       rdd.mapPartitions { it =>
         var c = 0L
         while (it.hasNext) { it.next(); c += 1 }
         Iterator.single(c)
       }.collect().sum
-    // JIT warm on SINGLE partitions of the same RDD: each session's plan
-    // has its own generated classes, so warming must execute exactly these
-    // classes — single-partition jobs compile the hot row loops (OSR) in a
-    // few seconds instead of gambling full-input runs on compile timing
+    (rdd, run)
+  }
+
+  /** Warm this session's generated classes: a handful of single-partition
+    * jobs JIT the hot row loops (OSR) without gambling a full-input run on
+    * compile timing. Cross-session the codegen cache usually re-serves the
+    * same classes, so this is cheap after the global pre-warm.
+    */
+  private def warmSession(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]): Unit = {
     val nParts = rdd.getNumPartitions
     val counter = (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
       var c = 0L; while (it.hasNext) { it.next(); c += 1 }; c
     }
     var w = 0
-    while (w < math.min(12, nParts)) {
+    while (w < math.min(8, nParts)) {
       spark.sparkContext.runJob(rdd, counter, Seq(w % nParts))
       w += 1
     }
-    run() // one full-input warm pass (all executor threads hot)
-    var best = Double.MaxValue
-    var r = 0
-    while (r < reps) {
-      val t0 = System.nanoTime()
+  }
+
+  /** One sample: run full passes until >= minWindowSec elapsed; return
+    * (throughput turns/sec over the whole window, passes, windowSec). */
+  private def measureWindow(run: () => Long, nTurns: Long,
+      minWindowSec: Double): (Double, Int, Double) = {
+    var passes = 0
+    val t0 = System.nanoTime()
+    var elapsed = 0.0
+    while (elapsed < minWindowSec || passes < 1) {
       val matches = run()
-      val dt = (System.nanoTime() - t0) / 1e9
-      if (dt < best) best = dt
-      require(matches > 0)
-      r += 1
+      require(matches > 0, "scan produced zero matches — workload broken")
+      passes += 1
+      elapsed = (System.nanoTime() - t0) / 1e9
     }
-    best
+    (passes * nTurns / elapsed, passes, elapsed)
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "4000000").toLong
+    val nTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "12000000").toLong
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "5").toInt
+    val minWindow = sys.env.getOrElse("SPARK_GRAFT_BENCH_WINDOW_SEC", "8.0").toDouble
 
     val turnsDir = materializeTurns(nTurns, cpus)
 
-    // --- part 0: JIT pre-warm at full parallelism (fast wall-clock) so the
-    // lower-core phases do not absorb all compilation cost (the JVM is
-    // shared across sessions; measuring an unwarmed first phase skews the
-    // ratio in either direction)
-    val sparkWarm = newSession(cpus)
-    scanElapsed(sparkWarm, turnsDir, reps = 1)
-    sparkWarm.stop()
+    // --- global JIT pre-warm at full parallelism: compiles the generated
+    // classes once (the codegen cache serves the same classes to later
+    // sessions, so their single-partition warms stay cheap)
+    locally {
+      val s = newSession(cpus)
+      val (rdd, run) = scanRunner(s, turnsDir)
+      warmSession(s, rdd)
+      run()
+      s.stop()
+    }
 
-    // --- scan throughput at N/4 and N cores (fresh session each)
+    // --- interleaved A/B/A/B scan throughput at N/4 and N cores
     val lowCores = math.max(1, cpus / 4)
-    val sparkLow = newSession(lowCores)
-    val tLow = scanElapsed(sparkLow, turnsDir, reps = 2)
-    sparkLow.stop()
-    val sparkHigh = newSession(cpus)
-    val tN = scanElapsed(sparkHigh, turnsDir, reps = 2)
-    sparkHigh.stop()
+    val lowSamples = ArrayBuffer[Double]()
+    val highSamples = ArrayBuffer[Double]()
+    var r = 0
+    while (r < rounds) {
+      for ((cores, sink) <- Seq(lowCores -> lowSamples, cpus -> highSamples)) {
+        val s = newSession(cores)
+        val (rdd, run) = scanRunner(s, turnsDir)
+        warmSession(s, rdd)
+        val (thr, _, _) = measureWindow(run, nTurns, minWindow)
+        sink += thr
+        s.stop()
+      }
+      r += 1
+    }
+    val thrLow = median(lowSamples.toSeq)
+    val thrHigh = median(highSamples.toSeq)
+    val efficiency = (thrHigh / thrLow) / (cpus.toDouble / lowCores)
 
-    // --- part 3: driver-contract queries at full parallelism
+    // --- driver-contract queries at full parallelism (failure-honest:
+    // a broken query is reported as an error, not a fast time)
     val spark = newSession(cpus)
+    val errors = ArrayBuffer[(String, String)]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).count()
+      catch {
+        case e: Throwable =>
+          errors += name -> e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(160)
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     spark.stop()
 
-    val thrN = nTurns / tN
-    val thrLow = nTurns / tLow
-    val efficiency = (thrN / thrLow) / (cpus.toDouble / lowCores)
-
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    def arr(xs: Seq[Double]): String = xs.map(x => f"$x%.0f").mkString("[", ",", "]")
     val scan =
       s"""{"n_turns":$nTurns,"cores_low":$lowCores,"cores_high":$cpus,""" +
-        f""""sec_low":$tLow%.3f,"sec_high":$tN%.3f,""" +
-        f""""turns_per_sec_low":$thrLow%.0f,"turns_per_sec_high":$thrN%.0f,""" +
+        s""""rounds":$rounds,"min_window_sec":$minWindow,""" +
+        f""""sec_low":${nTurns / thrLow}%.3f,"sec_high":${nTurns / thrHigh}%.3f,""" +
+        f""""turns_per_sec_low":$thrLow%.0f,"turns_per_sec_high":$thrHigh%.0f,""" +
+        s""""samples_low":${arr(lowSamples.toSeq)},"samples_high":${arr(highSamples.toSeq)},""" +
         f""""scaling_efficiency":$efficiency%.3f}"""
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scan":$scan}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scan":$scan,"errors":$errJson}"""
+    // write the JSON to a file as well — belt and braces for the driver's
+    // stdout parser (round 1: the sbt [info] prefix broke it)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
+    catch { case _: Throwable => () }
+    println(json)
   }
 }

@@ -10,8 +10,13 @@ import java.nio.charset.StandardCharsets
   * goes right-to-left over dots and accepts the first PSL hit, and the
   * entry file format skips blank lines and `//` comments.
   *
-  * The snapshot itself is a curated stable subset vendored at
-  * `graft/psl_snapshot.dat` (FIXTURES.md pins parity to this snapshot).
+  * The snapshot at `graft/psl_snapshot.dat` is the reference's full PSL
+  * file vendored byte-for-byte (10,496 lines, Mozilla Public Suffix List,
+  * MPL-2.0, crates/matchy-extractor/src/data/public_suffix_list.dat) —
+  * md5 6aa29e437a9e742d1bbca03f66bc7910. Wildcard lines (`*.foo`) are
+  * stored as literal strings exactly like the reference does, which makes
+  * them inert for matching (no real label equals "*") — intentional parity,
+  * not an oversight.
   */
 object Psl {
 

@@ -104,14 +104,81 @@ object ScanJob {
       resume: Boolean = false,
       runId: String = "run-0")
 
+  /** The routed frame: extract + enrich + per-turn routing verdict in ONE
+    * map-side pass (ScanTurn generator), metadata attached via broadcast
+    * left join. Every pending turn contributes exactly one clean row
+    * (sink="clean", text preserved) XOR >=1 matched rows (sink="matched").
+    * `obsTurns`/`obsRows` attach the A1-A6 stat observers so `run` gets its
+    * stats for free on the write action — no second pass over the input.
+    */
+  private[pipeline] def routedFrame(spark: SparkSession, pending: DataFrame,
+      dbs: Seq[IntelDb],
+      obsTurns: Option[org.apache.spark.sql.Observation] = None,
+      obsRows: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val turnsIn = obsTurns.fold(pending)(o => pending.observe(o,
+      count(lit(1)).as("lines_processed"),
+      coalesce(sum(octet_length(col("text"))), lit(0L)).as("total_bytes")))
+    val flat = turnsIn
+      .select(col("bucket"), col("conv_id"), col("turn_idx"), col("role"),
+        col("text"), spark_partition_id().as("partition_id"),
+        explode(graft.functions.ScanTurn.column(col("text"), dbs)).as("r"))
+      .select(col("bucket"), col("conv_id"), col("turn_idx"), col("role"),
+        col("partition_id"),
+        // text rides only on clean rows (the clean sink IS the turn;
+        // matched rows carry matched_text/spans instead)
+        when(col("r.sink") === "clean", col("text")).as("text"),
+        col("r.sink").as("sink"), col("r.indicator_type").as("indicator_type"),
+        col("r.value").as("value"), col("r.matched_text").as("matched_text"),
+        col("r.span_start").as("span_start"), col("r.span_end").as("span_end"),
+        col("r.hits").as("hits"))
+    val observed = obsRows.fold(flat) { o =>
+      val perType = graft.model.IndicatorType.all.map(t =>
+        sum(when(col("indicator_type") === t, 1L).otherwise(0L))
+          .as(s"candidates_$t"))
+      flat.observe(o,
+        count(when(col("sink") === "clean", 1)).as("clean_turns"),
+        perType: _*)
+    }
+    val rows = observed
+      .where(col("sink") === "clean" || size(col("hits")) > 0)
+      .withColumn("sink",
+        when(col("sink") === "cand", lit("matched")).otherwise(col("sink")))
+      .withColumn("hit", explode_outer(col("hits")))
+      .drop("hits")
+      .select(col("*"), col("hit.db_idx").as("db_idx"),
+        col("hit.entry_idx").as("entry_idx"),
+        col("hit.prefix_len").as("prefix_len"),
+        col("hit.match_type").as("match_type"))
+      .drop("hit")
+    rows
+      .join(broadcast(intelMetaDf(spark, dbs)), Seq("db_idx", "entry_idx"),
+        "left")
+      .drop("db_idx")
+      .withColumn("cidr",
+        when(col("match_type") === "ip",
+          concat(col("value"), lit("/"), col("prefix_len"))))
+      // clean rows have no indicator type; 'none' keeps the partition path tidy
+      .withColumn("indicator_type",
+        coalesce(col("indicator_type"), lit("none")))
+  }
+
   /** Execute the scan end-to-end with fan-out sinks, clean sink, gold
     * counts, stats and per-partition lineage; resumable by conv_id bucket.
     *
     * Layout under `outDir`:
-    *   matched/   parquet partitioned by (bucket, indicator_type)  (R4, S10)
-    *   clean/     parquet partitioned by (bucket)                  (R4)
+    *   routed/    parquet partitioned by (sink, bucket, indicator_type):
+    *              sink=matched  -> per-indicator-type match sinks (R4, S10)
+    *              sink=clean    -> clean turns, text preserved    (R4)
     *   gold_counts/  (A10)   stats/  (A1-A6)   metrics/  (lineage)
     *   _buckets_done/<bucket>  completion markers (checkpoint/resume)
+    *
+    * Scale shape (the 100 TB story): the routed write is ONE pass — scan ->
+    * ScanTurn (extract+lookup, map-side broadcast structures) -> filter ->
+    * explode -> broadcast join -> partitioned write. No shuffle anywhere in
+    * it (the round-1 clean-sink anti-join shuffled the full table twice).
+    * A1-A6 stats ride the same pass as `observe()` metrics; gold counts and
+    * lineage metrics aggregate the OUTPUT (matched rows + one row per clean
+    * turn), never rescanning the input.
     */
   def run(spark: SparkSession, turns: DataFrame, dbs: Seq[IntelDb],
       outDir: String, cfg: RunConfig = RunConfig()): Map[String, Long] = {
@@ -130,72 +197,61 @@ object ScanJob {
       if (doneBuckets.isEmpty) withBucket
       else withBucket.filter(!col("bucket").isInCollection(doneBuckets))
 
-    // --- single pass: extract + enrich + fan-out write
-    // (bucket kept on candidate rows for partitioned writes)
-    val candsB = pending
-      .select(col("bucket"), col("conv_id"), col("turn_idx"), col("role"),
-        explode(GraftFunctions.extract_iocs(col("text"))).as("ioc"))
-      .select(col("bucket"), col("conv_id"), col("turn_idx"), col("role"),
-        col("ioc.*"))
-    val matchedDf = candsB
-      .withColumn("hit", explode(
-        IntelLookupMulti.column(col("value"), col("indicator_type"), dbs)))
-      .select((col("bucket") +: (CandidateCols.map(col) :+
-        col("hit.db_idx").as("db_idx") :+
-        col("hit.entry_idx").as("entry_idx") :+
-        col("hit.prefix_len").as("prefix_len") :+
-        col("hit.match_type").as("match_type"))): _*)
-      .join(broadcast(intelMetaDf(spark, dbs)), Seq("db_idx", "entry_idx"),
-        "inner")
-      .drop("db_idx")
-      .withColumn("cidr",
-        when(col("match_type") === "ip",
-          concat(col("value"), lit("/"), col("prefix_len"))))
-
+    // --- THE single pass: extract + enrich + route + stats observers
+    val obsTurns = org.apache.spark.sql.Observation()
+    val obsRows = org.apache.spark.sql.Observation()
+    val routed = routedFrame(spark, pending, dbs, Some(obsTurns), Some(obsRows))
     val writeMode =
       if (cfg.resume && doneBuckets.nonEmpty) SaveMode.Append
       else SaveMode.Overwrite
-    matchedDf.write.mode(writeMode)
-      .partitionBy("bucket", "indicator_type")
-      .parquet(s"$outDir/matched")
+    routed.write.mode(writeMode)
+      .partitionBy("sink", "bucket", "indicator_type")
+      .parquet(s"$outDir/routed")
 
-    // --- clean sink: turns with zero matches across all dbs (left_anti)
-    val matchedBack = spark.read.parquet(s"$outDir/matched")
-    val matchedKeys = matchedBack.select("conv_id", "turn_idx").distinct()
-    pending.join(matchedKeys, Seq("conv_id", "turn_idx"), "left_anti")
-      .write.mode(writeMode).partitionBy("bucket").parquet(s"$outDir/clean")
+    val turnStats = obsTurns.get
+    val rowStats = obsRows.get
 
-    // --- aggregates (A10 gold + A1-A6 stats), computed over ALL buckets
+    // --- aggregates over the OUTPUT (all buckets, resume-stable): gold
+    // counts (A10) and global line counts come from the written sinks
+    val routedBack = spark.read.parquet(s"$outDir/routed")
+    val matchedBack = routedBack.where(col("sink") === "matched")
     val gold = goldCounts(matchedBack)
     gold.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/gold_counts")
 
-    val linesProcessed = withBucket.count()
-    val totalBytes = withBucket
-      .agg(sum(octet_length(col("text")))).as[Long].head()
-    val candStats = candidates(withBucket)
-      .groupBy("indicator_type").agg(count(lit(1)).as("n"))
-      .as[(String, Long)].collect().toMap
-    val candidatesTested = candStats.values.sum
-    val totalMatches = matchedBack.count()
-    val linesWithMatches = matchedKeys.count()
+    val Seq(totalMatches, linesWithMatches, cleanTurns) = routedBack
+      .agg(count(when(col("sink") === "matched", 1)),
+        countDistinct(when(col("sink") === "matched",
+          struct(col("conv_id"), col("turn_idx")))),
+        count(when(col("sink") === "clean", 1)))
+      .as[(Long, Long, Long)].head().productIterator.map(_.asInstanceOf[Long]).toSeq
 
+    val candStats = graft.model.IndicatorType.all
+      .map(t => s"candidates_$t" ->
+        rowStats.getOrElse(s"candidates_$t", 0L).asInstanceOf[Long])
+      .filter(_._2 > 0).toMap
     val stats: Map[String, Long] = Map(
-      "lines_processed" -> linesProcessed,
-      "total_bytes" -> totalBytes,
-      "candidates_tested" -> candidatesTested,
+      // global (derived from sinks; stable across resume runs)
+      "lines_processed" -> (linesWithMatches + cleanTurns),
       "total_matches" -> totalMatches,
-      "lines_with_matches" -> linesWithMatches
-    ) ++ candStats.map { case (k, v) => s"candidates_$k" -> v }
+      "lines_with_matches" -> linesWithMatches,
+      // per-run (observed on THIS run's pass; 0 on a fully-resumed run)
+      "total_bytes" -> turnStats("total_bytes").asInstanceOf[Long],
+      "candidates_tested" -> candStats.values.sum
+    ) ++ candStats
     stats.toSeq.toDF("stat", "value").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$outDir/stats")
 
-    // --- per-partition lineage metrics (R1/A7 analog): one row per input
-    // partition of the candidate stage, written to the metrics table
-    candsB.withColumn("partition_id", spark_partition_id())
+    // --- per-partition lineage metrics (R1/A7 analog): what each input
+    // partition contributed to each sink, aggregated from the routed output
+    // (output-sized, no input rescan)
+    routedBack
       .groupBy("partition_id", "bucket")
-      .agg(count(lit(1)).as("candidates"),
-        countDistinct(col("conv_id"), col("turn_idx")).as("turns_with_candidates"))
+      .agg(count(when(col("sink") === "matched", 1)).as("matched_rows"),
+        count(when(col("sink") === "clean", 1)).as("clean_turns"),
+        countDistinct(when(col("sink") === "matched",
+          struct(col("conv_id"), col("turn_idx"))))
+          .as("turns_with_matches"))
       .withColumn("run_id", lit(cfg.runId))
       .write.mode(writeMode).parquet(s"$outDir/metrics")
 

@@ -85,9 +85,15 @@ object StreamingScan {
   /** Per-conversation running state via mapGroupsWithState: first/last
     * event time, turns seen, turns with at least one candidate — the
     * custom-state shape (KeyValueGroupedDataset) the north star calls for.
-    * State expires after 30 minutes of conversation inactivity
-    * (processing-time timeout), bounding state size on an unbounded
-    * conversation keyspace.
+    *
+    * State timeout: NoTimeout. Under Trigger.AvailableNow a
+    * ProcessingTimeTimeout is never delivered (the query drains and must
+    * stop — a pending timeout parks it forever, which is exactly the round-1
+    * `sbt test` hang). For a truly continuous deployment, bound state size
+    * with an event-time timeout against the watermark instead; the
+    * checkpoint dir already persists state across restarts, so periodic
+    * AvailableNow drains (as tested) keep state bounded by active
+    * conversations per drain window.
     */
   final case class ConvState(conv_id: String, turns: Long,
       turnsWithCandidates: Long, firstTs: Long, lastTs: Long)
@@ -103,30 +109,23 @@ object StreamingScan {
     val updated = perTurn
       .groupByKey(_._1)
       .mapGroupsWithState[ConvState, ConvState](
-        GroupStateTimeout.ProcessingTimeTimeout()) {
+        GroupStateTimeout.NoTimeout()) {
         case (convId, rows, state: GroupState[ConvState]) =>
-          if (state.hasTimedOut) {
-            val last = state.get
-            state.remove()
-            last
-          } else {
-            val prev = state.getOption
-              .getOrElse(ConvState(convId, 0L, 0L, Long.MaxValue, 0L))
-            var turns = prev.turns
-            var withCands = prev.turnsWithCandidates
-            var first = prev.firstTs
-            var last = prev.lastTs
-            rows.foreach { case (_, ts, has) =>
-              turns += 1
-              if (has) withCands += 1
-              if (ts < first) first = ts
-              if (ts > last) last = ts
-            }
-            val next = ConvState(convId, turns, withCands, first, last)
-            state.update(next)
-            state.setTimeoutDuration("30 minutes")
-            next
+          val prev = state.getOption
+            .getOrElse(ConvState(convId, 0L, 0L, Long.MaxValue, 0L))
+          var turns = prev.turns
+          var withCands = prev.turnsWithCandidates
+          var first = prev.firstTs
+          var last = prev.lastTs
+          rows.foreach { case (_, ts, has) =>
+            turns += 1
+            if (has) withCands += 1
+            if (ts < first) first = ts
+            if (ts > last) last = ts
           }
+          val next = ConvState(convId, turns, withCands, first, last)
+          state.update(next)
+          next
       }
     updated.writeStream
       .option("checkpointLocation", s"$outDir/_checkpoint_state")

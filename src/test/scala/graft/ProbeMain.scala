@@ -24,7 +24,8 @@ object ProbeMain {
       graft.pipeline.ScanJob.RunConfig(buckets = 8, resume = true, runId = "probe-2"))
     println(s"PROBE run2(resume) total_matches=${st2("total_matches")} (must equal run1=${st1("total_matches")})")
     println("PROBE sinks: " + new java.io.File(out).list().sorted.mkString(", "))
-    println("PROBE matched partitions: " + new java.io.File(out + "/matched").list().count(_.startsWith("bucket=")))
+    println("PROBE routed sinks: " + new java.io.File(out + "/routed").list().sorted.mkString(", "))
+    println("PROBE matched partitions: " + new java.io.File(out + "/routed/sink=matched").list().count(_.startsWith("bucket=")))
     spark.stop()
   }
 }

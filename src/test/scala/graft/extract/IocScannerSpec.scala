@@ -52,6 +52,28 @@ class IocScannerSpec extends AnyFunSuite {
   test("uppercase TLD does not validate (byte-exact PSL compare)") {
     assert(values("SHOUTY.COM is loud", T.Domain).isEmpty)
   }
+  // ---- full-PSL vectors (round 2: snapshot is the reference's complete
+  // 10,496-line file, not the round-1 curated subset)
+  test("off-subset TLDs extract: .su, .academy, brand TLD .google") {
+    assert(values("seen evil.su and x.academy plus foo.google end", T.Domain) ==
+      Seq("evil.su", "x.academy", "foo.google"))
+  }
+  test("wildcard PSL lines are inert (reference stores them as raw bytes)") {
+    // `*.0e.vc` is in the PSL but `0e.vc` is not; the walk must validate
+    // via the shortest suffix `vc`, never via the wildcard line — so the
+    // whole name extracts as a domain (suffix .vc), wildcard ignored.
+    assert(Psl.suffixes.contains("*.0e.vc") && !Psl.suffixes.contains("0e.vc"))
+    assert(values("ping a.0e.vc now", T.Domain) == Seq("a.0e.vc"))
+    val b = "a.0e.vc".getBytes("UTF-8")
+    // dot introducing "vc" (shortest-first), not the one introducing "0e.vc"
+    assert(Psl.tldSuffixPos(b, 0, b.length) == 4)
+  }
+  test("amazonaws.com is NOT a suffix (round-1 subset extra, removed)") {
+    assert(!Psl.suffixes.contains("amazonaws.com"))
+  }
+  test("not-a-TLD still rejected under full PSL") {
+    assert(values("file server.localdata opened", T.Domain).isEmpty)
+  }
   test("unicode domain accepted (test_unicode_domain_extraction)") {
     assert(values("Visit münchen.de for info", T.Domain) == Seq("münchen.de"))
   }

