@@ -31,4 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // throughput GC for the batch scan workload: the 32-thread scan is
+  // allocation-heavy (per-candidate rows/strings) and ParallelGC sustains
+  // a higher allocation rate than G1's pause-targeted collection here
+  "-XX:+UseParallelGC",
 )

@@ -10,7 +10,8 @@ import org.apache.spark.sql.SparkSession
   * {{{
   * spark-submit --class graft.ScanMain matchyspark.jar \
   *   --turns <table-path> --intel <feed.csv|feed.json|feed.txt|store-dir> \
-  *   [--intel2 <...>] --out <dir> [--buckets 256] [--resume] [--run-id r1]
+  *   [--intel2 <...>] --out <dir> [--buckets 256] [--resume] [--run-id r1] \
+  *   [--case-insensitive]   # feed builds only; stores keep their build mode
   * }}}
   *
   * In local mode this is exercised by the verify probes; on a cluster the
@@ -19,7 +20,8 @@ import org.apache.spark.sql.SparkSession
   */
 object ScanMain {
 
-  private def loadIntel(spark: SparkSession, id: String, path: String): IntelDb = {
+  private def loadIntel(spark: SparkSession, id: String, path: String,
+      caseInsensitive: Boolean): IntelDb = {
     val entries =
       if (path.endsWith(".csv"))
         IntelIngest.toEntries(IntelIngest.readCsv(spark, path))
@@ -27,17 +29,22 @@ object ScanMain {
         IntelIngest.toEntries(IntelIngest.readJson(spark, path))
       else if (path.endsWith(".txt"))
         IntelIngest.toEntries(IntelIngest.readText(spark, path))
-      else return IntelStore.load(spark, path) // compiled-db store dir
-    IntelDb.build(id, entries)
+      // compiled-db store dir: match mode was fixed at build time and is
+      // persisted in the store (matchy build --case-insensitive analog,
+      // bin/commands/build_cmd.rs) — the flag does not re-interpret it
+      else return IntelStore.load(spark, path)
+    IntelDb.build(id, entries, caseInsensitive)
   }
 
   def main(args: Array[String]): Unit = {
     val opts = scala.collection.mutable.Map[String, String]()
     var resume = false
+    var caseInsensitive = false
     var i = 0
     while (i < args.length) {
       args(i) match {
         case "--resume" => resume = true; i += 1
+        case "--case-insensitive" => caseInsensitive = true; i += 1
         case k if k.startsWith("--") && i + 1 < args.length =>
           opts(k.drop(2)) = args(i + 1); i += 2
         case other => sys.error(s"unexpected argument: $other")
@@ -56,8 +63,9 @@ object ScanMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val dbs = Seq(loadIntel(spark, "threats", intelPath)) ++
-      opts.get("intel2").map(p => loadIntel(spark, "allowlist", p))
+    val dbs = Seq(loadIntel(spark, "threats", intelPath, caseInsensitive)) ++
+      opts.get("intel2").map(p =>
+        loadIntel(spark, "allowlist", p, caseInsensitive))
     val stats = ScanJob.run(spark,
       spark.read.parquet(turnsPath), dbs,
       opts.getOrElse("out", sys.error("--out <dir> is required")),

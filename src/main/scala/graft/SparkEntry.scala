@@ -62,7 +62,13 @@ object SparkEntry {
     "q27_tpch_agg" -> (QueryDefs.qTpchAgg _),
     "q28_join_broadcast" -> (QueryDefs.qJoinBroadcast _),
     "q29_window_first_order" -> (QueryDefs.qWindowFirstOrder _),
-    "q30_events_hourly" -> (QueryDefs.qEventsHourly _)
+    "q30_events_hourly" -> (QueryDefs.qEventsHourly _),
+    // skew-hardened variants (round 2)
+    "q31_dedup_ngram_capped" -> (QueryDefs.qDedupNgramCapped _),
+    "q32_sim_lsh_multi" -> (QueryDefs.qSimLshMulti _),
+    "q33_dedup_embedding_lsh" -> (QueryDefs.qDedupEmbeddingLsh _),
+    "q34_lookup_case" -> (QueryDefs.qLookupCase _),
+    "q35_dedup_simhash_near" -> (QueryDefs.qDedupSimhashNear _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -95,6 +101,11 @@ object SparkEntry {
     "q27_tpch_agg" -> OracleDefs.tpchAgg,
     "q28_join_broadcast" -> OracleDefs.joinBroadcast,
     "q29_window_first_order" -> OracleDefs.windowFirstOrder,
-    "q30_events_hourly" -> OracleDefs.eventsHourly
+    "q30_events_hourly" -> OracleDefs.eventsHourly,
+    "q31_dedup_ngram_capped" -> OracleDefs.dedupNgramCapped,
+    "q32_sim_lsh_multi" -> OracleDefs.simLshMulti,
+    "q33_dedup_embedding_lsh" -> OracleDefs.dedupEmbeddingLsh,
+    "q34_lookup_case" -> OracleDefs.lookupCase,
+    "q35_dedup_simhash_near" -> OracleDefs.dedupSimhashNear
   )
 }

@@ -40,27 +40,38 @@ final class IocScanner(val config: ScanConfig) extends Serializable {
   def scanText(text: String): ArrayBuffer[Ioc] =
     scan(text.getBytes(StandardCharsets.UTF_8))
 
-  def scan(bytes: Array[Byte]): ArrayBuffer[Ioc] = {
-    val out = new ArrayBuffer[Ioc](4)
+  def scan(bytes: Array[Byte]): ArrayBuffer[Ioc] =
+    scan(bytes, bytes.length)
+
+  def scan(bytes: Array[Byte], len: Int): ArrayBuffer[Ioc] =
+    scanInto(bytes, len, new ArrayBuffer[Ioc](4))
+
+  /** Scan bytes[0, len) into `out` (cleared first). The length parameter +
+    * caller-owned buffer let the Catalyst expressions reuse thread-local
+    * scratch instead of allocating a byte[] + ArrayBuffer per row — at 32
+    * scan threads that per-row garbage was the GC wall (round-2 scaling).
+    */
+  def scanInto(bytes: Array[Byte], n: Int,
+      out: ArrayBuffer[Ioc]): ArrayBuffer[Ioc] = {
+    out.clear()
     // shared token boundaries (used by hashes/bitcoin/monero); thread-local
     // scratch — the scan path is the allocation hot spot at 32 cores
     val needTokens = config.hashes || config.bitcoin || config.monero
     val tokens: IntVec =
-      if (needTokens) tokenSpansInto(bytes, scratchTokens.get()) else null
-    if (config.domains) scanDomains(bytes, out)
-    if (config.ipv4) scanIpv4(bytes, out)
-    if (config.emails) scanEmails(bytes, out)
-    if (config.ipv6) scanIpv6(bytes, out)
+      if (needTokens) tokenSpansInto(bytes, n, scratchTokens.get()) else null
+    if (config.domains) scanDomains(bytes, n, out)
+    if (config.ipv4) scanIpv4(bytes, n, out)
+    if (config.emails) scanEmails(bytes, n, out)
+    if (config.ipv6) scanIpv6(bytes, n, out)
     if (config.hashes) scanHashes(bytes, tokens, out)
     if (config.bitcoin) scanBitcoin(bytes, tokens, out)
-    if (config.ethereum) scanEthereum(bytes, out)
+    if (config.ethereum) scanEthereum(bytes, n, out)
     if (config.monero) scanMonero(bytes, tokens, out)
     out
   }
 
   // ------------------------------------------------------------- domains
-  private def scanDomains(b: Array[Byte], out: ArrayBuffer[Ioc]): Unit = {
-    val n = b.length
+  private def scanDomains(b: Array[Byte], n: Int, out: ArrayBuffer[Ioc]): Unit = {
     var lastDomainEnd = 0
     var dot = 0
     while (dot < n) {
@@ -107,8 +118,7 @@ final class IocScanner(val config: ScanConfig) extends Serializable {
   }
 
   // --------------------------------------------------------------- ipv4
-  private def scanIpv4(b: Array[Byte], out: ArrayBuffer[Ioc]): Unit = {
-    val n = b.length
+  private def scanIpv4(b: Array[Byte], n: Int, out: ArrayBuffer[Ioc]): Unit = {
     // dot positions (shared-precompute in the reference); scratch reused
     val dots = scratchDots.get()
     dots.clear()
@@ -130,7 +140,7 @@ final class IocScanner(val config: ScanConfig) extends Serializable {
           var dj = di
           while (dj < dots.length && dots(dj) < endSearch) { cnt += 1; dj += 1 }
           if (cnt >= 3) {
-            val parsed = tryParseIpv4(b, start)
+            val parsed = tryParseIpv4(b, n, start)
             if (parsed != null) {
               val end = parsed._2
               val s = parsed._1
@@ -150,8 +160,7 @@ final class IocScanner(val config: ScanConfig) extends Serializable {
     * 0-255, no leading zeros, word boundaries both ends. Returns
     * (canonical, end) or null.
     */
-  private def tryParseIpv4(b: Array[Byte], start: Int): (String, Int) = {
-    val n = b.length
+  private def tryParseIpv4(b: Array[Byte], n: Int, start: Int): (String, Int) = {
     if (config.requireWordBoundaries && start > 0 && !isBoundary(b(start - 1)))
       return null
     var pos = start
@@ -182,8 +191,7 @@ final class IocScanner(val config: ScanConfig) extends Serializable {
   }
 
   // -------------------------------------------------------------- emails
-  private def scanEmails(b: Array[Byte], out: ArrayBuffer[Ioc]): Unit = {
-    val n = b.length
+  private def scanEmails(b: Array[Byte], n: Int, out: ArrayBuffer[Ioc]): Unit = {
     var at = 0
     while (at < n) {
       if (b(at) == '@') {
@@ -229,8 +237,7 @@ final class IocScanner(val config: ScanConfig) extends Serializable {
   }
 
   // --------------------------------------------------------------- ipv6
-  private def scanIpv6(b: Array[Byte], out: ArrayBuffer[Ioc]): Unit = {
-    val n = b.length
+  private def scanIpv6(b: Array[Byte], n: Int, out: ArrayBuffer[Ioc]): Unit = {
     var lastEnd = 0
     var search = 0
     while (search + 1 < n) {
@@ -335,8 +342,7 @@ final class IocScanner(val config: ScanConfig) extends Serializable {
   }
 
   // ------------------------------------------------------------ ethereum
-  private def scanEthereum(b: Array[Byte], out: ArrayBuffer[Ioc]): Unit = {
-    val n = b.length
+  private def scanEthereum(b: Array[Byte], n: Int, out: ArrayBuffer[Ioc]): Unit = {
     var i = 0
     while (i + 1 < n) {
       if (b(i) == '0' && b(i + 1) == 'x') {
@@ -453,11 +459,10 @@ object IocScanner {
     * lib.rs:1742-1782).
     */
   def tokenSpans(b: Array[Byte]): IntVec =
-    tokenSpansInto(b, new IntVec(16))
+    tokenSpansInto(b, b.length, new IntVec(16))
 
-  def tokenSpansInto(b: Array[Byte], out: IntVec): IntVec = {
+  def tokenSpansInto(b: Array[Byte], n: Int, out: IntVec): IntVec = {
     out.clear()
-    val n = b.length
     if (n == 0) return out
     var inToken = !isBoundary(b(0))
     if (inToken) out.add(0)

@@ -62,9 +62,39 @@ object ExtractIoCs {
     m
   }
 
+  // thread-local scratch: the per-row text copy and candidate buffer were
+  // the dominant allocations at 32 scan threads (GC-bound scaling)
+  private val tlBuf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](1024)
+  }
+  private val tlIocs = new ThreadLocal[scala.collection.mutable.ArrayBuffer[graft.model.Ioc]] {
+    override def initialValue() =
+      new scala.collection.mutable.ArrayBuffer[graft.model.Ioc](8)
+  }
+
+  /** Copy the UTF8String's bytes into this thread's scratch buffer (grown
+    * geometrically, never shrunk); read with text.numBytes().
+    */
+  def copyToScratch(text: UTF8String): Array[Byte] = {
+    val len = text.numBytes()
+    var buf = tlBuf.get()
+    if (buf.length < len) {
+      var cap = buf.length
+      while (cap < len) cap <<= 1
+      buf = new Array[Byte](cap)
+      tlBuf.set(buf)
+    }
+    org.apache.spark.unsafe.Platform.copyMemory(
+      text.getBaseObject, text.getBaseOffset,
+      buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len)
+    buf
+  }
+
   /** Static entry point shared by interpreted eval and generated code. */
   def scanToArrayData(scanner: IocScanner, text: UTF8String): ArrayData = {
-    val iocs = scanner.scan(text.getBytes)
+    val len = text.numBytes()
+    val buf = copyToScratch(text)
+    val iocs = scanner.scanInto(buf, len, tlIocs.get())
     val n = iocs.length
     if (n == 0) return EMPTY
     val rows = new Array[Any](n)

@@ -92,10 +92,17 @@ object ScanTurn {
     m
   }
 
+  private val tlIocs = new ThreadLocal[scala.collection.mutable.ArrayBuffer[graft.model.Ioc]] {
+    override def initialValue() =
+      new scala.collection.mutable.ArrayBuffer[graft.model.Ioc](8)
+  }
+
   /** Static entry point shared by interpreted eval and generated code. */
   def scan(scanner: IocScanner, dbs: Array[IntelDb],
       text: UTF8String): ArrayData = {
-    val iocs = scanner.scan(text.getBytes)
+    val len = text.numBytes()
+    val buf = ExtractIoCs.copyToScratch(text)
+    val iocs = scanner.scanInto(buf, len, tlIocs.get())
     val n = iocs.length
     if (n == 0) return CLEAN_ONLY
     val rows = new Array[Any](n)

@@ -22,6 +22,17 @@ object IntelStore {
     rows.toDF("database_id", "entry", "entry_type", "threat_level",
       "category", "source", "confidence", "case_insensitive")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
+    // sidecar metadata (underscore-prefixed: invisible to parquet readers)
+    // carries database_id + match mode even for a legitimately EMPTY feed —
+    // the reference builds and opens empty databases fine
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(s"$path/_graft_meta.json"), true)
+    out.write(
+      s"""{"database_id":"${db.databaseId}","case_insensitive":${db.caseInsensitive}}"""
+        .getBytes("UTF-8"))
+    out.close()
   }
 
   def load(spark: SparkSession, path: String): IntelDb = {
@@ -31,9 +42,23 @@ object IntelStore {
       "source", "confidence", "case_insensitive")
       .as[(String, String, String, String, String, Int, Boolean)]
       .collect()
-    require(rows.nonEmpty, s"empty intel store at $path")
-    val databaseId = rows.head._1
-    val ci = rows.head._7
+    val (databaseId, ci) =
+      if (rows.nonEmpty) (rows.head._1, rows.head._7)
+      else {
+        // empty feed: recover id + mode from the sidecar (save() always
+        // writes it; a store with neither rows nor sidecar is corrupt)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+        val p = new org.apache.hadoop.fs.Path(s"$path/_graft_meta.json")
+        require(fs.exists(p), s"empty intel store without metadata at $path")
+        val in = fs.open(p)
+        val txt = new String(in.readAllBytes(), "UTF-8")
+        in.close()
+        val id = "\"database_id\":\"([^\"]*)\"".r
+          .findFirstMatchIn(txt).map(_.group(1))
+          .getOrElse(sys.error(s"bad store metadata at $path"))
+        (id, txt.contains("\"case_insensitive\":true"))
+      }
     IntelDb.build(databaseId,
       rows.toSeq.map(r => IntelEntry(r._2, r._3, r._4, r._5, r._6)), ci)
   }

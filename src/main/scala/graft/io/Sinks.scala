@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Output sinks beyond the parquet fan-out (SURVEY.md §2.1):
@@ -9,14 +9,63 @@ import org.apache.spark.sql.functions._
   */
 object Sinks {
 
-  /** NDJSON match sink (S10): one JSON object per match with the
-    * reference's field set (sequential.rs:154-187): timestamp, source,
-    * matched_text, match_type, data fields, prefix_len, cidr.
+  /** Generic NDJSON dump: every column of the frame as one JSON object per
+    * row (debug/interop sink, not the reference format — see ndjsonMatched).
     */
   def ndjson(matched: DataFrame, path: String): Unit =
     matched
       .select(to_json(struct(matched.columns.map(col): _*)).as("value"))
       .write.mode(SaveMode.Overwrite).text(path)
+
+  /** NDJSON match sink with the reference's EXACT field shape
+    * (bin/match_processor/sequential.rs:154-187): one line per extracted
+    * candidate per database —
+    *  - pattern match: {"data":[{category,confidence,source,threat_level}...],
+    *    "match_type":"pattern","matched_text":v,"pattern_count":N,
+    *    "source":path,"timestamp":"s.mmm"}
+    *  - ip match: {"cidr":"v/len","data":{...},"match_type":"ip",
+    *    "matched_text":v,"prefix_len":L,"source":path,"timestamp":"s.mmm"}
+    * Keys are alphabetical (serde_json's BTreeMap order); `data` entries
+    * follow ascending pattern id (the reference's sorted-dedup id order);
+    * `matched_text` is the candidate's canonical value (ExtractedItem::
+    * as_value). `tsSeconds` supplies the reference's per-line timestamp
+    * (epoch seconds; batch jobs pass the turn's event time — deterministic,
+    * unlike the reference's wall clock).
+    */
+  def ndjsonMatched(matched: DataFrame, sourcePath: String,
+      tsSeconds: Column, path: String): Unit = {
+    val dataObj = struct(col("category"), col("confidence"), col("source"),
+      col("threat_level"))
+    val grouped = matched.withColumn("__ts", tsSeconds)
+      .groupBy(col("conv_id"), col("turn_idx"), col("span_start"),
+        col("value"), col("database_id"), col("match_type"),
+        col("prefix_len"), col("cidr"), col("__ts"))
+      .agg(count(lit(1)).cast("int").as("pattern_count"),
+        transform(
+          sort_array(collect_list(struct(col("entry_idx").as("i"),
+            dataObj.as("d")))),
+          x => x.getField("d")).as("data_arr"))
+    val ts = format_string("%.3f", col("__ts").cast("double"))
+    val ipJson = to_json(struct(
+      col("cidr"),
+      element_at(col("data_arr"), 1).as("data"),
+      col("match_type"),
+      col("value").as("matched_text"),
+      col("prefix_len"),
+      lit(sourcePath).as("source"),
+      ts.as("timestamp")))
+    val patJson = to_json(struct(
+      col("data_arr").as("data"),
+      col("match_type"),
+      col("value").as("matched_text"),
+      col("pattern_count"),
+      lit(sourcePath).as("source"),
+      ts.as("timestamp")))
+    grouped
+      .select(when(col("match_type") === "ip", ipJson).otherwise(patJson)
+        .as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+  }
 
   /** Extract sink (S11): candidate dump as json/csv/text with optional
     * dedup on value (extract_cmd.rs:133-137, 241-271).

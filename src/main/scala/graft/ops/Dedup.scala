@@ -101,17 +101,63 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical_doc_id"))
       .where(col("n_docs") > 1)
 
+  /** SimHash near-dup PAIRS via multi-band blocking: split the fingerprint
+    * into `bands` equal bit-bands; pairs sharing >=1 band are candidates
+    * (pigeonhole: any pair with Hamming distance < bands shares a band, so
+    * recall is exact for hamming <= bands-1), then filter by true Hamming
+    * distance. One shuffle on the band key; never all-pairs — the banding
+    * is the 100 TB path the round-1 simhashGroups (Hamming-0 only) lacked.
+    */
+  def simhashNearDupPairs(docs: DataFrame, bits: Int = 32, bands: Int = 4,
+      maxHamming: Int = 3): DataFrame = {
+    require(bits % bands == 0, "bits must divide into equal bands")
+    val r = bits / bands
+    val fps = simhashFingerprints(docs, bits)
+    val banded = fps.select(col("doc_id"), col("fingerprint"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("fingerprint"), b * r)
+          .bitwiseAND(lit((1L << r) - 1))): _*))
+        .as(Seq("band_idx", "band_bits")))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_bits") === col("y.band_bits") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.fingerprint").as("fp_a"), col("y.fingerprint").as("fp_b"))
+      .distinct()
+      .withColumn("hamming",
+        expr("bit_count(fp_a ^ fp_b)").cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   /** N-gram Jaccard similarity for candidate pairs that share at least one
     * shingle. |A ∩ B| / |A ∪ B| with integer set sizes; one shuffle on the
     * shingle key. `minJaccard` prunes the tail.
+    *
+    * `maxShingleDf` (0 = off) is the 100 TB skew guard: a shingle present in
+    * d documents contributes d^2 join rows, so one boilerplate 5-gram shared
+    * by 10^8 docs would alone produce 10^16 pairs. Shingles with document
+    * frequency > maxShingleDf are excluded from PAIR GENERATION (set sizes
+    * still count every shingle, so jaccard is a documented lower bound for
+    * pairs sharing hot shingles — near-dup pairs keep >=1 rare shingle in
+    * practice). Excluded shingles are reported per-pair via `inter` being
+    * computed over kept shingles only; callers needing the drop count can
+    * aggregate `df > maxShingleDf` themselves from `shingleDf`.
     */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 5,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5, maxShingleDf: Int = 0): DataFrame = {
     val sh = docs.select(col("doc_id"),
       explode(shingles(col("text"), k)).as("shingle"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
-    val pairs = sh.as("x")
-      .join(sh.as("y"), col("x.shingle") === col("y.shingle"))
+    val kept =
+      if (maxShingleDf <= 0) sh
+      else sh.join(
+        shingleDf(docs, k).where(col("df") <= maxShingleDf).select("shingle"),
+        "shingle")
+    val pairs = kept.as("x")
+      .join(kept.as("y"), col("x.shingle") === col("y.shingle"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
@@ -127,12 +173,36 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
   }
 
-  /** Embedding near-dup: cosine over integer-quantized vectors (exact
-    * cross-engine arithmetic), pairs above threshold. Quadratic — intended
-    * for within-LSH-bucket use or small candidate sets; the scale path is
-    * Similarity.lshBuckets.
+  /** Document frequency per shingle — the skew diagnostic behind
+    * `maxShingleDf` (shingles are distinct per doc, so count == df).
     */
-  def embeddingCosinePairs(embeddings: DataFrame,
+  def shingleDf(docs: DataFrame, k: Int = 5): DataFrame =
+    docs.select(explode(shingles(col("text"), k)).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+
+  /** Embedding near-dup, scale path (DEFAULT): LSH-bucket the corpus with
+    * `planes` random hyperplanes, then compare only within buckets — never
+    * all-pairs. Pairs in different buckets are not compared (approximate by
+    * design; raise recall with more tables via Similarity.lshTopK).
+    */
+  def embeddingCosinePairs(embeddings: DataFrame, minCosine: Double,
+      planes: Int = 6): DataFrame = {
+    val q = embeddings.select(col("vec_id"),
+      Similarity.quantize(col("embedding")).as("qv"),
+      Similarity.lshBucket(col("embedding"), planes).as("bucket"))
+    q.as("a").join(q.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        Similarity.cosineQ(col("a.qv"), col("b.qv")).as("cosine"))
+      .where(col("cosine") >= minCosine)
+  }
+
+  /** Embedding near-dup, exact all-pairs: O(n^2) — ONLY for small candidate
+    * sets (an LSH bucket, a sampled audit slice); the default scale path is
+    * embeddingCosinePairs above.
+    */
+  def embeddingCosinePairsExact(embeddings: DataFrame,
       minCosine: Double): DataFrame = {
     val q = embeddings.select(col("vec_id"),
       Similarity.quantize(col("embedding")).as("qv"))

@@ -6,11 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed in partition-sized batches.
   *
-  * The DECODE step is a clearly-marked deterministic STUB (this container
-  * has no image/audio codecs) — what is real and tested is the Spark-side
-  * contract: binary schema, metadata struct, batch iteration shape
-  * (mapPartitions over a typed Dataset — the Scala analog of mapInPandas
-  * batches), partition sizing, and frame sampling arithmetic.
+  * Two decode paths:
+  *  - REAL (round 2): pure-JVM 24-bit BMP and PCM-16 WAV codecs
+  *    (MediaCodecs) drive synthesizeReal/decodeFeatures/resizeImages —
+  *    decode, feature-extract and resize are actual byte-level work inside
+  *    the same mapPartitions batching contract;
+  *  - STUB (kept for the `video` kind and as the documented shape for
+  *    codecs this container lacks — JPEG/MP4 etc.): decodeMeta parses a
+  *    fake header; the batching/partitioning shape is identical.
   */
 object Multimodal {
 
@@ -76,6 +79,104 @@ object Multimodal {
         Frame(m.media_id, f, off,
           java.util.Arrays.copyOfRange(m.payload, off,
             math.min(off + 64, m.payload.length)))
+      }
+    }
+  }
+
+  // ---------------------------------------------------- REAL codec path
+  final case class MediaFeatures(media_id: Long, kind: String,
+      decoded: Boolean, width: Int, height: Int,
+      mean_b_milli: Long, mean_g_milli: Long, mean_r_milli: Long,
+      channels: Int, sample_rate: Int, n_samples: Int, rms_milli: Long)
+
+  /** Synthesize REAL media payloads: valid 24-bit BMPs (kind=image) and
+    * PCM-16 WAVs (kind=audio), pixel/sample content a pure function of
+    * media_id. Every third row is a deliberately corrupt payload
+    * (kind=image, truncated header) — the pipeline must route it, not die.
+    */
+  def synthesizeReal(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n.toLong).map { i =>
+      (i % 3) match {
+        case 0 =>
+          val w = 8 + (i % 24).toInt
+          val h = 8 + (i % 16).toInt
+          val px = new Array[Byte](w * h * 3)
+          var j = 0
+          while (j < px.length) {
+            px(j) = graft.pipeline.Fixtures.mix(i * 7919L + j).toByte
+            j += 1
+          }
+          MediaRow(i, "image", MediaCodecs.encodeBmp(MediaCodecs.Bmp(w, h, px)))
+        case 1 =>
+          val nSamp = 64 + (i % 200).toInt * 2
+          val samples = new Array[Short](nSamp)
+          var j = 0
+          while (j < nSamp) {
+            samples(j) = (graft.pipeline.Fixtures.mix(i * 104729L + j) & 0x7ff)
+              .toShort
+            j += 1
+          }
+          MediaRow(i, "audio",
+            MediaCodecs.encodeWav(MediaCodecs.Wav(1, 16000, samples)))
+        case _ =>
+          MediaRow(i, "image", Array[Byte]('B', 'M', 0, 1, 2)) // corrupt
+      }
+    }
+  }
+
+  /** REAL decode + feature extraction in partition batches: BMP -> size and
+    * mean channel features, WAV -> rate/length/RMS. Undecodable payloads
+    * come back with decoded=false (routed, never thrown).
+    */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        m.kind match {
+          case "image" =>
+            val img = MediaCodecs.decodeBmp(m.payload)
+            if (img == null)
+              MediaFeatures(m.media_id, m.kind, decoded = false,
+                0, 0, 0, 0, 0, 0, 0, 0, 0)
+            else {
+              val (b, g, r) = MediaCodecs.bmpMeanBgrMilli(img)
+              MediaFeatures(m.media_id, m.kind, decoded = true,
+                img.width, img.height, b, g, r, 0, 0, 0, 0)
+            }
+          case "audio" =>
+            val wav = MediaCodecs.decodeWav(m.payload)
+            if (wav == null)
+              MediaFeatures(m.media_id, m.kind, decoded = false,
+                0, 0, 0, 0, 0, 0, 0, 0, 0)
+            else
+              MediaFeatures(m.media_id, m.kind, decoded = true, 0, 0, 0, 0, 0,
+                wav.channels, wav.sampleRate, wav.samples.length,
+                MediaCodecs.wavRmsMilli(wav))
+          case _ =>
+            MediaFeatures(m.media_id, m.kind, decoded = false,
+              0, 0, 0, 0, 0, 0, 0, 0, 0)
+        }
+      }
+    }
+  }
+
+  /** REAL resize: decode BMP payloads, nearest-neighbor resize to (w, h),
+    * re-encode — the "normalize to model input size" stage. Non-images and
+    * undecodable payloads pass through unchanged.
+    */
+  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int)
+      : Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        if (m.kind != "image") m
+        else {
+          val img = MediaCodecs.decodeBmp(m.payload)
+          if (img == null) m
+          else MediaRow(m.media_id, m.kind,
+            MediaCodecs.encodeBmp(MediaCodecs.resizeBmp(img, w, h)))
+        }
       }
     }
   }

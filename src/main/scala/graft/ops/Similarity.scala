@@ -52,43 +52,69 @@ object Similarity {
       .select("query_id", "rank", "corpus_id", "cosine")
   }
 
-  /** Deterministic random-hyperplane sign for (plane, dim): +-1 from one
-    * md5 hex nibble — reproducible in any engine with md5.
+  /** Deterministic random-hyperplane sign for (table, plane, dim): +-1 from
+    * one md5 hex nibble — reproducible in any engine with md5. Table 0 keeps
+    * the legacy single-table seed so existing bucket ids are stable.
     */
-  private def planeSign(plane: Int, dim: Column): Column =
-    when(conv(substring(md5(concat(lit(s"p$plane-"), dim.cast("string"))),
+  private def planeSign(table: Int, plane: Int, dim: Column): Column = {
+    val seed = if (table == 0) s"p$plane-" else s"t${table}p$plane-"
+    when(conv(substring(md5(concat(lit(seed), dim.cast("string"))),
       1, 1), 16, 10).cast("int") % 2 === 0, lit(1L)).otherwise(lit(-1L))
+  }
 
   /** LSH bucket id: `planes` random-hyperplane sign bits over the quantized
-    * vector. Same-bucket vectors are ANN candidates.
+    * vector. Same-bucket vectors are ANN candidates. `table` selects an
+    * independent hash table (different hyperplane set).
     */
-  def lshBucket(v: Column, planes: Int): Column = {
+  def lshBucket(v: Column, planes: Int, table: Int = 0): Column = {
     val q = quantize(v)
     (0 until planes).map { p =>
       val proj = aggregate(
         zip_with(q, sequence(lit(0), size(q) - 1),
-          (x, i) => x * planeSign(p, i)),
+          (x, i) => x * planeSign(table, p, i)),
         lit(0L), (acc, x) => acc + x)
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** ANN top-k via LSH buckets: rank within each (bucket, query) group.
-    * Approximate — recall depends on `planes`; pairs in different buckets
-    * are never compared (that is the point at 100 TB).
+  /** ANN top-k via multi-table LSH: `tables` independent hyperplane sets
+    * raise recall (a true neighbor is missed only if it lands in a different
+    * bucket in EVERY table); candidate pairs are deduped across tables
+    * before scoring so each pair's cosine is computed once.
+    *
+    * `maxBucketSize` (0 = off) is the skew guard: the corpus side of each
+    * (table, bucket) is capped to its first `maxBucketSize` vec_ids, so an
+    * adversarially hot bucket (all-zero embeddings, near-duplicate floods)
+    * costs at most bucketSize x maxBucketSize comparisons instead of
+    * bucketSize^2. Queries are never dropped — only their candidate lists
+    * are truncated (deterministically, by vec_id).
     */
-  def lshTopK(corpus: DataFrame, k: Int, planes: Int = 6): DataFrame = {
+  def lshTopK(corpus: DataFrame, k: Int, planes: Int = 6, tables: Int = 1,
+      maxBucketSize: Int = 0): DataFrame = {
     val withBucket = corpus.select(col("vec_id"),
       quantize(col("embedding")).as("qv"),
-      lshBucket(col("embedding"), planes).as("bucket"))
-    val a = withBucket.select(col("bucket"), col("vec_id").as("query_id"),
-      col("qv").as("qq"))
-    val b = withBucket.select(col("bucket"), col("vec_id").as("corpus_id"),
-      col("qv").as("cq"))
-    val scored = a.join(b, Seq("bucket"))
+      posexplode(array((0 until tables).map(t =>
+        lshBucket(col("embedding"), planes, t)): _*))
+        .as(Seq("table_idx", "bucket")))
+    val corpusSide = {
+      val base = withBucket.select(col("table_idx"), col("bucket"),
+        col("vec_id").as("corpus_id"), col("qv").as("cq"))
+      if (maxBucketSize <= 0) base
+      else {
+        val w = Window.partitionBy("table_idx", "bucket")
+          .orderBy(col("corpus_id").asc)
+        base.withColumn("bpos", row_number().over(w))
+          .where(col("bpos") <= maxBucketSize).drop("bpos")
+      }
+    }
+    val querySide = withBucket.select(col("table_idx"), col("bucket"),
+      col("vec_id").as("query_id"), col("qv").as("qq"))
+    val cands = querySide.join(corpusSide, Seq("table_idx", "bucket"))
       .where(col("query_id") =!= col("corpus_id"))
-      .select(col("query_id"), col("corpus_id"),
-        cosineQ(col("qq"), col("cq")).as("cosine"))
+      .select("query_id", "corpus_id", "qq", "cq")
+      .dropDuplicates("query_id", "corpus_id")
+    val scored = cands.select(col("query_id"), col("corpus_id"),
+      cosineQ(col("qq"), col("cq")).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))

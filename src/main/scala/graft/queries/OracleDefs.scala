@@ -303,6 +303,129 @@ object OracleDefs {
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  val dedupNgramCapped: String =
+    s"""WITH d AS (SELECT doc_id, 'hotprefix hotprefix '||text AS text
+       |           FROM documents WHERE doc_id < 60),
+       |sh AS (SELECT doc_id, unnest(${duckShingles("text")}) AS shingle FROM d),
+       |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1),
+       |dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+       |kept AS (SELECT sh.doc_id, sh.shingle FROM sh
+       |         JOIN dfc ON sh.shingle = dfc.shingle WHERE dfc.df <= 30),
+       |pairs AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+       |  FROM kept x JOIN kept y ON x.shingle = y.shingle
+       |  WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, inter, sa.set_size AS size_a,
+       |       sb.set_size AS size_b,
+       |       CAST(inter AS DOUBLE) /
+       |         CAST(sa.set_size + sb.set_size - inter AS DOUBLE) AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON pairs.doc_a = sa.doc_id
+       |JOIN sizes sb ON pairs.doc_b = sb.doc_id
+       |WHERE CAST(inter AS DOUBLE) /
+       |      CAST(sa.set_size + sb.set_size - inter AS DOUBLE) >= 0.05
+       |ORDER BY 1, 2""".stripMargin
+
+  /** Bucket-bits SQL for table `t`, `planes` hyperplanes (mirrors
+    * Similarity.planeSign / lshBucket seeds).
+    */
+  private def duckBucket(t: Int, planes: Int): String =
+    (0 until planes).map { p =>
+      val seed = if (t == 0) s"p$p-" else s"t${t}p$p-"
+      val sign = s"(CASE WHEN CAST('0x'||substr(md5('$seed'||CAST(pair[2] AS VARCHAR)),1,1) AS INT)%2 = 0 THEN 1 ELSE -1 END)"
+      s"CASE WHEN list_sum(list_transform(list_zip(v, range(length(embedding))), pair -> pair[1] * $sign)) > 0 THEN (1::BIGINT << $p) ELSE 0 END"
+    }.mkString(" + ")
+
+  val simLshMulti: String = {
+    val planes = 4
+    val tables = (0 until 3).map { t =>
+      s"SELECT vec_id, v, $t AS table_idx, CAST(${duckBucket(t, planes)} AS BIGINT) AS bucket FROM base"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding, $qv AS v FROM embeddings WHERE vec_id < 200),
+       |wb AS (
+       |  $tables
+       |),
+       |corpus_capped AS (
+       |  SELECT * FROM (
+       |    SELECT table_idx, bucket, vec_id AS corpus_id, v AS cv,
+       |      row_number() OVER (PARTITION BY table_idx, bucket
+       |                         ORDER BY vec_id ASC) AS bpos
+       |    FROM wb)
+       |  WHERE bpos <= 50),
+       |cands AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.corpus_id, q.v AS qv2, c.cv
+       |  FROM wb q JOIN corpus_capped c
+       |    ON q.table_idx = c.table_idx AND q.bucket = c.bucket
+       |  WHERE q.vec_id <> c.corpus_id),
+       |scored AS (
+       |  SELECT query_id, corpus_id, ${cosine("qv2", "cv")} AS cosine
+       |  FROM cands),
+       |ranked AS (
+       |  SELECT query_id, corpus_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, corpus_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, cosine
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
+  val dedupEmbeddingLsh: String = {
+    val planes = 4
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding, $qv AS v FROM embeddings WHERE vec_id < 300),
+       |wb AS (SELECT vec_id, v,
+       |  CAST(${duckBucket(0, planes)} AS BIGINT) AS bucket FROM base)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       ${cosine("a.v", "b.v")} AS cosine
+       |FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ${cosine("a.v", "b.v")} >= 0.2
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  val dedupSimhashNear: String = {
+    val bits = 32
+    val bands = 4
+    val r = bits / bands
+    val votes = (0 until bits).map { b =>
+      s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << $b) ELSE 0 END"
+    }.mkString(" + ")
+    val bandRows = (0 until bands).map { b =>
+      s"SELECT doc_id, fingerprint, $b AS band_idx, (fingerprint >> ${b * r}) & ${(1L << r) - 1} AS band_bits FROM fps"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_transform(
+       |      list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
+       |      t -> CAST('0x'||substr(md5(t),1,15) AS BIGINT)) AS hs
+       |  FROM documents WHERE doc_id < 200),
+       |fps AS (SELECT doc_id, CAST($votes AS BIGINT) AS fingerprint FROM toks),
+       |banded AS (
+       |  $bandRows
+       |),
+       |cands AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |         x.fingerprint AS fp_a, y.fingerprint AS fp_b
+       |  FROM banded x JOIN banded y
+       |    ON x.band_idx = y.band_idx AND x.band_bits = y.band_bits
+       |  WHERE x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+       |FROM cands WHERE bit_count(xor(fp_a, fp_b)) <= 3
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  // q34 closed form: the glob matches every extracted mixed-case domain
+  // after lowercase normalization; the literal additionally matches m==3
+  val lookupCase: String =
+    """SELECT * FROM (
+      |  SELECT 'HoSt'||(event_id%10)||'.ExAmple.com' AS value,
+      |         'HOST3.ExAmple.COM' AS entry, count(*) AS n
+      |  FROM events WHERE event_id%10 = 3 GROUP BY 1,2
+      |  UNION ALL
+      |  SELECT 'HoSt'||(event_id%10)||'.ExAmple.com', '*.EXAMPLE.com', count(*)
+      |  FROM events GROUP BY 1,2
+      |) ORDER BY value, entry""".stripMargin
+
   /** Marker-hit count, mirroring TextStats.occurrences (plain replace —
     * markers contain no regex metachars).
     */

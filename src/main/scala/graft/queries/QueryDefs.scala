@@ -234,34 +234,50 @@ object QueryDefs {
       .orderBy("indicator_type", "role")
   }
 
+  /** Route counts in ONE pass: the ScanTurn generator makes both the
+    * matched-sink counts and the clean count row-local (round 1 rebuilt the
+    * whole extract+lookup subtree twice plus an anti-join).
+    */
   def qRouteCounts(s: SparkSession, dir: String): DataFrame = {
     val db = IntelDb.build("threats", goldIntel)
-    val turns = goldTurns(s, dir)
-    val matched = ScanJob.matched(turns, Seq(db), s)
-    val sinkCounts = matched.groupBy(col("indicator_type").as("sink"))
-      .agg(count(lit(1)).as("n"))
-    val cleanCount = turns
-      .join(matched.select("conv_id", "turn_idx").distinct(),
-        Seq("conv_id", "turn_idx"), "left_anti")
-      .agg(count(lit(1)).as("n")).select(lit("clean").as("sink"), col("n"))
-    sinkCounts.unionByName(cleanCount).orderBy("sink")
+    goldTurns(s, dir)
+      .select(explode(
+        graft.functions.ScanTurn.column(col("text"), Seq(db))).as("r"))
+      .select(
+        when(col("r.sink") === "clean", lit("clean"))
+          .otherwise(col("r.indicator_type")).as("sink"),
+        when(col("r.sink") === "clean", lit(1L))
+          .otherwise(size(col("r.hits")).cast("long")).as("w"))
+      .where(col("w") > 0)
+      .groupBy("sink").agg(sum("w").as("n"))
+      .orderBy("sink")
   }
 
+  /** A1-A6 stats in ONE job (round 1 ran five separate actions): every turn
+    * emits >=1 ScanTurn row, so per-turn stats ride pos==0 rows and
+    * candidate/match stats ride sink=='cand' rows of the same explode.
+    */
   def qScanStats(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val db = IntelDb.build("threats", goldIntel)
-    val turns = goldTurns(s, dir)
-    val cands = ScanJob.candidates(turns)
-    val matched = ScanJob.matched(turns, Seq(db), s)
-    val rows = Seq(
-      ("candidates_tested", cands.count()),
-      ("lines_processed", turns.count()),
-      ("lines_with_matches",
-        matched.select("conv_id", "turn_idx").distinct().count()),
-      ("total_bytes", turns.agg(sum(octet_length(col("text"))))
-        .as[Long].head()),
-      ("total_matches", matched.count()))
-    rows.toDF("stat", "value").orderBy("stat")
+    goldTurns(s, dir)
+      .select(octet_length(col("text")).cast("long").as("bytes"),
+        posexplode(graft.functions.ScanTurn.column(col("text"), Seq(db))))
+      .agg(
+        count(when(col("col.sink") === "cand", 1)).as("candidates_tested"),
+        count(when(col("pos") === 0, 1)).as("lines_processed"),
+        (count(when(col("pos") === 0, 1)) -
+          count(when(col("col.sink") === "clean", 1))).as("lines_with_matches"),
+        sum(when(col("pos") === 0, col("bytes"))).as("total_bytes"),
+        coalesce(sum(when(col("col.sink") === "cand",
+          size(col("col.hits")).cast("long"))), lit(0L)).as("total_matches"))
+      .select(expr(
+        """stack(5,
+          |  'candidates_tested', candidates_tested,
+          |  'lines_processed', lines_processed,
+          |  'lines_with_matches', lines_with_matches,
+          |  'total_bytes', total_bytes,
+          |  'total_matches', total_matches) as (stat, value)""".stripMargin))
+      .orderBy("stat")
   }
 
   // --------------------------------------------------- dedup family
@@ -282,9 +298,69 @@ object QueryDefs {
       .orderBy("doc_a", "doc_b")
 
   def qDedupEmbedding(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingCosinePairs(t(s, dir, "embeddings")
+    Dedup.embeddingCosinePairsExact(t(s, dir, "embeddings")
       .where(col("vec_id") < 100), minCosine = 0.2)
       .orderBy("vec_a", "vec_b")
+
+  // ---------------------------------------- skew-hardened variants (q31+)
+  /** q31: n-gram Jaccard under an adversarial hot shingle — every doc gets
+    * the same 20-char prefix, whose 5-grams have df=60; maxShingleDf=30
+    * excludes them from pair generation (the 100 TB quadratic-blowup guard)
+    * while set sizes still count them.
+    */
+  def qDedupNgramCapped(s: SparkSession, dir: String): DataFrame = {
+    val skewed = t(s, dir, "documents").where(col("doc_id") < 60)
+      .select(col("doc_id"),
+        concat(lit("hotprefix hotprefix "), col("text")).as("text"))
+    Dedup.ngramJaccardPairs(skewed, k = 5, minJaccard = 0.05,
+      maxShingleDf = 30)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** q32: multi-table LSH ANN with a per-bucket corpus cap (skew guard). */
+  def qSimLshMulti(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(t(s, dir, "embeddings").where(col("vec_id") < 200),
+      k = 3, planes = 4, tables = 3, maxBucketSize = 50)
+      .orderBy("query_id", "rank")
+
+  /** q33: embedding near-dup through the default LSH-bucketed path (the
+    * all-pairs form is quarantined as embeddingCosinePairsExact).
+    */
+  def qDedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosinePairs(t(s, dir, "embeddings")
+      .where(col("vec_id") < 300), minCosine = 0.2, planes = 4)
+      .orderBy("vec_a", "vec_b")
+
+  /** q35: simhash near-dup pairs via multi-band blocking + true Hamming
+    * filter (recall exact for hamming <= bands-1 by pigeonhole).
+    */
+  def qDedupSimhashNear(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupPairs(t(s, dir, "documents")
+      .where(col("doc_id") < 200), bits = 32, bands = 4, maxHamming = 3)
+      .orderBy("doc_a", "doc_b")
+
+  /** q34: case-insensitive match mode end-to-end (MatchMode::CaseInsensitive,
+    * matchy-literal-hash/src/lib.rs:162-166): mixed-case literal + glob
+    * entries built with caseInsensitive=true against mixed-case extracted
+    * domains. The TLD stays lowercase in the text — PSL validation is
+    * byte-exact regardless of match mode, same as the reference.
+    */
+  def qLookupCase(s: SparkSession, dir: String): DataFrame = {
+    val db = IntelDb.build("ci", Seq(
+      IntelEntry("HOST3.ExAmple.COM", "high", "phishing", "feed", 90),
+      IntelEntry("*.EXAMPLE.com", "low", "heuristic", "feed", 40)),
+      caseInsensitive = true)
+    val meta = ScanJob.intelMetaDf(s, Seq(db))
+    extract(t(s, dir, "events"), concat(lit("visit HoSt"), e % 10,
+      lit(".ExAmple.com end")))
+      .where(col("indicator_type") === "domain")
+      .withColumn("hit", explode(
+        IntelLookup.column(col("value"), col("indicator_type"), db)))
+      .select(col("value"), col("hit.entry_idx").as("entry_idx"))
+      .join(broadcast(meta.select("entry_idx", "entry")), Seq("entry_idx"))
+      .groupBy("value", "entry").agg(count(lit(1)).as("n"))
+      .orderBy("value", "entry")
+  }
 
   // --------------------------------------------------- similarity family
   def qSimTopk(s: SparkSession, dir: String): DataFrame = {

@@ -24,6 +24,18 @@ class IntelStoreSpec extends AnyFunSuite {
       db.lookupString("host1.evil-glob.net").toSeq)
   }
 
+  test("empty feed round-trips (reference builds/opens empty dbs fine)") {
+    val db = IntelDb.build("empty-feed", Nil, caseInsensitive = true)
+    val path = Files.createTempDirectory("intel-store-e").toString + "/db"
+    IntelStore.save(spark, db, path)
+    val loaded = IntelStore.load(spark, path)
+    assert(loaded.databaseId == "empty-feed")
+    assert(loaded.caseInsensitive)
+    assert(loaded.entries.isEmpty)
+    assert(loaded.lookupString("anything").isEmpty)
+    assert(loaded.lookupIp("1.2.3.4", isV6 = false) == null)
+  }
+
   test("S12: point query dispatches ip vs string and reports NotFound") {
     val db = IntelDb.build("threats", Fixtures.intelThreats)
     val ipHit = QueryApi.query(db, "192.0.2.77")

@@ -1,0 +1,52 @@
+package graft.io
+
+import graft.SparkTestBase
+import graft.intel.IntelDb
+import graft.model.{IntelEntry, Turn}
+import graft.pipeline.ScanJob
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** NDJSON field parity with the reference's match_processor output
+  * (bin/match_processor/sequential.rs:154-187): exact emitted lines for one
+  * ip match and one multi-pattern match.
+  */
+class SinksSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("ndjsonMatched emits the reference field shape, byte-exact") {
+    import spark.implicits._
+    val turns = Seq(
+      Turn("c1", 0, "user", "ping 192.0.2.55 then evil.example.com end", "",
+        new Timestamp(1700000000000L)))
+    val db = IntelDb.build("threats", Seq(
+      IntelEntry("192.0.2.0/24", "high", "c2", "feed-a", 90),
+      IntelEntry("evil.example.com", "critical", "phishing", "feed-a", 95),
+      IntelEntry("*.example.com", "low", "heuristic", "feed-b", 40)))
+    val matched = ScanJob.matched(spark.createDataFrame(turns), Seq(db), spark)
+    val out = Files.createTempDirectory("ndjson-out").toString
+    Sinks.ndjsonMatched(matched, "transcripts.log", lit(1700000000.0),
+      s"$out/matches")
+    val lines = spark.read.text(s"$out/matches").as[String].collect().sorted
+
+    val ipLine =
+      """{"cidr":"192.0.2.55/24","data":{"category":"c2","confidence":90,""" +
+        """"source":"feed-a","threat_level":"high"},"match_type":"ip",""" +
+        """"matched_text":"192.0.2.55","prefix_len":24,""" +
+        """"source":"transcripts.log","timestamp":"1700000000.000"}"""
+    // evil.example.com hits BOTH the literal (id for entry 1) and the glob
+    // (entry 2) -> one line, pattern_count=2, data in ascending id order
+    val patLine =
+      """{"data":[{"category":"phishing","confidence":95,"source":"feed-a",""" +
+        """"threat_level":"critical"},{"category":"heuristic",""" +
+        """"confidence":40,"source":"feed-b","threat_level":"low"}],""" +
+        """"match_type":"pattern","matched_text":"evil.example.com",""" +
+        """"pattern_count":2,"source":"transcripts.log",""" +
+        """"timestamp":"1700000000.000"}"""
+    assert(lines.length == 2, lines.mkString("\n"))
+    assert(lines.toSeq == Seq(ipLine, patLine).sorted, lines.mkString("\n"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-JVM BMP/WAV codec correctness + the real multimodal decode path. */
+class MediaCodecsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("BMP round-trip: encode -> decode is identity") {
+    val w = 5; val h = 3 // width 5 forces row padding (15 bytes -> 16)
+    val px = Array.tabulate[Byte](w * h * 3)(i => ((i * 37 + 11) & 0xff).toByte)
+    val img = MediaCodecs.Bmp(w, h, px)
+    val decoded = MediaCodecs.decodeBmp(MediaCodecs.encodeBmp(img))
+    assert(decoded != null)
+    assert(decoded.width == w && decoded.height == h)
+    assert(decoded.pixels.toSeq == px.toSeq)
+  }
+
+  test("BMP decode rejects garbage and truncation") {
+    assert(MediaCodecs.decodeBmp(Array[Byte](1, 2, 3)) == null)
+    assert(MediaCodecs.decodeBmp(Array.fill[Byte](54)(0)) == null)
+    val good = MediaCodecs.encodeBmp(
+      MediaCodecs.Bmp(4, 4, new Array[Byte](48)))
+    assert(MediaCodecs.decodeBmp(good.dropRight(10)) == null)
+  }
+
+  test("BMP resize: nearest-neighbor, known values") {
+    // 2x2 image, distinct pixels; upscale to 4x4 duplicates each quadrant
+    val px = Array[Byte](
+      10, 11, 12, 20, 21, 22,
+      30, 31, 32, 40, 41, 42)
+    val up = MediaCodecs.resizeBmp(MediaCodecs.Bmp(2, 2, px), 4, 4)
+    assert(up.width == 4 && up.height == 4)
+    // top-left quadrant = pixel (0,0)
+    assert(up.pixels.slice(0, 3).toSeq == Seq[Byte](10, 11, 12))
+    assert(up.pixels.slice(3, 6).toSeq == Seq[Byte](10, 11, 12))
+    // top-right quadrant = pixel (0,1)
+    assert(up.pixels.slice(6, 9).toSeq == Seq[Byte](20, 21, 22))
+    // bottom-right = pixel (1,1)
+    assert(up.pixels.slice(45, 48).toSeq == Seq[Byte](40, 41, 42))
+  }
+
+  test("BMP mean channel features") {
+    val px = Array[Byte](0, 100, -56, 10, 110, -46) // B:0,10 G:100,110 R:200,210
+    val (b, g, r) = MediaCodecs.bmpMeanBgrMilli(MediaCodecs.Bmp(2, 1, px))
+    assert(b == 5000L && g == 105000L && r == 205000L)
+  }
+
+  test("WAV round-trip incl. chunk-walk and RMS") {
+    val samples = Array[Short](0, 1000, -1000, 500, -500, 32767, -32768, 0)
+    val wav = MediaCodecs.Wav(2, 44100, samples)
+    val dec = MediaCodecs.decodeWav(MediaCodecs.encodeWav(wav))
+    assert(dec != null)
+    assert(dec.channels == 2 && dec.sampleRate == 44100)
+    assert(dec.samples.toSeq == samples.toSeq)
+    // RMS of constant 1000 = 1000 -> milli 1000000
+    assert(MediaCodecs.wavRmsMilli(
+      MediaCodecs.Wav(1, 8000, Array[Short](1000, 1000, -1000))) == 1000000L)
+    assert(MediaCodecs.decodeWav("RIFFjunk".getBytes) == null)
+  }
+
+  test("WAV channel-0 sampling with stride") {
+    // stereo: ch0 = 1,3,5,7  ch1 = 2,4,6,8
+    val w = MediaCodecs.Wav(2, 8000, Array[Short](1, 2, 3, 4, 5, 6, 7, 8))
+    assert(MediaCodecs.sampleAudio(w, 1).toSeq == Seq[Short](1, 3, 5, 7))
+    assert(MediaCodecs.sampleAudio(w, 2).toSeq == Seq[Short](1, 5))
+    assert(MediaCodecs.sampleAudio(w, 3).toSeq == Seq[Short](1, 7))
+  }
+
+  test("real multimodal pipeline: decode, route corrupt, resize") {
+    import spark.implicits._
+    val media = Multimodal.synthesizeReal(spark, 30)
+    val feats = Multimodal.decodeFeatures(media).collect()
+    assert(feats.length == 30)
+    val images = feats.filter(f => f.media_id % 3 == 0)
+    val audio = feats.filter(f => f.media_id % 3 == 1)
+    val corrupt = feats.filter(f => f.media_id % 3 == 2)
+    assert(images.forall(f => f.decoded && f.width >= 8 && f.height >= 8))
+    assert(audio.forall(f => f.decoded && f.sample_rate == 16000 &&
+      f.n_samples >= 64 && f.rms_milli > 0))
+    assert(corrupt.forall(!_.decoded)) // routed, not thrown
+    // resize every decodable image to 16x16 and re-decode
+    val resized = Multimodal.resizeImages(media, 16, 16)
+    val rf = Multimodal.decodeFeatures(resized).collect()
+    assert(rf.filter(f => f.media_id % 3 == 0)
+      .forall(f => f.decoded && f.width == 16 && f.height == 16))
+    assert(rf.filter(f => f.media_id % 3 == 2).forall(!_.decoded))
+  }
+}
