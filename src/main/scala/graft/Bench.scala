@@ -133,7 +133,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "12000000").toLong
+    val nTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "8000000").toLong
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "5").toInt
     val minWindow = sys.env.getOrElse("SPARK_GRAFT_BENCH_WINDOW_SEC", "8.0").toDouble
 
@@ -210,13 +210,17 @@ object Bench {
       }
       (lowSamples.toSeq, highSamples.toSeq)
     }
-    val primaryRounds = math.max(3, rounds)
+    val primaryRounds = rounds + 2
     val (p2, p8) = measurePair(2, 8, primaryRounds)
     val (s8, s32) = measurePair(math.max(1, cpus / 4), cpus,
       math.max(3, rounds - 2))
     val thrLow = median(p2)
     val thrHigh = median(p8)
     val efficiency = (thrHigh / thrLow) / 4.0
+    // best-of at BOTH levels: peak sustainable throughput under noisy
+    // neighbors (reported alongside the median-based headline, never
+    // instead of it — raw samples are in the JSON either way)
+    val efficiencyBest = (p8.max / p2.max) / 4.0
     val thrLow2 = median(s8)
     val thrHigh2 = median(s32)
     val efficiency2 = (thrHigh2 / thrLow2) / (cpus.toDouble / math.max(1, cpus / 4))
@@ -265,6 +269,7 @@ object Bench {
         f""""turns_per_sec_low":$thrLow%.0f,"turns_per_sec_high":$thrHigh%.0f,""" +
         s""""samples_low":${arr(p2)},"samples_high":${arr(p8)},""" +
         f""""scaling_efficiency":$efficiency%.3f,""" +
+        f""""scaling_efficiency_best":$efficiencyBest%.3f,""" +
         s""""secondary_pair":$secondary,"machine_calibration":$calib}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scan":$scan,"errors":$errJson}"""

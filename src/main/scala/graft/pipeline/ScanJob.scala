@@ -99,10 +99,17 @@ object ScanJob {
     matchedDf.groupBy("database_id", "indicator_type", "role")
       .agg(count(lit(1)).as("match_count"))
 
+  /** @param onlyBuckets restrict THIS run to a bucket subset — the sharding
+    *   knob that makes bucket-granular resume real at 10^12 turns: a huge
+    *   backfill runs as K bucket-range jobs, each marking only its buckets
+    *   done; a crashed job reruns only its own range (`resume = true` skips
+    *   buckets already marked by earlier jobs either way).
+    */
   final case class RunConfig(
       buckets: Int = 64,
       resume: Boolean = false,
-      runId: String = "run-0")
+      runId: String = "run-0",
+      onlyBuckets: Option[Set[Int]] = None)
 
   /** The routed frame: extract + enrich + per-turn routing verdict in ONE
     * map-side pass (ScanTurn generator), metadata attached via broadcast
@@ -118,19 +125,25 @@ object ScanJob {
     val turnsIn = obsTurns.fold(pending)(o => pending.observe(o,
       count(lit(1)).as("lines_processed"),
       coalesce(sum(octet_length(col("text"))), lit(0L)).as("total_bytes")))
+    val hasTool = pending.columns.contains("tool")
+    val hasTs = pending.columns.contains("ts")
     val flat = turnsIn
-      .select(col("bucket"), col("conv_id"), col("turn_idx"), col("role"),
+      .select(Seq(col("bucket"), col("conv_id"), col("turn_idx"), col("role"),
         col("text"), spark_partition_id().as("partition_id"),
-        explode(graft.functions.ScanTurn.column(col("text"), dbs)).as("r"))
-      .select(col("bucket"), col("conv_id"), col("turn_idx"), col("role"),
+        explode(graft.functions.ScanTurn.column(col("text"), dbs)).as("r")) ++
+        (if (hasTool) Seq(col("tool")) else Nil) ++
+        (if (hasTs) Seq(col("ts")) else Nil): _*)
+      .select(Seq(col("bucket"), col("conv_id"), col("turn_idx"), col("role"),
         col("partition_id"),
-        // text rides only on clean rows (the clean sink IS the turn;
+        // full turn rides only on clean rows (the clean sink IS the turn;
         // matched rows carry matched_text/spans instead)
         when(col("r.sink") === "clean", col("text")).as("text"),
         col("r.sink").as("sink"), col("r.indicator_type").as("indicator_type"),
         col("r.value").as("value"), col("r.matched_text").as("matched_text"),
         col("r.span_start").as("span_start"), col("r.span_end").as("span_end"),
-        col("r.hits").as("hits"))
+        col("r.hits").as("hits")) ++
+        (if (hasTool) Seq(when(col("r.sink") === "clean", col("tool")).as("tool")) else Nil) ++
+        (if (hasTs) Seq(when(col("r.sink") === "clean", col("ts")).as("ts")) else Nil): _*)
     val observed = obsRows.fold(flat) { o =>
       val perType = graft.model.IndicatorType.all.map(t =>
         sum(when(col("indicator_type") === t, 1L).otherwise(0L))
@@ -193,18 +206,23 @@ object ScanJob {
 
     val withBucket = turns
       .withColumn("bucket", pmod(xxhash64(col("conv_id")), lit(cfg.buckets)))
+    val selected = cfg.onlyBuckets match {
+      case Some(bs) => withBucket.filter(col("bucket").isInCollection(bs))
+      case None => withBucket
+    }
     val pending =
-      if (doneBuckets.isEmpty) withBucket
-      else withBucket.filter(!col("bucket").isInCollection(doneBuckets))
+      if (doneBuckets.isEmpty) selected
+      else selected.filter(!col("bucket").isInCollection(doneBuckets))
 
     // --- THE single pass: extract + enrich + route + stats observers
     val obsTurns = org.apache.spark.sql.Observation()
     val obsRows = org.apache.spark.sql.Observation()
     val routed = routedFrame(spark, pending, dbs, Some(obsTurns), Some(obsRows))
-    val writeMode =
-      if (cfg.resume && doneBuckets.nonEmpty) SaveMode.Append
-      else SaveMode.Overwrite
-    routed.write.mode(writeMode)
+    // dynamic partition overwrite: only the (sink, bucket, indicator_type)
+    // partitions THIS run produced are replaced — sharded backfills and
+    // shard reruns are idempotent, resumed runs never touch done buckets
+    routed.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("sink", "bucket", "indicator_type")
       .parquet(s"$outDir/routed")
 
@@ -253,11 +271,16 @@ object ScanJob {
           struct(col("conv_id"), col("turn_idx"))))
           .as("turns_with_matches"))
       .withColumn("run_id", lit(cfg.runId))
-      .write.mode(writeMode).parquet(s"$outDir/metrics")
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("run_id").parquet(s"$outDir/metrics")
 
-    // --- completion markers (resume unit = bucket)
+    // --- completion markers (resume unit = bucket; only the buckets THIS
+    // run covered get marked — a sharded backfill's other ranges are owned
+    // by their own jobs)
     fs.mkdirs(donePath)
-    (0 until cfg.buckets).foreach { b =>
+    val covered = cfg.onlyBuckets.getOrElse((0 until cfg.buckets).toSet)
+    covered.foreach { b =>
       fs.create(new org.apache.hadoop.fs.Path(s"$outDir/_buckets_done/$b"),
         true).close()
     }

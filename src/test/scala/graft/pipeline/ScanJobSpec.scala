@@ -128,6 +128,45 @@ class ScanJobSpec extends AnyFunSuite {
     assert(gold2 == gold)
   }
 
+  test("sharded backfill: onlyBuckets ranges compose to the full result") {
+    val out = Files.createTempDirectory("graft-scan-shard").toString
+    // shard 1: buckets 0-3; shard 2: buckets 4-7 (same outDir)
+    ScanJob.run(spark, turnsDf, dbs, out,
+      ScanJob.RunConfig(buckets = 8, runId = "shard-1",
+        onlyBuckets = Some((0 until 4).toSet)))
+    val partial = spark.read.parquet(s"$out/routed")
+    assert(partial.select("bucket").distinct().as[Int].collect().toSet
+      .subsetOf((0 until 4).toSet))
+    // markers exist only for shard 1's buckets
+    val done1 = new java.io.File(s"$out/_buckets_done").list()
+      .filter(_.matches("\\d+")).map(_.toInt).toSet
+    assert(done1 == (0 until 4).toSet)
+    val stats2 = ScanJob.run(spark, turnsDf, dbs, out,
+      ScanJob.RunConfig(buckets = 8, runId = "shard-2",
+        onlyBuckets = Some((4 until 8).toSet)))
+    // after both shards: global stats equal a single full run's oracle
+    val oracleStats = Oracle.stats(turnsSeq, dbs)
+    assert(stats2("lines_processed") == oracleStats("lines_processed"))
+    assert(stats2("total_matches") == oracleStats("total_matches"))
+    assert(stats2("lines_with_matches") == oracleStats("lines_with_matches"))
+    // clean + matched turns still partition the full turn set
+    val routed = spark.read.parquet(s"$out/routed")
+    val mk = routed.where(col("sink") === "matched")
+      .select("conv_id", "turn_idx").distinct().count()
+    val ck = routed.where(col("sink") === "clean").count()
+    assert(mk + ck == nTurns)
+    // clean rows preserve the whole turn (tool + ts, not just text)
+    assert(routed.columns.contains("tool") && routed.columns.contains("ts"))
+    assert(routed.where(col("sink") === "clean" && col("ts").isNull).count() == 0)
+    val totalBefore = routed.count()
+    // rerunning shard 1 (idempotent dynamic overwrite) changes nothing
+    ScanJob.run(spark, turnsDf, dbs, out,
+      ScanJob.RunConfig(buckets = 8, runId = "shard-1b",
+        onlyBuckets = Some((0 until 4).toSet)))
+    val routed2 = spark.read.parquet(s"$out/routed")
+    assert(routed2.count() == totalBefore)
+  }
+
   test("plan shape: no shuffle before the aggregate; broadcast join used") {
     val m = ScanJob.matched(turnsDf, dbs, spark)
     val plan = m.queryExecution.executedPlan.toString()
