@@ -127,7 +127,7 @@ object Glob {
 
   @inline private def asciiLowerCp(c: Int): Int =
     if (c >= 'A' && c <= 'Z') c + 32 else c
-  private def asciiLower(s: String): String = {
+  private[intel] def asciiLower(s: String): String = {
     var i = 0
     var needs = false
     while (i < s.length && !needs) {

@@ -194,17 +194,79 @@ object LiteralIndex {
   */
 final class GlobIndex private (
     patterns: Array[Glob.GlobPattern],
-    entryIdx: Array[Int]
+    entryIdx: Array[Int],
+    ci: Boolean,
+    // paraglob structure: AC automaton over the distinct literal meta-words
+    // of all patterns; a pattern is a CANDIDATE only when every one of its
+    // meta-words occurs in the probe text (necessary condition — literal
+    // segments must appear for the glob to match), then glob-verified.
+    // Patterns with no literal segment are always candidates.
+    ac: AhoCorasick,
+    wordsOfPattern: Array[Array[Int]],
+    patternsOfWord: Array[Array[Int]],
+    alwaysCandidates: Array[Int]
 ) extends Serializable {
+
+  // per-thread probe scratch (the index is broadcast and shared)
+  @transient private lazy val scratch =
+    new ThreadLocal[(Array[Int], Array[Int], Array[Int], Array[Int])] {
+      override def initialValue() = (
+        new Array[Int](if (ac == null) 0 else ac.nWords), // seen words (gen)
+        new Array[Int](if (ac == null) 0 else ac.nWords), // found word ids
+        new Array[Int](patterns.length), // pattern seen (gen)
+        new Array[Int](1)) // generation counter
+    }
+
   def findAll(value: String): Array[Int] = {
+    if (patterns.length == 0) return Array.emptyIntArray
     var out: mutable.ArrayBuffer[Int] = null
-    var i = 0
-    while (i < patterns.length) {
-      if (patterns(i).matches(value)) {
+    @inline def tryPattern(p: Int): Unit =
+      if (patterns(p).matches(value)) {
         if (out == null) out = new mutable.ArrayBuffer[Int](4)
-        out += entryIdx(i)
+        out += entryIdx(p)
       }
-      i += 1
+    if (ac == null) {
+      // no meta-words anywhere: verify all (degenerate tiny sets)
+      var i = 0
+      while (i < patterns.length) { tryPattern(i); i += 1 }
+    } else {
+      val (seenW, foundW, seenP, genBox) = scratch.get()
+      if (genBox(0) == Int.MaxValue) { // wrap: clear stamps, restart
+        java.util.Arrays.fill(seenW, 0)
+        java.util.Arrays.fill(seenP, 0)
+        genBox(0) = 0
+      }
+      genBox(0) += 1
+      val gen = genBox(0)
+      val hay = if (ci) Glob.asciiLower(value) else value
+      val nFound = ac.findWords(hay, seenW, gen, foundW)
+      var f = 0
+      while (f < nFound) {
+        val pats = patternsOfWord(foundW(f))
+        var k = 0
+        while (k < pats.length) {
+          val p = pats(k)
+          if (seenP(p) != gen) {
+            seenP(p) = gen
+            // candidate iff ALL of p's words were found
+            val ws = wordsOfPattern(p)
+            var all = true
+            var j = 0
+            while (all && j < ws.length) {
+              if (seenW(ws(j)) != gen) all = false
+              j += 1
+            }
+            if (all) tryPattern(p)
+          }
+          k += 1
+        }
+        f += 1
+      }
+      var a = 0
+      while (a < alwaysCandidates.length) {
+        tryPattern(alwaysCandidates(a))
+        a += 1
+      }
     }
     if (out == null) Array.emptyIntArray
     else out.distinct.sorted.toArray
@@ -222,7 +284,42 @@ object GlobIndex {
         case Left(_)  => // invalid globs are rejected at build time
       }
     }
-    new GlobIndex(ps.toArray, ix.toArray)
+    val patterns = ps.toArray
+    // meta-words: the literal segments of each pattern (lowercased in CI
+    // mode to match the lowercased probe text)
+    val wordId = new java.util.HashMap[String, Integer]()
+    val wordsB = new mutable.ArrayBuffer[String]()
+    val wordsOfPattern = new Array[Array[Int]](patterns.length)
+    val always = new mutable.ArrayBuffer[Int]()
+    var p = 0
+    while (p < patterns.length) {
+      val lits = patterns(p).segments.collect { case Glob.Lit(s) => s }
+        .map(s => if (caseInsensitive) Glob.asciiLower(s) else s)
+        .distinct
+      if (lits.isEmpty) { always += p; wordsOfPattern(p) = Array.emptyIntArray }
+      else wordsOfPattern(p) = lits.map { w =>
+        val existing = wordId.get(w)
+        if (existing != null) existing.intValue()
+        else {
+          val id = wordsB.length
+          wordId.put(w, Integer.valueOf(id))
+          wordsB += w
+          id
+        }
+      }.toArray
+      p += 1
+    }
+    val ac = if (wordsB.isEmpty) null else AhoCorasick.build(wordsB.toArray)
+    val patternsOfWord = Array.fill(wordsB.length)(
+      new mutable.ArrayBuffer[Int](2))
+    var q = 0
+    while (q < patterns.length) {
+      wordsOfPattern(q).foreach(w => patternsOfWord(w) += q)
+      q += 1
+    }
+    new GlobIndex(patterns, ix.toArray, caseInsensitive, ac,
+      wordsOfPattern, patternsOfWord.map(_.distinct.toArray),
+      always.toArray)
   }
 }
 
