@@ -1,0 +1,25 @@
+package graft.pipeline
+
+import graft.intel.IntelDb
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Prints the formatted physical plans documented in docs/PLANS.md. */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val turns = spark.createDataFrame(Fixtures.turns(100))
+    val dbs = Seq(
+      IntelDb.build("threats", Fixtures.intelThreats),
+      IntelDb.build("allowlist", Fixtures.intelAllowlist))
+    val withBucket = turns.withColumn("bucket",
+      pmod(xxhash64(col("conv_id")), lit(8)))
+    println("=== routedFrame (ScanJob.run single pass) ===")
+    ScanJob.routedFrame(spark, withBucket, dbs).explain("formatted")
+    spark.stop()
+  }
+}
