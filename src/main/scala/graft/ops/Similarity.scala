@@ -52,14 +52,30 @@ object Similarity {
       .select("query_id", "rank", "corpus_id", "cosine")
   }
 
-  /** Deterministic random-hyperplane sign for (table, plane, dim): +-1 from
-    * one md5 hex nibble — reproducible in any engine with md5. Table 0 keeps
-    * the legacy single-table seed so existing bucket ids are stable.
+  /** Max supported embedding dimensionality for the precomputed hyperplane
+    * sign tables (vectors may be shorter; longer ones are rejected).
     */
-  private def planeSign(table: Int, plane: Int, dim: Column): Column = {
+  val MaxDim = 2048
+
+  /** Deterministic random-hyperplane sign for (table, plane, dim): +-1 from
+    * one md5 hex nibble of "seed<dim>" — reproducible in any engine with
+    * md5 (the DuckDB oracle recomputes the same formula). Table 0 keeps the
+    * legacy single-table seed so existing bucket ids are stable.
+    *
+    * Signs depend only on constants, so they are PRECOMPUTED driver-side
+    * and shipped as a literal array — the previous per-element md5 inside
+    * the higher-order function cost planes x tables x dim interpreted md5
+    * calls per row (768 for a 64-dim vector at 4 planes x 3 tables).
+    */
+  private def signTable(table: Int, plane: Int): Array[Long] = {
     val seed = if (table == 0) s"p$plane-" else s"t${table}p$plane-"
-    when(conv(substring(md5(concat(lit(seed), dim.cast("string"))),
-      1, 1), 16, 10).cast("int") % 2 === 0, lit(1L)).otherwise(lit(-1L))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate[Long](MaxDim) { d =>
+      md.reset()
+      val hex = md.digest(s"$seed$d".getBytes("UTF-8"))
+      // first hex nibble = high nibble of byte 0
+      if (((hex(0) >> 4) & 0xf) % 2 == 0) 1L else -1L
+    }
   }
 
   /** LSH bucket id: `planes` random-hyperplane sign bits over the quantized
@@ -69,9 +85,9 @@ object Similarity {
   def lshBucket(v: Column, planes: Int, table: Int = 0): Column = {
     val q = quantize(v)
     (0 until planes).map { p =>
+      val signs = typedlit(signTable(table, p))
       val proj = aggregate(
-        zip_with(q, sequence(lit(0), size(q) - 1),
-          (x, i) => x * planeSign(table, p, i)),
+        zip_with(q, slice(signs, lit(1), size(q)), (x, s) => x * s),
         lit(0L), (acc, x) => acc + x)
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
