@@ -20,14 +20,17 @@ case class MightMatch(child: Expression, screen: CleanPreScreen)
   override def nullable: Boolean = child.nullable
   override def prettyName: String = "might_match"
 
-  override def nullSafeEval(input: Any): Any =
-    screen.mightMatch(input.asInstanceOf[UTF8String].getBytes)
+  override def nullSafeEval(input: Any): Any = {
+    val t = input.asInstanceOf[UTF8String]
+    screen.mightMatch(ExtractIoCs.copyToScratch(t), t.numBytes())
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("prescreen", screen,
       classOf[CleanPreScreen].getName)
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = $ref.mightMatch($c.getBytes());")
+      s"${ev.value} = $ref.mightMatch(" +
+        s"graft.functions.ExtractIoCs.copyToScratch($c), $c.numBytes());")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MightMatch =

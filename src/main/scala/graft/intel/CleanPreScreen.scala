@@ -27,8 +27,9 @@ final class CleanPreScreen(
     caseInsensitive: Boolean
 ) extends Serializable {
 
-  def mightMatch(bytes: Array[Byte]): Boolean = {
-    val n = bytes.length
+  def mightMatch(bytes: Array[Byte]): Boolean = mightMatch(bytes, bytes.length)
+
+  def mightMatch(bytes: Array[Byte], n: Int): Boolean = {
     // IP anchors
     if (needIpv4) {
       var i = 1
@@ -49,7 +50,8 @@ final class CleanPreScreen(
     val hasStringWork = !literalTokens.isEmpty || globCores.nonEmpty ||
       anyTokenFallback
     if (hasStringWork) {
-      val spans = IocScanner.tokenSpans(bytes)
+      val spans = IocScanner.tokenSpansInto(bytes, n,
+        new IocScanner.IntVec(16))
       if (anyTokenFallback && spans.length > 0) return true
       if (!literalTokens.isEmpty) {
         var t = 0
@@ -63,7 +65,7 @@ final class CleanPreScreen(
         }
       }
       if (globCores.nonEmpty) {
-        var text = new String(bytes, "UTF-8")
+        var text = new String(bytes, 0, n, "UTF-8")
         if (caseInsensitive) text = text.toLowerCase
         var g = 0
         while (g < globCores.length) {
