@@ -28,8 +28,7 @@ object Cidr {
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '.') {
-        if (digits == 0 || octets >= 3 || leadingZero && digits > 1) return -1L
-        if (leadingZero && digits > 1) return -1L
+        if (digits == 0 || octets >= 3 || (leadingZero && digits > 1)) return -1L
         value = (value << 8) | acc
         octets += 1; acc = 0; digits = 0; leadingZero = false
       } else if (c >= '0' && c <= '9') {
