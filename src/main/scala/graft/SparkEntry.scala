@@ -68,7 +68,8 @@ object SparkEntry {
     "q32_sim_lsh_multi" -> (QueryDefs.qSimLshMulti _),
     "q33_dedup_embedding_lsh" -> (QueryDefs.qDedupEmbeddingLsh _),
     "q34_lookup_case" -> (QueryDefs.qLookupCase _),
-    "q35_dedup_simhash_near" -> (QueryDefs.qDedupSimhashNear _)
+    "q35_dedup_simhash_near" -> (QueryDefs.qDedupSimhashNear _),
+    "q36_match_gold_prescreen" -> (QueryDefs.qMatchGoldPrescreen _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -106,6 +107,7 @@ object SparkEntry {
     "q32_sim_lsh_multi" -> OracleDefs.simLshMulti,
     "q33_dedup_embedding_lsh" -> OracleDefs.dedupEmbeddingLsh,
     "q34_lookup_case" -> OracleDefs.lookupCase,
-    "q35_dedup_simhash_near" -> OracleDefs.dedupSimhashNear
+    "q35_dedup_simhash_near" -> OracleDefs.dedupSimhashNear,
+    "q36_match_gold_prescreen" -> OracleDefs.matchGold
   )
 }

@@ -234,6 +234,17 @@ object QueryDefs {
       .orderBy("indicator_type", "role")
   }
 
+  /** q36: identical gold counts THROUGH the clean-turn pre-screen (the
+    * north-rule bloom/trie reject path) — proves the superset filter drops
+    * nothing, against the same closed-form oracle as q14.
+    */
+  def qMatchGoldPrescreen(s: SparkSession, dir: String): DataFrame = {
+    val db = IntelDb.build("threats", goldIntel)
+    ScanJob.goldCounts(
+      ScanJob.matched(goldTurns(s, dir), Seq(db), s, prescreen = true))
+      .orderBy("indicator_type", "role")
+  }
+
   /** Route counts in ONE pass: the ScanTurn generator makes both the
     * matched-sink counts and the clean count row-local (round 1 rebuilt the
     * whole extract+lookup subtree twice plus an anti-join).
