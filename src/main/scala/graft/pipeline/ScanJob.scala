@@ -175,6 +175,13 @@ object ScanJob {
         coalesce(col("indicator_type"), lit("none")))
   }
 
+  /** The routed frame without observers — the per-micro-batch body of the
+    * streaming fan-out (StreamingScan.startRouted).
+    */
+  def routedStream(spark: SparkSession, withBucket: DataFrame,
+      dbs: Seq[IntelDb]): DataFrame =
+    routedFrame(spark, withBucket, dbs)
+
   /** Execute the scan end-to-end with fan-out sinks, clean sink, gold
     * counts, stats and per-partition lineage; resumable by conv_id bucket.
     *

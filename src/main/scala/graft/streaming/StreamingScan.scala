@@ -49,6 +49,35 @@ object StreamingScan {
       .start()
   }
 
+  /** Streaming analog of the batch routed fan-out: each micro-batch runs
+    * the SAME single-pass ScanTurn pipeline as ScanJob.run and appends to
+    * the routed sink (sink=matched | sink=clean partitions). Clean turns
+    * are routed in the stream too — the reference's follow mode only
+    * emitted matches; the north rule's fan-out applies to both.
+    */
+  def startRouted(spark: SparkSession, inDir: String, outDir: String,
+      dbsSupplier: () => Seq[IntelDb], buckets: Int = 16,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    val stream = spark.readStream
+      .schema(turnSchema)
+      .json(inDir)
+    stream.writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint_routed")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val dbs = dbsSupplier()
+        val withBucket = batch.withColumn("bucket",
+          pmod(xxhash64(col("conv_id")), lit(buckets)))
+        ScanJob.routedStream(spark, withBucket, dbs)
+          .write.mode(SaveMode.Append)
+          .partitionBy("sink", "bucket", "indicator_type")
+          .parquet(s"$outDir/routed_stream")
+        ()
+      }
+      .start()
+  }
+
   /** Watermarked windowed aggregate over the match stream: per-minute match
     * counts by indicator type, tolerating 2 minutes of event-time lateness
     * (the streaming analog of the A10 gold counts). Classic

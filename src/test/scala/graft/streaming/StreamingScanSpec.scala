@@ -53,6 +53,34 @@ class StreamingScanSpec extends AnyFunSuite {
     assert(m2.where("indicator_type = 'domain'").count() == 1)
   }
 
+  test("routed streaming fan-out: matched+clean from one pass per batch") {
+    val inDir = Files.createTempDirectory("stream-r-in").toString
+    val outDir = Files.createTempDirectory("stream-r-out").toString
+    val dbs = () => Seq(IntelDb.build("threats", Seq(
+      IntelEntry("192.0.2.0/24", "high", "c2", "f", 90))))
+    Files.writeString(java.nio.file.Paths.get(inDir, "b1.json"),
+      turnJson("c1", 0, "hit 192.0.2.55 here") + "\n" +
+        turnJson("c1", 1, "all clean") + "\n" +
+        turnJson("c2", 0, "also clean") + "\n")
+    val q = StreamingScan.startRouted(spark, inDir, outDir, dbs)
+    awaitOrFail(q)
+    val routed = spark.read.parquet(s"$outDir/routed_stream")
+    assert(routed.where("sink = 'matched'").count() == 1)
+    assert(routed.where("sink = 'clean'").count() == 2)
+    // clean rows keep the turn text; matched rows carry the value
+    assert(routed.where("sink = 'clean' AND text IS NULL").count() == 0)
+    assert(routed.where("sink = 'matched'")
+      .select("value").head().getString(0) == "192.0.2.55")
+    // second batch appends incrementally (checkpointed)
+    Files.writeString(java.nio.file.Paths.get(inDir, "b2.json"),
+      turnJson("c3", 0, "new 192.0.2.77 match") + "\n")
+    val q2 = StreamingScan.startRouted(spark, inDir, outDir, dbs)
+    awaitOrFail(q2)
+    val routed2 = spark.read.parquet(s"$outDir/routed_stream")
+    assert(routed2.where("sink = 'matched'").count() == 2)
+    assert(routed2.where("sink = 'clean'").count() == 2)
+  }
+
   test("watermarked windowed match counts (streaming A10 analog)") {
     val inDir = Files.createTempDirectory("stream-w-in").toString
     val outDir = Files.createTempDirectory("stream-w-out").toString
