@@ -133,9 +133,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val nTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "8000000").toLong
+    val nTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "6000000").toLong
     val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "5").toInt
-    val minWindow = sys.env.getOrElse("SPARK_GRAFT_BENCH_WINDOW_SEC", "8.0").toDouble
+    val minWindow = sys.env.getOrElse("SPARK_GRAFT_BENCH_WINDOW_SEC", "6.0").toDouble
 
     val turnsDir = materializeTurns(nTurns, cpus)
 
@@ -213,7 +213,7 @@ object Bench {
     val primaryRounds = rounds + 2
     val (p2, p8) = measurePair(2, 8, primaryRounds)
     val (s8, s32) = measurePair(math.max(1, cpus / 4), cpus,
-      math.max(3, rounds - 2))
+      math.max(2, rounds - 3))
     val thrLow = median(p2)
     val thrHigh = median(p8)
     val efficiency = (thrHigh / thrLow) / 4.0
