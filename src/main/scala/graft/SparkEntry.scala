@@ -69,7 +69,8 @@ object SparkEntry {
     "q33_dedup_embedding_lsh" -> (QueryDefs.qDedupEmbeddingLsh _),
     "q34_lookup_case" -> (QueryDefs.qLookupCase _),
     "q35_dedup_simhash_near" -> (QueryDefs.qDedupSimhashNear _),
-    "q36_match_gold_prescreen" -> (QueryDefs.qMatchGoldPrescreen _)
+    "q36_match_gold_prescreen" -> (QueryDefs.qMatchGoldPrescreen _),
+    "q37_text_tokens" -> (QueryDefs.qTextTokens _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -108,6 +109,7 @@ object SparkEntry {
     "q33_dedup_embedding_lsh" -> OracleDefs.dedupEmbeddingLsh,
     "q34_lookup_case" -> OracleDefs.lookupCase,
     "q35_dedup_simhash_near" -> OracleDefs.dedupSimhashNear,
-    "q36_match_gold_prescreen" -> OracleDefs.matchGold
+    "q36_match_gold_prescreen" -> OracleDefs.matchGold,
+    "q37_text_tokens" -> OracleDefs.textTokens
   )
 }

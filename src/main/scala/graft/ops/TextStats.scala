@@ -89,6 +89,17 @@ object TextStats {
       .otherwise(aggregate(split(trim(text), "\\s+"), lit(0L),
         (acc, w) => acc + ceil(length(w).cast("double") / 4.0).cast("long")))
 
+  /** BPE-ish REGEX token count: the pre-tokenization split every byte-level
+    * BPE applies before merges (GPT-2 style, simplified to RE2-compatible
+    * syntax so the DuckDB oracle can reproduce it): a token is a maximal
+    * run of letters, a run of digits, or a run of other non-space symbols.
+    * This is the actual "how many pieces does the tokenizer see" number;
+    * subwordCount above remains the per-word length proxy.
+    */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpeishPattern)).cast("long")
+
   /** Quality features + a composite score in [0,1]:
     * fraction of alnum chars, stopword presence, length band. Single
     * deterministic arithmetic expression (cross-engine exact).

@@ -477,6 +477,16 @@ object OracleDefs {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  val textTokens: String =
+    """SELECT doc_id,
+      |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |       ELSE length(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+      |    AS n_ws_tokens,
+      |  CAST(length(regexp_extract_all(text,
+      |       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT)
+      |    AS n_bpeish_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val textFingerprint: String =
     """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
       |       count(*) AS n_docs, min(doc_id) AS canonical_doc_id

@@ -404,6 +404,16 @@ object QueryDefs {
         min("doc_id").as("canonical_doc_id"))
       .orderBy("fp")
 
+  /** q37: BPE-ish regex tokenization counts (letters/digits/symbol runs —
+    * the byte-level-BPE pre-tokenization split) next to whitespace tokens.
+    */
+  def qTextTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+        TextStats.bpeishTokenCount(col("text")).as("n_bpeish_tokens"))
+      .orderBy("doc_id")
+
   // --------------------------------------------------- relational family
   def qTpchAgg(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
