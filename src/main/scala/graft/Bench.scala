@@ -20,13 +20,18 @@ import scala.collection.mutable.ArrayBuffer
   * Scaling methodology (round-2 redesign after the round-1 measurement did
   * not reproduce):
   *  - window-based timing: each sample times as many FULL passes over the
-  *    input as fit in >= minWindowSec seconds and reports throughput over
-  *    the whole window, so the high-parallelism level always measures many
-  *    seconds of real work (a sub-second phase measures scheduler noise);
+  *    input as fit in >= minWindowSec (default 6) seconds and reports
+  *    throughput over the whole window, so the high-parallelism level never
+  *    measures a sub-second phase (scheduler noise);
   *  - interleaved A/B/A/B rounds: low- and high-parallelism sessions
   *    alternate, so a transient machine-load blip hits both levels, not one;
-  *  - median of SPARK_GRAFT_BENCH_ROUNDS (default 5) samples per level, raw
-  *    samples emitted in the JSON so variance is visible;
+  *  - a DISCARDED warm-up round per pair (first windows of a run are
+  *    reliably cold on this shared VM), then median of rounds+2 (default 7)
+  *    samples per level on the primary pair; raw samples in the JSON;
+  *  - TWO pairs: primary 2->8 cores (the N->4N criterion, inside the
+  *    machine's linear region) and secondary cpus/4 -> cpus, plus a
+  *    pure-arithmetic machine calibration quantifying the host's own
+  *    thread-scaling ceiling;
   *  - the JSON line is printed bare (build.sbt routes forked stdout through
   *    unprefixed) AND written to BENCH_LOCAL.json.
   */
