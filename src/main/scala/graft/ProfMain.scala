@@ -1,0 +1,108 @@
+package graft
+
+import graft.intel.IntelDb
+import graft.pipeline.{Fixtures, ScanJob}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Stage-decomposition profiler for the in-box thread-scaling question
+  * (VERDICT r2 "what's wrong" #1): measures the scan pipeline CUMULATIVELY
+  * by stage — parquet scan only, + extraction, + lookup/join — at two
+  * parallelism levels, so the stage that stops scaling is directly visible
+  * instead of inferred. Not part of the driver contract; a builder tool.
+  *
+  * Env: SPARK_GRAFT_PROF_CORES="8,32", SPARK_GRAFT_BENCH_TURNS,
+  * SPARK_GRAFT_PROF_WINDOW_SEC.
+  */
+object ProfMain {
+
+  private def newSession(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-prof-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.files.maxPartitionBytes", "32m")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cores = sys.env.getOrElse("SPARK_GRAFT_PROF_CORES", "8,32")
+      .split(",").map(_.trim.toInt).toSeq
+    val nTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "6000000").toLong
+    val windowSec =
+      sys.env.getOrElse("SPARK_GRAFT_PROF_WINDOW_SEC", "5.0").toDouble
+    val turnsDir = s"/tmp/graft-bench-turns-$nTurns"
+    if (!new java.io.File(s"$turnsDir/_SUCCESS").exists()) {
+      val s = newSession(cores.max)
+      import s.implicits._
+      s.range(0L, nTurns, 1L, cores.max * 8)
+        .map(i => Fixtures.turn(i, nTurns)).toDF()
+        .write.mode("overwrite").parquet(turnsDir)
+      s.stop()
+    }
+
+    def dbs() = Seq(
+      IntelDb.build("threats", Fixtures.intelThreats),
+      IntelDb.build("allowlist", Fixtures.intelAllowlist))
+
+    // cumulative stages; each returns a DataFrame whose full materialization
+    // is the measured work
+    def stages(spark: SparkSession): Seq[(String, org.apache.spark.sql.DataFrame)] = {
+      val t = spark.read.parquet(turnsDir)
+      Seq(
+        "1_scan_only" -> t.select(col("text")),
+        "2_plus_extract" -> ScanJob.candidates(t),
+        "3_full_matched" -> ScanJob.matched(t, dbs(), spark),
+        "4_scanturn_routed" -> t.select(col("conv_id"), col("turn_idx"),
+          col("role"),
+          explode(graft.functions.ScanTurn.column(col("text"), dbs()))
+            .as("r"))
+      )
+    }
+
+    val results = scala.collection.mutable.ArrayBuffer[(String, Int, Double)]()
+    for (c <- cores) {
+      val spark = newSession(c)
+      for ((name, df) <- stages(spark)) {
+        val rdd = df.queryExecution.toRdd
+        val counter =
+          (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+            var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n
+          }
+        // warm: JIT the generated loops on a few partitions, then one pass
+        var w = 0
+        while (w < math.min(8, rdd.getNumPartitions)) {
+          spark.sparkContext.runJob(rdd, counter, Seq(w)); w += 1
+        }
+        def pass(): Long = rdd.mapPartitions(it =>
+          Iterator.single(counter(it))).collect().sum
+        pass()
+        var passes = 0
+        val t0 = System.nanoTime()
+        var elapsed = 0.0
+        while (elapsed < windowSec || passes < 1) {
+          pass(); passes += 1
+          elapsed = (System.nanoTime() - t0) / 1e9
+        }
+        val thr = passes * nTurns / elapsed
+        results += ((name, c, thr))
+        println(f"PROF $name%-18s cores=$c%-3d turns_per_sec=$thr%.0f " +
+          f"passes=$passes elapsed=$elapsed%.1f")
+      }
+      spark.stop()
+      System.gc()
+    }
+    println("PROF ---- scaling (highest/lowest cores ratio / core ratio)")
+    val lo = cores.min; val hi = cores.max
+    results.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (name, rs) =>
+      val l = rs.find(_._2 == lo).map(_._3).getOrElse(0.0)
+      val h = rs.find(_._2 == hi).map(_._3).getOrElse(0.0)
+      if (l > 0 && h > 0)
+        println(f"PROF $name%-18s eff_${lo}_to_$hi=${(h / l) / (hi.toDouble / lo)}%.3f")
+    }
+  }
+}

@@ -70,7 +70,10 @@ object SparkEntry {
     "q34_lookup_case" -> (QueryDefs.qLookupCase _),
     "q35_dedup_simhash_near" -> (QueryDefs.qDedupSimhashNear _),
     "q36_match_gold_prescreen" -> (QueryDefs.qMatchGoldPrescreen _),
-    "q37_text_tokens" -> (QueryDefs.qTextTokens _)
+    "q37_text_tokens" -> (QueryDefs.qTextTokens _),
+    // band-bucket skew guards (round 3): identical-doc flood, bounded pairs
+    "q38_dedup_minhash_capped" -> (QueryDefs.qDedupMinhashCapped _),
+    "q39_dedup_simhash_capped" -> (QueryDefs.qDedupSimhashCapped _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -110,6 +113,8 @@ object SparkEntry {
     "q34_lookup_case" -> OracleDefs.lookupCase,
     "q35_dedup_simhash_near" -> OracleDefs.dedupSimhashNear,
     "q36_match_gold_prescreen" -> OracleDefs.matchGold,
-    "q37_text_tokens" -> OracleDefs.textTokens
+    "q37_text_tokens" -> OracleDefs.textTokens,
+    "q38_dedup_minhash_capped" -> OracleDefs.dedupMinhashCapped,
+    "q39_dedup_simhash_capped" -> OracleDefs.dedupSimhashCapped
   )
 }

@@ -331,7 +331,14 @@ final case class IntelMeta(
     threatLevel: String,
     category: String,
     source: String,
-    confidence: Int
+    confidence: Int,
+    // MISP attribute metadata (reference misp_importer.rs:884-925);
+    // defaults = absent for non-MISP feeds
+    toIds: Option[Boolean] = None,
+    comment: String = "",
+    attrType: String = "",
+    attrTimestamp: Long = -1L,
+    tags: String = ""
 )
 
 /** One compiled intel database: the Spark-side analog of a loaded .mxy —
@@ -416,7 +423,8 @@ object IntelDb {
       classify(r.entry).foreach { et =>
         val idx = metas.size
         metas += IntelMeta(r.entry, entryTypeName(et), r.threat_level,
-          r.category, r.source, r.confidence)
+          r.category, r.source, r.confidence, r.to_ids, r.comment,
+          r.attr_type, r.attr_timestamp, r.tags)
         et match {
           case IpEntry(c)       => cidrs += ((c, idx))
           case LiteralEntry(k)  => lits += ((k, idx))

@@ -17,10 +17,12 @@ object IntelStore {
     import spark.implicits._
     val rows = db.entries.toSeq.map { m =>
       (db.databaseId, m.entry, m.entryType, m.threatLevel, m.category,
-        m.source, m.confidence, db.caseInsensitive)
+        m.source, m.confidence, db.caseInsensitive,
+        m.toIds, m.comment, m.attrType, m.attrTimestamp, m.tags)
     }
     rows.toDF("database_id", "entry", "entry_type", "threat_level",
-      "category", "source", "confidence", "case_insensitive")
+      "category", "source", "confidence", "case_insensitive",
+      "to_ids", "comment", "attr_type", "attr_timestamp", "tags")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
     // sidecar metadata (underscore-prefixed: invisible to parquet readers)
     // carries database_id + match mode even for a legitimately EMPTY feed —
@@ -37,10 +39,22 @@ object IntelStore {
 
   def load(spark: SparkSession, path: String): IntelDb = {
     import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, coalesce}
     val df = spark.read.parquet(path)
-    val rows = df.select("database_id", "entry", "threat_level", "category",
-      "source", "confidence", "case_insensitive")
-      .as[(String, String, String, String, String, Int, Boolean)]
+    // pre-round-3 stores lack the MISP metadata columns — default them
+    def optCol(name: String, default: org.apache.spark.sql.Column) =
+      if (df.columns.contains(name)) col(name) else default
+    val rows = df.select(col("database_id"), col("entry"),
+      col("threat_level"), col("category"), col("source"), col("confidence"),
+      col("case_insensitive"),
+      optCol("to_ids", lit(null).cast("boolean")).as("to_ids"),
+      coalesce(optCol("comment", lit("")), lit("")).as("comment"),
+      coalesce(optCol("attr_type", lit("")), lit("")).as("attr_type"),
+      coalesce(optCol("attr_timestamp", lit(-1L)), lit(-1L))
+        .as("attr_timestamp"),
+      coalesce(optCol("tags", lit("")), lit("")).as("tags"))
+      .as[(String, String, String, String, String, Int, Boolean,
+        Option[Boolean], String, String, Long, String)]
       .collect()
     val (databaseId, ci) =
       if (rows.nonEmpty) (rows.head._1, rows.head._7)
@@ -60,7 +74,9 @@ object IntelStore {
         (id, txt.contains("\"case_insensitive\":true"))
       }
     IntelDb.build(databaseId,
-      rows.toSeq.map(r => IntelEntry(r._2, r._3, r._4, r._5, r._6)), ci)
+      rows.toSeq.map(r => IntelEntry(r._2, r._3, r._4, r._5, r._6,
+        to_ids = r._8, comment = r._9, attr_type = r._10,
+        attr_timestamp = r._11, tags = r._12)), ci)
   }
 }
 

@@ -53,7 +53,18 @@ final case class IntelEntry(
     threat_level: String,
     category: String,
     source: String,
-    confidence: Int
+    confidence: Int,
+    // Attribute-level metadata fidelity (MISP S8, reference
+    // misp_importer.rs:884-925): the to_ids actionability bit, analyst
+    // comment, attribute type, attribute unix timestamp and merged
+    // event+attribute tags ride through the broadcast metadata join into
+    // the matched output, so downstream filters like to_ids=true work.
+    // Defaults = "absent" for non-MISP sources.
+    to_ids: Option[Boolean] = None,
+    comment: String = "",
+    attr_type: String = "",
+    attr_timestamp: Long = -1L,
+    tags: String = ""
 )
 
 /** Matched output row: reference `MatchResult`

@@ -47,11 +47,34 @@ object Dedup {
     }: _*)
   }
 
+  /** Cap one side of a band-bucket self-join to its first `cap` doc_ids per
+    * (band_idx, band_key) — the skew guard shared by the minhash and simhash
+    * pair generators. A flood of identical documents (all in one band
+    * bucket) then costs bucketSize x cap join rows instead of bucketSize^2:
+    * every flood doc still pairs with the bucket's first `cap` members (so
+    * it IS reported as a near-dup), but the quadratic intra-flood pair list
+    * is truncated deterministically.
+    */
+  private def capBandSide(banded: DataFrame, cap: Int): DataFrame =
+    if (cap <= 0) banded
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("band_idx", "band_key").orderBy(col("doc_id").asc)
+      banded.withColumn("bpos", row_number().over(w))
+        .where(col("bpos") <= cap).drop("bpos")
+    }
+
   /** MinHash + LSH near-dup candidate pairs: band the signature, bucket-join
     * on (band_idx, band_key), emit doc pairs sharing >= 1 band.
+    *
+    * `maxBandDf` (0 = off) is the 100 TB skew guard (same class as
+    * `maxShingleDf` / `Similarity.maxBucketSize`): one side of the band
+    * self-join is capped to the first `maxBandDf` doc_ids per band bucket,
+    * bounding an N-identical-docs flood at N x maxBandDf pairs instead of
+    * N^2. No document is dropped — only its intra-bucket pair fanout.
     */
   def minhashLshPairs(docs: DataFrame, k: Int = 5, numHashes: Int = 8,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4, maxBandDf: Int = 0): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sig = docs.select(col("doc_id"),
       minhashSignature(col("text"), k, numHashes).as("sig"))
@@ -61,8 +84,11 @@ object Dedup {
         b => concat_ws("#",
           slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
         .as(Seq("band_idx", "band_key")))
-    val a = banded.select(col("band_idx"), col("band_key"),
-      col("doc_id").as("doc_a"))
+    // cap the LEFT (smaller-id) side: pairs are (a, b) with a < b, so the
+    // capped side must be the one holding the bucket's smallest ids — every
+    // beyond-cap doc still pairs (as doc_b) with the first maxBandDf members
+    val a = capBandSide(banded, maxBandDf)
+      .select(col("band_idx"), col("band_key"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band_idx"), col("band_key"),
       col("doc_id").as("doc_b"))
     a.join(b, Seq("band_idx", "band_key"))
@@ -109,7 +135,7 @@ object Dedup {
     * is the 100 TB path the round-1 simhashGroups (Hamming-0 only) lacked.
     */
   def simhashNearDupPairs(docs: DataFrame, bits: Int = 32, bands: Int = 4,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBandDf: Int = 0): DataFrame = {
     require(bits % bands == 0, "bits must divide into equal bands")
     val r = bits / bands
     val fps = simhashFingerprints(docs, bits)
@@ -118,7 +144,18 @@ object Dedup {
         shiftright(col("fingerprint"), b * r)
           .bitwiseAND(lit((1L << r) - 1))): _*))
         .as(Seq("band_idx", "band_bits")))
-    banded.as("x")
+    // same guard as minhashLshPairs (`maxBandDf`): cap the smaller-id side
+    // per band bucket so an identical-fingerprint flood emits N x cap pairs,
+    // not N^2 — every doc still pairs with its bucket's first cap members
+    val left =
+      if (maxBandDf <= 0) banded
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("band_idx", "band_bits").orderBy(col("doc_id").asc)
+        banded.withColumn("bpos", row_number().over(w))
+          .where(col("bpos") <= maxBandDf).drop("bpos")
+      }
+    left.as("x")
       .join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_bits") === col("y.band_bits") &&

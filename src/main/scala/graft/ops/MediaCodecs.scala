@@ -29,6 +29,14 @@ object MediaCodecs {
 
   private def bmpRowSize(width: Int): Int = ((width * 3 + 3) / 4) * 4
 
+  /** Sanity cap on decoded dimensions/sample counts: all size arithmetic is
+    * done in Long against this bound BEFORE any allocation, so adversarial
+    * headers (width near 2^31 passing a naive bounds check through Int
+    * overflow) are routed as undecodable instead of throwing — the decode
+    * contract is "returns null, never throws".
+    */
+  private val MaxDecodeDim = 1 << 16
+
   /** Encode a top-down pixel buffer as a bottom-up 24-bit BMP. */
   def encodeBmp(img: Bmp): Array[Byte] = {
     require(img.pixels.length == img.width * img.height * 3, "bad pixel buf")
@@ -72,8 +80,11 @@ object MediaCodecs {
       return null
     val bottomUp = heightRaw > 0
     val height = math.abs(heightRaw)
+    if (width > MaxDecodeDim || height > MaxDecodeDim ||
+      width.toLong * height * 3 > Int.MaxValue) return null
     val rowSize = bmpRowSize(width)
-    if (pixOff.toLong + rowSize.toLong * height > bytes.length) return null
+    if (pixOff < 0 || pixOff.toLong + rowSize.toLong * height > bytes.length)
+      return null
     val pixels = new Array[Byte](width * height * 3)
     var y = 0
     while (y < height) {
@@ -162,7 +173,7 @@ object MediaCodecs {
     while (off + 8 <= bytes.length) {
       val id = new String(bytes, off, 4, "ISO-8859-1")
       val size = i32le(bytes, off + 4)
-      if (size < 0 || off + 8 + size > bytes.length) return null
+      if (size < 0 || off.toLong + 8 + size > bytes.length) return null
       id match {
         case "fmt " if size >= 16 =>
           val fmt = u16le(bytes, off + 8)

@@ -81,9 +81,18 @@ object Similarity {
   /** LSH bucket id: `planes` random-hyperplane sign bits over the quantized
     * vector. Same-bucket vectors are ANN candidates. `table` selects an
     * independent hash table (different hyperplane set).
+    *
+    * Vectors longer than MaxDim fail LOUDLY (assert_true): the sign tables
+    * only cover MaxDim dims, and silently zero-padded projections would
+    * collapse every oversized vector into bucket 0 — one hot bucket and
+    * quadratic blowup instead of an error.
     */
   def lshBucket(v: Column, planes: Int, table: Int = 0): Column = {
-    val q = quantize(v)
+    val checked = when(
+      assert_true(size(v) <= MaxDim,
+        lit(s"embedding dimensionality exceeds Similarity.MaxDim=$MaxDim"))
+        .isNull, v)
+    val q = quantize(checked)
     (0 until planes).map { p =>
       val signs = typedlit(signTable(table, p))
       val proj = aggregate(
@@ -125,10 +134,15 @@ object Similarity {
     }
     val querySide = withBucket.select(col("table_idx"), col("bucket"),
       col("vec_id").as("query_id"), col("qv").as("qq"))
-    val cands = querySide.join(corpusSide, Seq("table_idx", "bucket"))
+    val joined = querySide.join(corpusSide, Seq("table_idx", "bucket"))
       .where(col("query_id") =!= col("corpus_id"))
       .select("query_id", "corpus_id", "qq", "cq")
-      .dropDuplicates("query_id", "corpus_id")
+    // with ONE table each vector has exactly one bucket, so a (query,
+    // corpus) pair cannot repeat — the cross-table dedup shuffle would be
+    // a pure no-op there (and was a measured 2.6x regression on q23)
+    val cands =
+      if (tables > 1) joined.dropDuplicates("query_id", "corpus_id")
+      else joined
     val scored = cands.select(col("query_id"), col("corpus_id"),
       cosineQ(col("qq"), col("cq")).as("cosine"))
     val w = Window.partitionBy("query_id")

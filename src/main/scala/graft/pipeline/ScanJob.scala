@@ -49,10 +49,12 @@ object ScanJob {
     dbs.zipWithIndex.flatMap { case (db, d) =>
       db.entries.zipWithIndex.map { case (m, i) =>
         (d, i, db.databaseId, m.entry, m.entryType, m.threatLevel,
-          m.category, m.source, m.confidence)
+          m.category, m.source, m.confidence,
+          m.toIds, m.comment, m.attrType, m.attrTimestamp, m.tags)
       }
     }.toDF("db_idx", "entry_idx", "database_id", "entry", "entry_type",
-      "threat_level", "category", "source", "confidence")
+      "threat_level", "category", "source", "confidence",
+      "to_ids", "comment", "attr_type", "attr_timestamp", "tags")
   }
 
   /** Enrichment stage (L2+L3+L4 x L8): probe ALL broadcast databases in one
@@ -127,10 +129,15 @@ object ScanJob {
       coalesce(sum(octet_length(col("text"))), lit(0L)).as("total_bytes")))
     val hasTool = pending.columns.contains("tool")
     val hasTs = pending.columns.contains("ts")
+    // null text routes to the clean sink like an empty line (the reference
+    // treats both as no-candidate input); without the coalesce, ScanTurn is
+    // null for null text and explode would DROP the turn from both sinks
+    // while the turn observer still counted it
+    val safeText = coalesce(col("text"), lit(""))
     val flat = turnsIn
       .select(Seq(col("bucket"), col("conv_id"), col("turn_idx"), col("role"),
         col("text"), spark_partition_id().as("partition_id"),
-        explode(graft.functions.ScanTurn.column(col("text"), dbs)).as("r")) ++
+        explode(graft.functions.ScanTurn.column(safeText, dbs)).as("r")) ++
         (if (hasTool) Seq(col("tool")) else Nil) ++
         (if (hasTs) Seq(col("ts")) else Nil): _*)
       .select(Seq(col("bucket"), col("conv_id"), col("turn_idx"), col("role"),
@@ -210,6 +217,14 @@ object ScanJob {
       if (cfg.resume && fs.exists(donePath))
         fs.listStatus(donePath).map(_.getPath.getName.toInt).toSet
       else Set.empty
+    // a FRESH full run (no resume, no shard restriction) owns the whole
+    // outDir: clear routed data and completion markers up front so dynamic
+    // partition overwrite can't leave stale partitions from a previous run
+    // with different input alive under the new gold/stats aggregates
+    if (!cfg.resume && cfg.onlyBuckets.isEmpty) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/routed"), true)
+      fs.delete(donePath, true)
+    }
 
     val withBucket = turns
       .withColumn("bucket", pmod(xxhash64(col("conv_id")), lit(cfg.buckets)))

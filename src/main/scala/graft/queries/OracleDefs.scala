@@ -414,6 +414,84 @@ object OracleDefs {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** Flood fixture shared by q38/q39 (mirrors QueryDefs.floodDocs). */
+  private val floodDocsSql: String =
+    """SELECT CAST(event_id AS BIGINT) AS doc_id,
+      |    CASE WHEN event_id%6 <> 0
+      |      THEN 'identical flood document body repeated verbatim many times'
+      |      ELSE 'unique doc '||event_id END AS text
+      |  FROM events WHERE event_id < 1200""".stripMargin
+
+  val dedupMinhashCapped: String = {
+    val numHashes = 8
+    val bands = 4
+    val r = numHashes / bands
+    val sig = (0 until numHashes)
+      .map(i => s"list_min(list_transform(sh, s -> md5('$i'||'|'||s)))")
+      .mkString("[", ", ", "]")
+    val bandRows = (0 until bands).map { b =>
+      s"SELECT doc_id, $b AS band_idx, " +
+        s"array_to_string(list_slice(sig, ${b * r + 1}, ${b * r + r}), '#') AS band_key FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH d AS ($floodDocsSql),
+       |sh_t AS (SELECT doc_id, ${duckShingles("text")} AS sh FROM d),
+       |sigs AS (SELECT doc_id, $sig AS sig FROM sh_t),
+       |banded AS (
+       |  $bandRows
+       |),
+       |capped AS (
+       |  SELECT doc_id, band_idx, band_key FROM (
+       |    SELECT doc_id, band_idx, band_key,
+       |      row_number() OVER (PARTITION BY band_idx, band_key
+       |                         ORDER BY doc_id ASC) AS bpos
+       |    FROM banded)
+       |  WHERE bpos <= 10)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM capped a JOIN banded b
+       |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |WHERE a.doc_id < b.doc_id
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  val dedupSimhashCapped: String = {
+    val bits = 32
+    val bands = 4
+    val r = bits / bands
+    val votes = (0 until bits).map { b =>
+      s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << $b) ELSE 0 END"
+    }.mkString(" + ")
+    val bandRows = (0 until bands).map { b =>
+      s"SELECT doc_id, fingerprint, $b AS band_idx, (fingerprint >> ${b * r}) & ${(1L << r) - 1} AS band_bits FROM fps"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH d AS ($floodDocsSql),
+       |toks AS (
+       |  SELECT doc_id,
+       |    list_transform(
+       |      list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
+       |      t -> CAST('0x'||substr(md5(t),1,15) AS BIGINT)) AS hs
+       |  FROM d),
+       |fps AS (SELECT doc_id, CAST($votes AS BIGINT) AS fingerprint FROM toks),
+       |banded AS (
+       |  $bandRows
+       |),
+       |capped AS (
+       |  SELECT doc_id, fingerprint, band_idx, band_bits FROM (
+       |    SELECT doc_id, fingerprint, band_idx, band_bits,
+       |      row_number() OVER (PARTITION BY band_idx, band_bits
+       |                         ORDER BY doc_id ASC) AS bpos
+       |    FROM banded)
+       |  WHERE bpos <= 10),
+       |cands AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |         x.fingerprint AS fp_a, y.fingerprint AS fp_b
+       |  FROM capped x JOIN banded y
+       |    ON x.band_idx = y.band_idx AND x.band_bits = y.band_bits
+       |  WHERE x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+       |FROM cands WHERE bit_count(xor(fp_a, fp_b)) <= 3
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   // q34 closed form: the glob matches every extracted mixed-case domain
   // after lowercase normalization; the literal additionally matches m==3
   val lookupCase: String =

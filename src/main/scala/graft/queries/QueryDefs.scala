@@ -350,6 +350,35 @@ object QueryDefs {
       .where(col("doc_id") < 200), bits = 32, bands = 4, maxHamming = 3)
       .orderBy("doc_a", "doc_b")
 
+  /** Identical-document flood fixture for the band-bucket cap queries
+    * (q38/q39): 1200 docs from the events table, 1000 of them byte-identical
+    * — the exact-duplicate flood that makes uncapped band joins quadratic
+    * (10^3 identical docs -> 499,500 intra-flood pairs without the cap).
+    */
+  private def floodDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").where(e < 1200)
+      .select(e.cast("long").as("doc_id"),
+        when(e % 6 =!= 0,
+          lit("identical flood document body repeated verbatim many times"))
+          .otherwise(concat(lit("unique doc "), e)).as("text"))
+
+  /** q38: minhash LSH pairs on the flood fixture with maxBandDf=10 — the
+    * flood emits ~1000 x 10 pairs (every doc still linked to the bucket's
+    * first 10 members) instead of ~500k.
+    */
+  def qDedupMinhashCapped(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(floodDocs(s, dir), k = 5, numHashes = 8,
+      bands = 4, maxBandDf = 10)
+      .orderBy("doc_a", "doc_b")
+
+  /** q39: simhash near-dup pairs on the flood fixture with maxBandDf=10
+    * (identical docs -> identical fingerprints -> one band bucket).
+    */
+  def qDedupSimhashCapped(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupPairs(floodDocs(s, dir), bits = 32, bands = 4,
+      maxHamming = 3, maxBandDf = 10)
+      .orderBy("doc_a", "doc_b")
+
   /** q34: case-insensitive match mode end-to-end (MatchMode::CaseInsensitive,
     * matchy-literal-hash/src/lib.rs:162-166): mixed-case literal + glob
     * entries built with caseInsensitive=true against mixed-case extracted

@@ -33,7 +33,24 @@ object IntelIngest {
     out = if (out.columns.contains("confidence"))
       out.withColumn("confidence", coalesce(col("confidence").cast("int"), lit(0)))
     else out.withColumn("confidence", lit(0))
-    out.select("entry", "threat_level", "category", "source", "confidence")
+    // optional attribute-level metadata (MISP fidelity fields): honored when
+    // the feed carries them, defaulted to "absent" otherwise
+    out = if (out.columns.contains("to_ids"))
+      out.withColumn("to_ids", col("to_ids").cast("boolean"))
+    else out.withColumn("to_ids", lit(null).cast("boolean"))
+    Seq("comment" -> "", "attr_type" -> "", "tags" -> "").foreach {
+      case (c, d) =>
+        out =
+          if (out.columns.contains(c))
+            out.withColumn(c, coalesce(col(c).cast("string"), lit(d)))
+          else out.withColumn(c, lit(d))
+    }
+    out = if (out.columns.contains("attr_timestamp"))
+      out.withColumn("attr_timestamp",
+        coalesce(col("attr_timestamp").cast("long"), lit(-1L)))
+    else out.withColumn("attr_timestamp", lit(-1L))
+    out.select("entry", "threat_level", "category", "source", "confidence",
+      "to_ids", "comment", "attr_type", "attr_timestamp", "tags")
       .where(col("entry").isNotNull && length(col("entry")) > 0)
   }
 

@@ -51,6 +51,13 @@ object MispIngest {
       }
       val source = Option(ev.get("info")).map(_.asText("misp"))
         .getOrElse("misp")
+      def tagNames(node: JsonNode): Seq[String] =
+        Option(node.get("Tag")).filter(_.isArray)
+          .map(_.elements().asScala.toSeq
+            .flatMap(t => Option(t.get("name")).map(_.asText()))
+            .filter(_.nonEmpty))
+          .getOrElse(Nil)
+      val eventTags = tagNames(ev)
       def attrs(node: JsonNode): Seq[JsonNode] =
         Option(node.get("Attribute")).filter(_.isArray)
           .map(_.elements().asScala.toSeq).getOrElse(Nil)
@@ -61,9 +68,25 @@ object MispIngest {
         val value = Option(a.get("value")).map(_.asText()).getOrElse("")
         val category = Option(a.get("category")).map(_.asText())
           .filter(_.nonEmpty).getOrElse("unknown")
+        // attribute metadata fidelity (reference misp_importer.rs:884-925):
+        // to_ids actionability bit, analyst comment, unix timestamp, and
+        // event tags merged with attribute tags (event first, like the
+        // reference's base_metadata + attribute-tag append)
+        val toIds = Option(a.get("to_ids"))
+          .filter(n => n.isBoolean || n.isTextual || n.isNumber)
+          .map(_.asBoolean(false))
+        val comment = Option(a.get("comment")).map(_.asText())
+          .filter(_.nonEmpty).getOrElse("")
+        val ts = Option(a.get("timestamp")).map(_.asLong(-1L)).getOrElse(-1L)
+        val tags = (eventTags ++ tagNames(a)).mkString(",")
+        // MISP has no standard confidence; honor an explicit numeric
+        // `confidence` field when an export carries one, else 0
+        val conf = Option(a.get("confidence")).map(_.asInt(0)).getOrElse(0)
         def add(entry: String): Unit =
           if (entry.nonEmpty)
-            out += IntelEntry(entry, threatLevel, category, source, 0)
+            out += IntelEntry(entry, threatLevel, category, source, conf,
+              to_ids = toIds, comment = comment, attr_type = atype,
+              attr_timestamp = ts, tags = tags)
         atype match {
           case "ip-src" | "ip-dst" | "ip" => add(value)
           case "ip-src/netmask" | "ip-dst/netmask" => add(value)

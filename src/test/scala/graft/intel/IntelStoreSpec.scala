@@ -87,6 +87,68 @@ class IntelStoreSpec extends AnyFunSuite {
     assert(db.lookupString("evil.example.com").nonEmpty)
   }
 
+  test("S8: MISP attribute metadata (to_ids/comment/timestamp/tags) " +
+    "round-trips to the matched output") {
+    // reference-shaped event (misp_importer.rs:200-238 field set); the
+    // reference carries to_ids/comment/timestamp into entry metadata
+    // (process_attribute, misp_importer.rs:884-925)
+    val json =
+      """{"Event": {
+        |  "info": "apt-feed", "threat_level_id": "2",
+        |  "Tag": [{"name": "tlp:amber"}],
+        |  "Attribute": [
+        |    {"type": "ip-src", "value": "192.0.2.77", "to_ids": true,
+        |     "comment": "observed C2 beacon", "timestamp": "1700000123",
+        |     "category": "Network activity",
+        |     "Tag": [{"name": "kill-chain:C2"}]},
+        |    {"type": "domain", "value": "sink.example.com", "to_ids": false,
+        |     "category": "Network activity"}
+        |  ]
+        |}}""".stripMargin
+    val entries = MispIngest.parse(json)
+    val byEntry = entries.map(e => e.entry -> e).toMap
+    assert(byEntry("192.0.2.77").to_ids.contains(true))
+    assert(byEntry("192.0.2.77").comment == "observed C2 beacon")
+    assert(byEntry("192.0.2.77").attr_timestamp == 1700000123L)
+    assert(byEntry("192.0.2.77").attr_type == "ip-src")
+    assert(byEntry("192.0.2.77").tags == "tlp:amber,kill-chain:C2")
+    assert(byEntry("sink.example.com").to_ids.contains(false))
+    assert(byEntry("sink.example.com").comment == "")
+    assert(byEntry("sink.example.com").tags == "tlp:amber")
+
+    // metadata survives the compiled-store round-trip (S9)
+    val db0 = IntelDb.build("misp-meta", entries)
+    val path = Files.createTempDirectory("intel-store-m").toString + "/db"
+    IntelStore.save(spark, db0, path)
+    val db = IntelStore.load(spark, path)
+    assert(db.entries.map(m => (m.entry, m.toIds, m.comment, m.attrType,
+      m.attrTimestamp, m.tags)).toSeq ==
+      db0.entries.map(m => (m.entry, m.toIds, m.comment, m.attrType,
+        m.attrTimestamp, m.tags)).toSeq)
+
+    // ...and reaches the matched output through the broadcast metadata
+    // join, so the standard MISP actionability filter works end-to-end
+    import spark.implicits._
+    val turns = Seq(
+      graft.model.Turn("c1", 0, "user",
+        "beacon to 192.0.2.77 and lookup sink.example.com", "",
+        new java.sql.Timestamp(0L))).toDF()
+    val matched = graft.pipeline.ScanJob.matched(turns, Seq(db), spark)
+    val rows = matched.select("value", "to_ids", "comment", "attr_type",
+      "attr_timestamp", "tags").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("192.0.2.77").getBoolean(1))
+    assert(rows("192.0.2.77").getString(2) == "observed C2 beacon")
+    assert(rows("192.0.2.77").getString(3) == "ip-src")
+    assert(rows("192.0.2.77").getLong(4) == 1700000123L)
+    assert(rows("192.0.2.77").getString(5) == "tlp:amber,kill-chain:C2")
+    assert(!rows("sink.example.com").getBoolean(1))
+    val actionable = matched.where(org.apache.spark.sql.functions
+      .col("to_ids") === true)
+    assert(actionable.select("value").as[String].collect().toSeq ==
+      Seq("192.0.2.77"))
+  }
+
   test("prescreen: identical matched output, rejects clean turns") {
     val dbs = Seq(
       IntelDb.build("threats", Fixtures.intelThreats),
