@@ -64,23 +64,38 @@ object ProfMain {
       )
     }
 
-    val results = scala.collection.mutable.ArrayBuffer[(String, Int, Double)]()
+    // Interleaved rounds: stage windows rotate (s1 s2 s3 s4, s1 s2 ...) so
+    // a multi-minute host stall (observed: ~13 min of ~20x slowdown on
+    // this shared VM) degrades ALL stages of a round, not one stage — the
+    // per-stage MEDIAN across rounds then stays comparable.
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_PROF_ROUNDS", "3").toInt
+    val results =
+      scala.collection.mutable.ArrayBuffer[(String, Int, Double)]()
     for (c <- cores) {
       val spark = newSession(c)
-      for ((name, df) <- stages(spark)) {
+      val sts = stages(spark).map { case (name, df) =>
         val rdd = df.queryExecution.toRdd
-        val counter =
-          (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
-            var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n
-          }
-        // warm: JIT the generated loops on a few partitions, then one pass
+        (name, rdd)
+      }
+      val counter =
+        (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+          var n = 0L; while (it.hasNext) { it.next(); n += 1 }; n
+        }
+      // warm every stage: JIT single partitions + one full pass each
+      for ((_, rdd) <- sts) {
         var w = 0
-        while (w < math.min(8, rdd.getNumPartitions)) {
+        while (w < math.min(4, rdd.getNumPartitions)) {
           spark.sparkContext.runJob(rdd, counter, Seq(w)); w += 1
         }
-        def pass(): Long = rdd.mapPartitions(it =>
-          Iterator.single(counter(it))).collect().sum
-        pass()
+        rdd.mapPartitions(it => Iterator.single(counter(it))).collect()
+      }
+      val samples = scala.collection.mutable.Map[String,
+        scala.collection.mutable.ArrayBuffer[Double]]()
+      for (r <- 0 until rounds; (name, rdd) <- sts) {
+        def pass(): Unit = {
+          rdd.mapPartitions(it => Iterator.single(counter(it))).collect()
+          ()
+        }
         var passes = 0
         val t0 = System.nanoTime()
         var elapsed = 0.0
@@ -89,9 +104,17 @@ object ProfMain {
           elapsed = (System.nanoTime() - t0) / 1e9
         }
         val thr = passes * nTurns / elapsed
-        results += ((name, c, thr))
-        println(f"PROF $name%-18s cores=$c%-3d turns_per_sec=$thr%.0f " +
-          f"passes=$passes elapsed=$elapsed%.1f")
+        samples.getOrElseUpdate(name,
+          scala.collection.mutable.ArrayBuffer[Double]()) += thr
+        println(f"PROF round=$r $name%-18s cores=$c%-3d " +
+          f"turns_per_sec=$thr%.0f passes=$passes elapsed=$elapsed%.1f")
+      }
+      for ((name, _) <- sts) {
+        val xs = samples(name).sorted
+        val med = xs(xs.length / 2)
+        results += ((name, c, med))
+        println(f"PROF MEDIAN $name%-18s cores=$c%-3d " +
+          f"turns_per_sec=$med%.0f samples=${xs.map(x => f"$x%.0f").mkString(",")}")
       }
       spark.stop()
       System.gc()
@@ -101,7 +124,7 @@ object ProfMain {
     results.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (name, rs) =>
       val l = rs.find(_._2 == lo).map(_._3).getOrElse(0.0)
       val h = rs.find(_._2 == hi).map(_._3).getOrElse(0.0)
-      if (l > 0 && h > 0)
+      if (l > 0 && h > 0 && lo != hi)
         println(f"PROF $name%-18s eff_${lo}_to_$hi=${(h / l) / (hi.toDouble / lo)}%.3f")
     }
   }

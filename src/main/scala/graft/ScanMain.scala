@@ -12,6 +12,8 @@ import org.apache.spark.sql.SparkSession
   *   --turns <table-path> --intel <feed.csv|feed.json|feed.txt|store-dir> \
   *   [--intel2 <...>] --out <dir> [--buckets 256] [--resume] [--run-id r1] \
   *   [--case-insensitive]   # feed builds only; stores keep their build mode
+  *   [--ndjson [--ndjson-source <label>]]  # also emit the reference-format
+  *                                         # NDJSON match stream (S10)
   * }}}
   *
   * In local mode this is exercised by the verify probes; on a cluster the
@@ -45,6 +47,7 @@ object ScanMain {
       args(i) match {
         case "--resume" => resume = true; i += 1
         case "--case-insensitive" => caseInsensitive = true; i += 1
+        case "--ndjson" => opts("ndjson") = "true"; i += 1
         case k if k.startsWith("--") && i + 1 < args.length =>
           opts(k.drop(2)) = args(i + 1); i += 2
         case other => sys.error(s"unexpected argument: $other")
@@ -72,7 +75,9 @@ object ScanMain {
       ScanJob.RunConfig(
         buckets = opts.getOrElse("buckets", "256").toInt,
         resume = resume,
-        runId = opts.getOrElse("run-id", "run-0")))
+        runId = opts.getOrElse("run-id", "run-0"),
+        ndjson = opts.get("ndjson").contains("true"),
+        ndjsonSource = opts.getOrElse("ndjson-source", turnsPath)))
     stats.toSeq.sorted.foreach { case (k, v) => println(s"$k=$v") }
     spark.stop()
   }

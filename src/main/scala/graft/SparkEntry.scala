@@ -73,7 +73,9 @@ object SparkEntry {
     "q37_text_tokens" -> (QueryDefs.qTextTokens _),
     // band-bucket skew guards (round 3): identical-doc flood, bounded pairs
     "q38_dedup_minhash_capped" -> (QueryDefs.qDedupMinhashCapped _),
-    "q39_dedup_simhash_capped" -> (QueryDefs.qDedupSimhashCapped _)
+    "q39_dedup_simhash_capped" -> (QueryDefs.qDedupSimhashCapped _),
+    // IVF ANN (round 3): the inverted-file scale path next to LSH
+    "q40_sim_ivf" -> (QueryDefs.qSimIvf _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -115,6 +117,7 @@ object SparkEntry {
     "q36_match_gold_prescreen" -> OracleDefs.matchGold,
     "q37_text_tokens" -> OracleDefs.textTokens,
     "q38_dedup_minhash_capped" -> OracleDefs.dedupMinhashCapped,
-    "q39_dedup_simhash_capped" -> OracleDefs.dedupSimhashCapped
+    "q39_dedup_simhash_capped" -> OracleDefs.dedupSimhashCapped,
+    "q40_sim_ivf" -> OracleDefs.simIvf
   )
 }

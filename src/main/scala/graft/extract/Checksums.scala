@@ -106,8 +106,17 @@ object Checksums {
   }
 
   // --------------------------------------------------------------- sha256d
+  // one digest instance per thread: MessageDigest.getInstance walks the
+  // synchronized provider registry on EVERY call — measurably hot when each
+  // 26-62-char token in the scan triggers a Base58Check probe (JFR)
+  private val tlSha256 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest =
+      MessageDigest.getInstance("SHA-256")
+  }
+
   def sha256d(payload: Array[Byte]): Array[Byte] = {
-    val md = MessageDigest.getInstance("SHA-256")
+    val md = tlSha256.get()
+    md.reset()
     md.digest(md.digest(payload))
   }
 

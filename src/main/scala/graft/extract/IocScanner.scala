@@ -54,28 +54,62 @@ final class IocScanner(val config: ScanConfig) extends Serializable {
   def scanInto(bytes: Array[Byte], n: Int,
       out: ArrayBuffer[Ioc]): ArrayBuffer[Ioc] = {
     out.clear()
-    // shared token boundaries (used by hashes/bitcoin/monero); thread-local
-    // scratch — the scan path is the allocation hot spot at 32 cores
-    val needTokens = config.hashes || config.bitcoin || config.monero
-    val tokens: IntVec =
-      if (needTokens) tokenSpansInto(bytes, n, scratchTokens.get()) else null
-    if (config.domains) scanDomains(bytes, n, out)
-    if (config.ipv4) scanIpv4(bytes, n, out)
-    if (config.emails) scanEmails(bytes, n, out)
-    if (config.ipv6) scanIpv6(bytes, n, out)
-    if (config.hashes) scanHashes(bytes, tokens, out)
-    if (config.bitcoin) scanBitcoin(bytes, tokens, out)
-    if (config.ethereum) scanEthereum(bytes, n, out)
-    if (config.monero) scanMonero(bytes, tokens, out)
+    // ONE fused anchor pass over the bytes (the reference's shared
+    // precompute, lib.rs:412-447): token boundaries + '.', '@', "::", "0x"
+    // anchor positions collected together — the per-type scans previously
+    // each swept the full byte range again (6 passes; fused is the single
+    // biggest scanner win in the JFR profile). ONE ThreadLocal get per
+    // scan: every extra ThreadLocal is a hash probe in a collision-prone
+    // per-thread map (JFR: getEntryAfterMiss).
+    val scr = scratch.get()
+    collectAnchors(bytes, n, scr)
+    if (config.domains) scanDomains(bytes, n, scr.dots, out)
+    if (config.ipv4) scanIpv4(bytes, n, scr.dots, out)
+    if (config.emails) scanEmails(bytes, n, scr.ats, out)
+    if (config.ipv6) scanIpv6(bytes, n, scr.dcolons, out)
+    if (config.hashes) scanHashes(bytes, scr.tokens, out)
+    if (config.bitcoin) scanBitcoin(bytes, scr.tokens, out)
+    if (config.ethereum) scanEthereum(bytes, n, scr.zx, out)
+    if (config.monero) scanMonero(bytes, scr.tokens, out)
     out
   }
 
+  /** The fused anchor pass: token spans (identical semantics to
+    * tokenSpansInto), dot/at positions, "::" pair starts (all, including
+    * overlapping — the consumer applies the non-overlap skip), and "0x"
+    * starts (overlap impossible: b(i+1)=='x' excludes a '0' there).
+    */
+  private def collectAnchors(b: Array[Byte], n: Int,
+      scr: IocScanner.ScanScratch): Unit = {
+    val tokens = scr.tokens; tokens.clear()
+    val dots = scr.dots; dots.clear()
+    val ats = scr.ats; ats.clear()
+    val dcolons = scr.dcolons; dcolons.clear()
+    val zx = scr.zx; zx.clear()
+    var inToken = false
+    var i = 0
+    while (i < n) {
+      val c = b(i)
+      if (inToken) {
+        if (isBoundary(c)) { tokens.add(i); inToken = false }
+      } else if (!isBoundary(c)) { tokens.add(i); inToken = true }
+      if (c == '.') dots.add(i)
+      else if (c == '@') ats.add(i)
+      else if (c == ':') { if (i + 1 < n && b(i + 1) == ':') dcolons.add(i) }
+      else if (c == '0') { if (i + 1 < n && b(i + 1) == 'x') zx.add(i) }
+      i += 1
+    }
+    if (inToken) tokens.add(n)
+  }
+
   // ------------------------------------------------------------- domains
-  private def scanDomains(b: Array[Byte], n: Int, out: ArrayBuffer[Ioc]): Unit = {
+  private def scanDomains(b: Array[Byte], n: Int, dots: IntVec,
+      out: ArrayBuffer[Ioc]): Unit = {
     var lastDomainEnd = 0
-    var dot = 0
-    while (dot < n) {
-      if (b(dot) == '.' && dot >= lastDomainEnd) {
+    var di = 0
+    while (di < dots.length) {
+      val dot = dots(di)
+      if (dot >= lastDomainEnd) {
         var start = dot
         while (start > 0 && isDomainChar(b(start - 1))) start -= 1
         var end = dot + 1
@@ -95,7 +129,7 @@ final class IocScanner(val config: ScanConfig) extends Serializable {
           }
         }
       }
-      dot += 1
+      di += 1
     }
   }
 
@@ -118,12 +152,9 @@ final class IocScanner(val config: ScanConfig) extends Serializable {
   }
 
   // --------------------------------------------------------------- ipv4
-  private def scanIpv4(b: Array[Byte], n: Int, out: ArrayBuffer[Ioc]): Unit = {
-    // dot positions (shared-precompute in the reference); scratch reused
-    val dots = scratchDots.get()
-    dots.clear()
-    var i = 0
-    while (i < n) { if (b(i) == '.') dots.add(i); i += 1 }
+  private def scanIpv4(b: Array[Byte], n: Int, dots: IntVec,
+      out: ArrayBuffer[Ioc]): Unit = {
+    // dot positions come from the fused anchor pass
     var lastEnd = 0
     var di = 0
     while (di < dots.length) {
@@ -191,10 +222,12 @@ final class IocScanner(val config: ScanConfig) extends Serializable {
   }
 
   // -------------------------------------------------------------- emails
-  private def scanEmails(b: Array[Byte], n: Int, out: ArrayBuffer[Ioc]): Unit = {
-    var at = 0
-    while (at < n) {
-      if (b(at) == '@') {
+  private def scanEmails(b: Array[Byte], n: Int, ats: IntVec,
+      out: ArrayBuffer[Ioc]): Unit = {
+    var ai = 0
+    while (ai < ats.length) {
+      val at = ats(ai)
+      locally {
         var start = at
         while (start > 0 && isEmailLocalChar(b(start - 1))) start -= 1
         var ok = start < at
@@ -232,22 +265,21 @@ final class IocScanner(val config: ScanConfig) extends Serializable {
           }
         }
       }
-      at += 1
+      ai += 1
     }
   }
 
   // --------------------------------------------------------------- ipv6
-  private def scanIpv6(b: Array[Byte], n: Int, out: ArrayBuffer[Ioc]): Unit = {
+  private def scanIpv6(b: Array[Byte], n: Int, dcolons: IntVec,
+      out: ArrayBuffer[Ioc]): Unit = {
     var lastEnd = 0
     var search = 0
-    while (search + 1 < n) {
-      // next non-overlapping "::"
-      var dc = -1
-      var k = search
-      while (dc < 0 && k + 1 < n) {
-        if (b(k) == ':' && b(k + 1) == ':') dc = k else k += 1
-      }
-      if (dc < 0) return
+    var ci = 0
+    while (ci < dcolons.length) {
+      // next non-overlapping "::" (the fused pass collects ALL pair starts)
+      val dc = dcolons(ci)
+      ci += 1
+      if (dc >= search) {
       search = dc + 2
       if (dc >= lastEnd) {
         val hexBefore = dc > 0 && isHex(b(dc - 1))
@@ -272,6 +304,7 @@ final class IocScanner(val config: ScanConfig) extends Serializable {
             } else lastEnd = dc + 2
           }
         } else lastEnd = dc + 2
+      }
       }
     }
   }
@@ -342,23 +375,23 @@ final class IocScanner(val config: ScanConfig) extends Serializable {
   }
 
   // ------------------------------------------------------------ ethereum
-  private def scanEthereum(b: Array[Byte], n: Int, out: ArrayBuffer[Ioc]): Unit = {
-    var i = 0
-    while (i + 1 < n) {
-      if (b(i) == '0' && b(i + 1) == 'x') {
-        val start = i
-        i += 2 // non-overlapping "0x" search
-        if (start + 42 <= n &&
-          (!config.requireWordBoundaries || start == 0 || isBoundary(b(start - 1)))) {
-          val end = start + 42
-          if ((!config.requireWordBoundaries || end == n || isBoundary(b(end))) &&
-            allHex(b, start + 2, end)) {
-            val s = new String(b, start, 42, StandardCharsets.US_ASCII)
-            if (Checksums.validEthereum(s))
-              out += Ioc(T.Ethereum, s, s, start, end)
-          }
+  private def scanEthereum(b: Array[Byte], n: Int, zx: IntVec,
+      out: ArrayBuffer[Ioc]): Unit = {
+    // "0x" starts from the fused pass; pairs cannot overlap
+    var zi = 0
+    while (zi < zx.length) {
+      val start = zx(zi)
+      if (start + 42 <= n &&
+        (!config.requireWordBoundaries || start == 0 || isBoundary(b(start - 1)))) {
+        val end = start + 42
+        if ((!config.requireWordBoundaries || end == n || isBoundary(b(end))) &&
+          allHex(b, start + 2, end)) {
+          val s = new String(b, start, 42, StandardCharsets.US_ASCII)
+          if (Checksums.validEthereum(s))
+            out += Ioc(T.Ethereum, s, s, start, end)
         }
-      } else i += 1
+      }
+      zi += 1
     }
   }
 
@@ -405,11 +438,16 @@ object IocScanner {
     t
   }
 
-  private val scratchTokens = new ThreadLocal[IntVec] {
-    override def initialValue(): IntVec = new IntVec(64)
+  /** Per-thread scanner scratch, consolidated behind ONE ThreadLocal. */
+  final class ScanScratch {
+    val tokens = new IntVec(64)
+    val dots = new IntVec(16)
+    val ats = new IntVec(8)
+    val dcolons = new IntVec(8)
+    val zx = new IntVec(8)
   }
-  private val scratchDots = new ThreadLocal[IntVec] {
-    override def initialValue(): IntVec = new IntVec(16)
+  private val scratch = new ThreadLocal[ScanScratch] {
+    override def initialValue(): ScanScratch = new ScanScratch
   }
 
   @inline def isBoundary(b: Byte): Boolean = boundaryTable(b & 0xff)

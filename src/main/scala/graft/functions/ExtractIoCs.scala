@@ -62,27 +62,32 @@ object ExtractIoCs {
     m
   }
 
-  // thread-local scratch: the per-row text copy and candidate buffer were
-  // the dominant allocations at 32 scan threads (GC-bound scaling)
-  private val tlBuf = new ThreadLocal[Array[Byte]] {
-    override def initialValue(): Array[Byte] = new Array[Byte](1024)
+  /** Per-row thread scratch behind ONE ThreadLocal (text-copy buffer,
+    * candidate buffer, and ScanTurn's hit-row buffer): the per-row copies/
+    * buffers were the dominant allocations at 32 scan threads (GC-bound
+    * scaling), and each separate ThreadLocal costs a hash probe in a
+    * collision-prone per-thread map (JFR: getEntryAfterMiss).
+    */
+  final class RowScratch {
+    var buf: Array[Byte] = new Array[Byte](1024)
+    val iocs = new scala.collection.mutable.ArrayBuffer[graft.model.Ioc](8)
+    var hits: Array[Any] = new Array[Any](16)
   }
-  private val tlIocs = new ThreadLocal[scala.collection.mutable.ArrayBuffer[graft.model.Ioc]] {
-    override def initialValue() =
-      new scala.collection.mutable.ArrayBuffer[graft.model.Ioc](8)
+  val tlScratch = new ThreadLocal[RowScratch] {
+    override def initialValue(): RowScratch = new RowScratch
   }
 
-  /** Copy the UTF8String's bytes into this thread's scratch buffer (grown
+  /** Copy the UTF8String's bytes into the scratch buffer (grown
     * geometrically, never shrunk); read with text.numBytes().
     */
-  def copyToScratch(text: UTF8String): Array[Byte] = {
+  def copyToScratch(scr: RowScratch, text: UTF8String): Array[Byte] = {
     val len = text.numBytes()
-    var buf = tlBuf.get()
+    var buf = scr.buf
     if (buf.length < len) {
       var cap = buf.length
       while (cap < len) cap <<= 1
       buf = new Array[Byte](cap)
-      tlBuf.set(buf)
+      scr.buf = buf
     }
     org.apache.spark.unsafe.Platform.copyMemory(
       text.getBaseObject, text.getBaseOffset,
@@ -90,11 +95,15 @@ object ExtractIoCs {
     buf
   }
 
+  def copyToScratch(text: UTF8String): Array[Byte] =
+    copyToScratch(tlScratch.get(), text)
+
   /** Static entry point shared by interpreted eval and generated code. */
   def scanToArrayData(scanner: IocScanner, text: UTF8String): ArrayData = {
     val len = text.numBytes()
-    val buf = copyToScratch(text)
-    val iocs = scanner.scanInto(buf, len, tlIocs.get())
+    val scr = tlScratch.get()
+    val buf = copyToScratch(scr, text)
+    val iocs = scanner.scanInto(buf, len, scr.iocs)
     val n = iocs.length
     if (n == 0) return EMPTY
     val rows = new Array[Any](n)
@@ -103,9 +112,17 @@ object ExtractIoCs {
       val m = iocs(i)
       val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(5)
       row.update(0, typeInterned.get(m.indicator_type))
-      row.update(1, UTF8String.fromString(m.value))
+      // when the canonical value IS the matched span (every type except
+      // canonicalized IPv6), copy the UTF-8 bytes straight out of the
+      // scratch buffer instead of re-encoding the String char by char
+      val valueU8 =
+        if (m.matched_text eq m.value)
+          UTF8String.fromBytes(java.util.Arrays.copyOfRange(
+            buf, m.span_start, m.span_end))
+        else UTF8String.fromString(m.value)
+      row.update(1, valueU8)
       row.update(2,
-        if (m.matched_text eq m.value) row.getUTF8String(1)
+        if (m.matched_text eq m.value) valueU8
         else UTF8String.fromString(m.matched_text))
       row.update(3, m.span_start)
       row.update(4, m.span_end)

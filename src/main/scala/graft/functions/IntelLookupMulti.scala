@@ -62,6 +62,18 @@ object IntelLookupMulti {
   private val IPV4 = UTF8String.fromString(T.Ipv4)
   private val IPV6 = UTF8String.fromString(T.Ipv6)
 
+  private def hitRow(d: Int, entryIdx: Int, prefixLen: Int,
+      matchType: UTF8String): InternalRow = {
+    // direct 4-field row — InternalRow.apply's varargs path detours
+    // through Seq.toArray per hit (profiled in the 32-thread scan)
+    val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(4)
+    r.update(0, d)
+    r.update(1, entryIdx)
+    r.update(2, prefixLen)
+    r.update(3, matchType)
+    r
+  }
+
   def lookup(dbs: Array[IntelDb], value: UTF8String,
       itype: UTF8String): ArrayData = {
     val isV6 = itype.equals(IPV6)
@@ -75,14 +87,14 @@ object IntelLookupMulti {
         val hit = db.lookupIp(v, isV6)
         if (hit != null) {
           if (out == null) out = new scala.collection.mutable.ArrayBuffer[Any](4)
-          out += InternalRow(d, hit._1, hit._2, IP)
+          out += hitRow(d, hit._1, hit._2, IP)
         }
       } else {
         val ids = db.lookupString(v)
         var i = 0
         while (i < ids.length) {
           if (out == null) out = new scala.collection.mutable.ArrayBuffer[Any](4)
-          out += InternalRow(d, ids(i), -1, PATTERN)
+          out += hitRow(d, ids(i), -1, PATTERN)
           i += 1
         }
       }

@@ -92,17 +92,35 @@ object ScanTurn {
     m
   }
 
-  private val tlIocs = new ThreadLocal[scala.collection.mutable.ArrayBuffer[graft.model.Ioc]] {
-    override def initialValue() =
-      new scala.collection.mutable.ArrayBuffer[graft.model.Ioc](8)
+  // hit-row scratch rides ExtractIoCs.RowScratch (one ThreadLocal get per
+  // turn): the common case is 0-4 hits, and a fresh ArrayBuffer per
+  // candidate (plus the varargs InternalRow.apply -> Seq -> toArray
+  // detour) was a measured allocation hot spot at 32 scan threads
+  private def growHits(scr: ExtractIoCs.RowScratch): Array[Any] = {
+    val old = scr.hits
+    val bigger = new Array[Any](old.length * 2)
+    System.arraycopy(old, 0, bigger, 0, old.length)
+    scr.hits = bigger
+    bigger
+  }
+
+  private def hitRow(d: Int, entryIdx: Int, prefixLen: Int,
+      matchType: UTF8String): InternalRow = {
+    val r = new GenericInternalRow(4)
+    r.update(0, d)
+    r.update(1, entryIdx)
+    r.update(2, prefixLen)
+    r.update(3, matchType)
+    r
   }
 
   /** Static entry point shared by interpreted eval and generated code. */
   def scan(scanner: IocScanner, dbs: Array[IntelDb],
       text: UTF8String): ArrayData = {
     val len = text.numBytes()
-    val buf = ExtractIoCs.copyToScratch(text)
-    val iocs = scanner.scanInto(buf, len, tlIocs.get())
+    val scr = ExtractIoCs.tlScratch.get()
+    val buf = ExtractIoCs.copyToScratch(scr, text)
+    val iocs = scanner.scanInto(buf, len, scr.iocs)
     val n = iocs.length
     if (n == 0) return CLEAN_ONLY
     val rows = new Array[Any](n)
@@ -112,22 +130,25 @@ object ScanTurn {
       val m = iocs(i)
       val isV6 = m.indicator_type == T.Ipv6
       val isIp = isV6 || (m.indicator_type == T.Ipv4)
-      var out: scala.collection.mutable.ArrayBuffer[Any] = null
+      var hits = scr.hits
+      var nHits = 0
       var d = 0
       while (d < dbs.length) {
         val db = dbs(d)
         if (isIp) {
           val hit = db.lookupIp(m.value, isV6)
           if (hit != null) {
-            if (out == null) out = new scala.collection.mutable.ArrayBuffer[Any](4)
-            out += InternalRow(d, hit._1, hit._2, IP)
+            if (nHits == hits.length) hits = growHits(scr)
+            hits(nHits) = hitRow(d, hit._1, hit._2, IP)
+            nHits += 1
           }
         } else {
           val ids = db.lookupString(m.value)
           var k = 0
           while (k < ids.length) {
-            if (out == null) out = new scala.collection.mutable.ArrayBuffer[Any](4)
-            out += InternalRow(d, ids(k), -1, PATTERN)
+            if (nHits == hits.length) hits = growHits(scr)
+            hits(nHits) = hitRow(d, ids(k), -1, PATTERN)
+            nHits += 1
             k += 1
           }
         }
@@ -136,14 +157,27 @@ object ScanTurn {
       val row = new GenericInternalRow(7)
       row.update(0, CAND)
       row.update(1, typeInterned.get(m.indicator_type))
-      row.update(2, UTF8String.fromString(m.value))
+      // value bytes: when the canonical value IS the matched span (every
+      // type except canonicalized IPv6), copy the UTF-8 bytes straight out
+      // of the scratch buffer — no char-by-char re-encode of the String
+      val valueU8 =
+        if (m.matched_text eq m.value)
+          UTF8String.fromBytes(java.util.Arrays.copyOfRange(
+            buf, m.span_start, m.span_end))
+        else UTF8String.fromString(m.value)
+      row.update(2, valueU8)
       row.update(3,
-        if (m.matched_text eq m.value) row.getUTF8String(2)
+        if (m.matched_text eq m.value) valueU8
         else UTF8String.fromString(m.matched_text))
       row.update(4, m.span_start)
       row.update(5, m.span_end)
-      if (out == null) row.update(6, EMPTY_HITS)
-      else { anyHit = true; row.update(6, new GenericArrayData(out.toArray)) }
+      if (nHits == 0) row.update(6, EMPTY_HITS)
+      else {
+        anyHit = true
+        val exact = new Array[Any](nHits)
+        System.arraycopy(hits, 0, exact, 0, nHits)
+        row.update(6, new GenericArrayData(exact))
+      }
       rows(i) = row
       i += 1
     }

@@ -94,6 +94,51 @@ object Cidr {
   }
 }
 
+/** Open-addressing (hi, lo) -> entryIdx map with primitive-array storage:
+  * the LPM probe runs once per distinct prefix length per IP candidate, and
+  * the previous java.util.HashMap[(Long, Long), Integer] cost a Tuple2 +
+  * two boxed longs PER PROBE plus tree-bin equals churn (JFR: Tuple2.equals
+  * + getTreeNode ~5% of scan CPU). Linear probing, power-of-two capacity,
+  * load factor <= 0.5, build-time inserts only.
+  */
+final class LongPairIntMap private (capacity: Int) extends Serializable {
+  private val mask = capacity - 1
+  private val his = new Array[Long](capacity)
+  private val los = new Array[Long](capacity)
+  private val vals = new Array[Int](capacity)
+  private val used = new Array[Boolean](capacity)
+
+  @inline private def slot(hi: Long, lo: Long): Int = {
+    var h = hi * -0x61c8864680b583ebL ^ lo // golden-ratio mix
+    h ^= (h >>> 32)
+    (h.toInt * -1640531527) & mask // Fibonacci scramble
+  }
+
+  def put(hi: Long, lo: Long, v: Int): Unit = {
+    var i = slot(hi, lo)
+    while (used(i) && !(his(i) == hi && los(i) == lo)) i = (i + 1) & mask
+    his(i) = hi; los(i) = lo; vals(i) = v; used(i) = true
+  }
+
+  /** Value for (hi, lo), or -1 when absent. Allocation-free. */
+  def get(hi: Long, lo: Long): Int = {
+    var i = slot(hi, lo)
+    while (used(i)) {
+      if (his(i) == hi && los(i) == lo) return vals(i)
+      i = (i + 1) & mask
+    }
+    -1
+  }
+}
+
+object LongPairIntMap {
+  def ofSize(n: Int): LongPairIntMap = {
+    var cap = 8
+    while (cap < n * 2) cap <<= 1
+    new LongPairIntMap(cap)
+  }
+}
+
 /** Longest-prefix-match index over a small intel CIDR set, broadcast to
   * executors. Most-specific prefix wins regardless of insert order
   * (reference matchy-ip-trie builder semantics, lib.rs:88-100, 233-252).
@@ -102,7 +147,7 @@ object Cidr {
   */
 final class LpmIndex private (
     lengths: Array[Int], // distinct prefix lengths, descending
-    maps: Array[java.util.HashMap[(Long, Long), java.lang.Integer]]
+    maps: Array[LongPairIntMap]
 ) extends Serializable {
 
   /** Returns (entryIdx, unifiedPrefixLen) or null. */
@@ -110,9 +155,16 @@ final class LpmIndex private (
     var i = 0
     while (i < lengths.length) {
       val len = lengths(i)
-      val key = Cidr.mask(hi, lo, len)
-      val hit = maps(i).get(key)
-      if (hit != null) return (hit.intValue(), len)
+      // Cidr.mask without the per-probe Tuple2 (see its cases)
+      val mh =
+        if (len >= 64) hi
+        else if (len > 0) hi & (-1L << (64 - len))
+        else 0L
+      val ml =
+        if (len > 64) lo & (-1L << (128 - len))
+        else 0L
+      val hit = maps(i).get(mh, ml)
+      if (hit >= 0) return (hit, len)
       i += 1
     }
     null
@@ -143,10 +195,10 @@ object LpmIndex {
     val byLen = cidrs.groupBy(_._1.prefixLen).toSeq.sortBy(-_._1)
     val lengths = byLen.map(_._1).toArray
     val maps = byLen.map { case (len, group) =>
-      val m =
-        new java.util.HashMap[(Long, Long), java.lang.Integer](group.size * 2)
+      val m = LongPairIntMap.ofSize(group.size)
       group.foreach { case (c, idx) =>
-        m.put(Cidr.mask(c.hi, c.lo, len), Int.box(idx))
+        val (mh, ml) = Cidr.mask(c.hi, c.lo, len)
+        m.put(mh, ml, idx)
       }
       m
     }.toArray
@@ -206,30 +258,34 @@ final class GlobIndex private (
     alwaysCandidates: Array[Int]
 ) extends Serializable {
 
-  // per-thread probe scratch (the index is broadcast and shared)
+  // per-thread probe scratch (the index is broadcast and shared). `hits`
+  // is a primitive accumulation buffer — the previous ArrayBuffer[Int]
+  // boxed every matched id and its toArray unboxed them back (~7% of scan
+  // CPU in the JFR profile)
   @transient private lazy val scratch =
-    new ThreadLocal[(Array[Int], Array[Int], Array[Int], Array[Int])] {
+    new ThreadLocal[(Array[Int], Array[Int], Array[Int], Array[Int], Array[Int])] {
       override def initialValue() = (
         new Array[Int](if (ac == null) 0 else ac.nWords), // seen words (gen)
         new Array[Int](if (ac == null) 0 else ac.nWords), // found word ids
         new Array[Int](patterns.length), // pattern seen (gen)
-        new Array[Int](1)) // generation counter
+        new Array[Int](1), // generation counter
+        new Array[Int](math.max(4, patterns.length))) // hit ids
     }
 
   def findAll(value: String): Array[Int] = {
     if (patterns.length == 0) return Array.emptyIntArray
-    var out: mutable.ArrayBuffer[Int] = null
+    val (seenW, foundW, seenP, genBox, hits) = scratch.get()
+    var nOut = 0
     @inline def tryPattern(p: Int): Unit =
       if (patterns(p).matches(value)) {
-        if (out == null) out = new mutable.ArrayBuffer[Int](4)
-        out += entryIdx(p)
+        hits(nOut) = entryIdx(p) // bounded by patterns.length
+        nOut += 1
       }
     if (ac == null) {
       // no meta-words anywhere: verify all (degenerate tiny sets)
       var i = 0
       while (i < patterns.length) { tryPattern(i); i += 1 }
     } else {
-      val (seenW, foundW, seenP, genBox) = scratch.get()
       if (genBox(0) == Int.MaxValue) { // wrap: clear stamps, restart
         java.util.Arrays.fill(seenW, 0)
         java.util.Arrays.fill(seenP, 0)
@@ -267,8 +323,19 @@ final class GlobIndex private (
         a += 1
       }
     }
-    if (out == null) Array.emptyIntArray
-    else out.distinct.sorted.toArray
+    if (nOut == 0) Array.emptyIntArray
+    else {
+      // sorted ids (reference emits sorted-deduped pattern ids,
+      // paraglob_offset.rs:1174-1182). Dedup is structural here: the seenP
+      // generation stamp (AC path) / single iteration (degenerate path)
+      // verifies each pattern at most once, and entry indexes are unique
+      // per pattern — `.distinct` was a pure per-call allocation tax
+      // (7% of scan CPU in the JFR profile).
+      val arr = new Array[Int](nOut)
+      System.arraycopy(hits, 0, arr, 0, nOut)
+      java.util.Arrays.sort(arr)
+      arr
+    }
   }
   def isEmpty: Boolean = patterns.isEmpty
 }

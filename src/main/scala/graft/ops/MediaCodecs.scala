@@ -131,6 +131,74 @@ object MediaCodecs {
     (b * 1000 / n, g * 1000 / n, r * 1000 / n)
   }
 
+  // --------------------------------------------- JPEG/PNG via JDK ImageIO
+  /** Decode JPEG/PNG/GIF (any format the JDK's ImageIO supports, no native
+    * deps) into the same Bmp pixel contract as decodeBmp — real corpus
+    * image formats are covered pure-JVM. Returns null on undecodable or
+    * oversized input, never throws (routing contract).
+    */
+  def decodeJvmImage(bytes: Array[Byte]): Bmp = {
+    if (bytes == null || bytes.length < 8) return null
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) return null
+      val w = img.getWidth
+      val h = img.getHeight
+      if (w <= 0 || h <= 0 || w > MaxDecodeDim || h > MaxDecodeDim ||
+        w.toLong * h * 3 > Int.MaxValue) return null
+      val px = new Array[Byte](w * h * 3)
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val rgb = row(x)
+          val d = (y * w + x) * 3
+          px(d) = (rgb & 0xff).toByte // B
+          px(d + 1) = ((rgb >> 8) & 0xff).toByte // G
+          px(d + 2) = ((rgb >> 16) & 0xff).toByte // R
+          x += 1
+        }
+        y += 1
+      }
+      Bmp(w, h, px)
+    } catch { case _: Throwable => null }
+  }
+
+  /** Encode a Bmp buffer as "jpg" or "png" through ImageIO (fixture /
+    * re-encode path).
+    */
+  def encodeJvmImage(img: Bmp, format: String): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(img.width, img.height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val s = (y * img.width + x) * 3
+        val rgb = ((img.pixels(s + 2) & 0xff) << 16) |
+          ((img.pixels(s + 1) & 0xff) << 8) | (img.pixels(s) & 0xff)
+        bi.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(bi, format, baos),
+      s"no ImageIO writer for $format")
+    baos.toByteArray
+  }
+
+  /** Sniff + decode any supported image payload: BMP fast path (our codec),
+    * else ImageIO (JPEG/PNG/GIF). Null when neither can decode it.
+    */
+  def decodeAnyImage(bytes: Array[Byte]): Bmp = {
+    val bmp = decodeBmp(bytes)
+    if (bmp != null) bmp else decodeJvmImage(bytes)
+  }
+
   // ------------------------------------------------------------- WAV
   final case class Wav(channels: Int, sampleRate: Int,
       samples: Array[Short]) // interleaved 16-bit PCM

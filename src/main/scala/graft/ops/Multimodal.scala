@@ -7,13 +7,14 @@ import org.apache.spark.sql.functions._
   * with typed metadata, processed in partition-sized batches.
   *
   * Two decode paths:
-  *  - REAL (round 2): pure-JVM 24-bit BMP and PCM-16 WAV codecs
-  *    (MediaCodecs) drive synthesizeReal/decodeFeatures/resizeImages —
-  *    decode, feature-extract and resize are actual byte-level work inside
-  *    the same mapPartitions batching contract;
-  *  - STUB (kept for the `video` kind and as the documented shape for
-  *    codecs this container lacks — JPEG/MP4 etc.): decodeMeta parses a
-  *    fake header; the batching/partitioning shape is identical.
+  *  - REAL: pure-JVM 24-bit BMP and PCM-16 WAV codecs (MediaCodecs, round
+  *    2) plus JPEG/PNG/GIF through the JDK's ImageIO (round 3 — no native
+  *    deps) drive synthesizeReal/decodeFeatures/resizeImages — decode,
+  *    feature-extract and resize are actual byte-level work inside the
+  *    same mapPartitions batching contract;
+  *  - STUB (kept for the `video` kind — containerized video decode needs
+  *    native codecs this environment lacks): decodeMeta parses a fake
+  *    header; the batching/partitioning shape is identical.
   */
 object Multimodal {
 
@@ -89,8 +90,9 @@ object Multimodal {
       mean_b_milli: Long, mean_g_milli: Long, mean_r_milli: Long,
       channels: Int, sample_rate: Int, n_samples: Int, rms_milli: Long)
 
-  /** Synthesize REAL media payloads: valid 24-bit BMPs (kind=image) and
-    * PCM-16 WAVs (kind=audio), pixel/sample content a pure function of
+  /** Synthesize REAL media payloads: valid 24-bit BMPs, PNGs and JPEGs
+    * (kind=image, rotating by row so all three decode paths are exercised)
+    * and PCM-16 WAVs (kind=audio), pixel/sample content a pure function of
     * media_id. Every third row is a deliberately corrupt payload
     * (kind=image, truncated header) — the pipeline must route it, not die.
     */
@@ -107,7 +109,13 @@ object Multimodal {
             px(j) = graft.pipeline.Fixtures.mix(i * 7919L + j).toByte
             j += 1
           }
-          MediaRow(i, "image", MediaCodecs.encodeBmp(MediaCodecs.Bmp(w, h, px)))
+          val bmp = MediaCodecs.Bmp(w, h, px)
+          val payload = ((i / 3) % 3) match {
+            case 0 => MediaCodecs.encodeBmp(bmp)
+            case 1 => MediaCodecs.encodeJvmImage(bmp, "png")
+            case _ => MediaCodecs.encodeJvmImage(bmp, "jpg")
+          }
+          MediaRow(i, "image", payload)
         case 1 =>
           val nSamp = 64 + (i % 200).toInt * 2
           val samples = new Array[Short](nSamp)
@@ -135,7 +143,9 @@ object Multimodal {
       batch.map { m =>
         m.kind match {
           case "image" =>
-            val img = MediaCodecs.decodeBmp(m.payload)
+            // BMP fast path, else ImageIO (JPEG/PNG/GIF) — real corpus
+            // formats decode pure-JVM; anything else routes as undecoded
+            val img = MediaCodecs.decodeAnyImage(m.payload)
             if (img == null)
               MediaFeatures(m.media_id, m.kind, decoded = false,
                 0, 0, 0, 0, 0, 0, 0, 0, 0)
@@ -172,7 +182,7 @@ object Multimodal {
       batch.map { m =>
         if (m.kind != "image") m
         else {
-          val img = MediaCodecs.decodeBmp(m.payload)
+          val img = MediaCodecs.decodeAnyImage(m.payload)
           if (img == null) m
           else MediaRow(m.media_id, m.kind,
             MediaCodecs.encodeBmp(MediaCodecs.resizeBmp(img, w, h)))

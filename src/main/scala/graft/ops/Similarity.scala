@@ -102,6 +102,63 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** ANN top-k via IVF (inverted-file) coarse quantization: assign every
+    * vector to its nearest of `nlist` centroids, then each query probes
+    * only the corpus lists of its `nprobe` nearest centroids — the classic
+    * IVF trade (recall vs fraction of corpus scanned), complementary to
+    * the hyperplane-LSH path (lshTopK).
+    *
+    * Coarse quantizer: the `nlist` vectors with the smallest vec_id serve
+    * as centroids — i.e. the deterministic INIT step of k-means, skipping
+    * Lloyd iterations so the oracle can reproduce assignments bit-exactly
+    * (real deployments would refine with a few seeded k-means rounds; the
+    * assignment/probe/join machinery — the Spark-side substance — is
+    * identical either way). Ties rank by centroid_id ascending.
+    *
+    * Scale shape: centroids broadcast (nlist is small); assignment and
+    * probe ranking are one windowed pass over n x nlist scored pairs; the
+    * candidate join shuffles on centroid_id with bounded fanout;
+    * `maxBucketSize` caps a hot centroid's list like lshTopK's guard.
+    */
+  def ivfTopK(corpus: DataFrame, k: Int, nlist: Int = 8, nprobe: Int = 2,
+      maxBucketSize: Int = 0): DataFrame = {
+    val q = corpus.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val cents = q.where(col("vec_id") < nlist)
+      .select(col("vec_id").as("centroid_id"), col("qv").as("cv"))
+    val scored = q.join(broadcast(cents))
+      .select(col("vec_id"), col("qv"), col("centroid_id"),
+        cosineQ(col("qv"), col("cv")).as("ccos"))
+    val cw = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("centroid_id").asc)
+    val ranked = scored.withColumn("crank", row_number().over(cw))
+    val corpusSide = {
+      val assigned = ranked.where(col("crank") === 1)
+        .select(col("centroid_id"), col("vec_id").as("corpus_id"),
+          col("qv").as("cq"))
+      if (maxBucketSize <= 0) assigned
+      else {
+        val bw = Window.partitionBy("centroid_id")
+          .orderBy(col("corpus_id").asc)
+        assigned.withColumn("bpos", row_number().over(bw))
+          .where(col("bpos") <= maxBucketSize).drop("bpos")
+      }
+    }
+    val probes = ranked.where(col("crank") <= nprobe)
+      .select(col("centroid_id"), col("vec_id").as("query_id"),
+        col("qv").as("qq"))
+    val cands = probes.join(corpusSide, Seq("centroid_id"))
+      .where(col("query_id") =!= col("corpus_id"))
+      // nprobe lists can repeat a pair only if a corpus vector sat in two
+      // lists — impossible (assignment is unique), so no dedup needed
+      .select(col("query_id"), col("corpus_id"),
+        cosineQ(col("qq"), col("cq")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("corpus_id").asc)
+    cands.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "corpus_id", "cosine")
+  }
+
   /** ANN top-k via multi-table LSH: `tables` independent hyperplane sets
     * raise recall (a true neighbor is missed only if it lands in a different
     * bucket in EVERY table); candidate pairs are deduped across tables

@@ -57,9 +57,22 @@ object ScanJob {
       "to_ids", "comment", "attr_type", "attr_timestamp", "tags")
   }
 
-  /** Enrichment stage (L2+L3+L4 x L8): probe ALL broadcast databases in one
-    * generator (the input is extracted exactly once), keep hits (F1), then
-    * attach metadata via an explicit broadcast hash join.
+  /** Broadcast-metadata tail shared by `enriched` and `matched`: join the
+    * (db_idx, entry_idx) hit keys to the intel metadata and derive `cidr`.
+    */
+  private def attachMeta(hits: DataFrame, dbs: Seq[IntelDb],
+      spark: SparkSession): DataFrame =
+    hits
+      .join(broadcast(intelMetaDf(spark, dbs)), Seq("db_idx", "entry_idx"),
+        "inner")
+      .drop("db_idx")
+      .withColumn("cidr",
+        when(col("match_type") === "ip",
+          concat(col("value"), lit("/"), col("prefix_len"))))
+
+  /** Enrichment stage (L2+L3+L4 x L8) over an ALREADY-EXTRACTED candidate
+    * frame: probe ALL broadcast databases in one generator, keep hits (F1),
+    * then attach metadata via an explicit broadcast hash join.
     */
   def enriched(cands: DataFrame, dbs: Seq[IntelDb],
       spark: SparkSession): DataFrame = {
@@ -71,19 +84,20 @@ object ScanJob {
         col("hit.entry_idx").as("entry_idx") :+
         col("hit.prefix_len").as("prefix_len") :+
         col("hit.match_type").as("match_type")): _*)
-    val meta = intelMetaDf(spark, dbs)
-    hits
-      .join(broadcast(meta), Seq("db_idx", "entry_idx"), "inner")
-      .drop("db_idx")
-      .withColumn("cidr",
-        when(col("match_type") === "ip",
-          concat(col("value"), lit("/"), col("prefix_len"))))
+    attachMeta(hits, dbs, spark)
   }
 
   /** Full matched dataset for a set of databases. With `prescreen` the
     * broadcast clean-turn filter (CleanPreScreen — a sound superset filter)
     * rejects turns before extraction; output is identical either way
     * (asserted by ScanJobSpec).
+    *
+    * Implementation: extraction AND lookup run inside ONE ScanTurn
+    * generator per turn (not extract-explode-then-lookup) — the candidate's
+    * value string is created once and probed in the same call, which
+    * profiling showed ~20% faster than the two-expression form (the
+    * explode boundary re-materializes every candidate row and the lookup
+    * expression must re-decode the value from its UTF8 bytes).
     */
   def matched(turns: DataFrame, dbs: Seq[IntelDb], spark: SparkSession,
       prescreen: Boolean = false): DataFrame = {
@@ -93,7 +107,23 @@ object ScanJob {
         val screen = graft.intel.CleanPreScreen.build(dbs)
         turns.where(graft.functions.MightMatch.column(col("text"), screen))
       }
-    enriched(candidates(input), dbs, spark)
+    val hits = input
+      .select(col("conv_id"), col("turn_idx"), col("role"),
+        explode(graft.functions.ScanTurn.column(col("text"), dbs)).as("r"))
+      .where(col("r.sink") === "cand" && size(col("r.hits")) > 0)
+      .select(col("conv_id"), col("turn_idx"), col("role"),
+        col("r.indicator_type").as("indicator_type"),
+        col("r.value").as("value"),
+        col("r.matched_text").as("matched_text"),
+        col("r.span_start").as("span_start"),
+        col("r.span_end").as("span_end"),
+        explode(col("r.hits")).as("hit"))
+      .select((CandidateCols.map(col) :+
+        col("hit.db_idx").as("db_idx") :+
+        col("hit.entry_idx").as("entry_idx") :+
+        col("hit.prefix_len").as("prefix_len") :+
+        col("hit.match_type").as("match_type")): _*)
+    attachMeta(hits, dbs, spark)
   }
 
   /** North-rule gold aggregate (A10): per-sink match counts. */
@@ -107,11 +137,20 @@ object ScanJob {
     *   done; a crashed job reruns only its own range (`resume = true` skips
     *   buckets already marked by earlier jobs either way).
     */
+  /** @param ndjson when true, `run` also emits the reference-format NDJSON
+    *   match stream (S10 field shape, Sinks.ndjsonMatched) under
+    *   `outDir/ndjson` — the flagship-job analog of the reference's stdout
+    *   match lines (bin/match_processor/sequential.rs:154-187).
+    * @param ndjsonSource the `source` field value of each NDJSON line (the
+    *   reference emits the input file path there).
+    */
   final case class RunConfig(
       buckets: Int = 64,
       resume: Boolean = false,
       runId: String = "run-0",
-      onlyBuckets: Option[Set[Int]] = None)
+      onlyBuckets: Option[Set[Int]] = None,
+      ndjson: Boolean = false,
+      ndjsonSource: String = "transcripts")
 
   /** The routed frame: extract + enrich + per-turn routing verdict in ONE
     * map-side pass (ScanTurn generator), metadata attached via broadcast
@@ -150,7 +189,9 @@ object ScanJob {
         col("r.span_start").as("span_start"), col("r.span_end").as("span_end"),
         col("r.hits").as("hits")) ++
         (if (hasTool) Seq(when(col("r.sink") === "clean", col("tool")).as("tool")) else Nil) ++
-        (if (hasTs) Seq(when(col("r.sink") === "clean", col("ts")).as("ts")) else Nil): _*)
+        // event time rides ALL rows (matched rows need it for the NDJSON
+        // sink's per-line timestamp; the reference stamps every match line)
+        (if (hasTs) Seq(col("ts")) else Nil): _*)
     val observed = obsRows.fold(flat) { o =>
       val perType = graft.model.IndicatorType.all.map(t =>
         sum(when(col("indicator_type") === t, 1L).otherwise(0L))
@@ -255,6 +296,16 @@ object ScanJob {
     // counts (A10) and global line counts come from the written sinks
     val routedBack = spark.read.parquet(s"$outDir/routed")
     val matchedBack = routedBack.where(col("sink") === "matched")
+    if (cfg.ndjson) {
+      // per-line timestamp = the turn's event time (deterministic; the
+      // reference stamps wall clock) — epoch seconds, 0.0 when absent
+      val tsSec =
+        if (matchedBack.columns.contains("ts"))
+          coalesce(col("ts").cast("double"), lit(0.0))
+        else lit(0.0)
+      graft.io.Sinks.ndjsonMatched(matchedBack, cfg.ndjsonSource, tsSec,
+        s"$outDir/ndjson")
+    }
     val gold = goldCounts(matchedBack)
     gold.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/gold_counts")

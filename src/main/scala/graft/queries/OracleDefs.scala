@@ -370,6 +370,46 @@ object OracleDefs {
        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  val simIvf: String = {
+    val nlist = 8
+    val nprobe = 2
+    val cap = 80
+    s"""WITH base AS (
+       |  SELECT vec_id, $qv AS v FROM embeddings WHERE vec_id < 300),
+       |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM base
+       |          WHERE vec_id < $nlist),
+       |scored AS (
+       |  SELECT b.vec_id, b.v, c.centroid_id,
+       |         ${cosine("b.v", "c.cv")} AS ccos
+       |  FROM base b CROSS JOIN cents c),
+       |ranked AS (
+       |  SELECT vec_id, v, centroid_id, ccos,
+       |    row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY ccos DESC, centroid_id ASC) AS crank
+       |  FROM scored),
+       |corpus_capped AS (
+       |  SELECT centroid_id, corpus_id, cv2 FROM (
+       |    SELECT centroid_id, vec_id AS corpus_id, v AS cv2,
+       |      row_number() OVER (PARTITION BY centroid_id
+       |                         ORDER BY vec_id ASC) AS bpos
+       |    FROM ranked WHERE crank = 1)
+       |  WHERE bpos <= $cap),
+       |probes AS (
+       |  SELECT centroid_id, vec_id AS query_id, v AS qv2
+       |  FROM ranked WHERE crank <= $nprobe),
+       |cands AS (
+       |  SELECT query_id, corpus_id, ${cosine("qv2", "cv2")} AS cosine
+       |  FROM probes JOIN corpus_capped USING (centroid_id)
+       |  WHERE query_id <> corpus_id),
+       |rankedq AS (
+       |  SELECT query_id, corpus_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, corpus_id ASC) AS rank
+       |  FROM cands)
+       |SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, cosine
+       |FROM rankedq WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   val dedupEmbeddingLsh: String = {
     val planes = 4
     s"""WITH base AS (

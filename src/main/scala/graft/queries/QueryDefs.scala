@@ -414,6 +414,15 @@ object QueryDefs {
       k = 3, planes = 6)
       .orderBy("query_id", "rank")
 
+  /** q40: IVF ANN — coarse-quantizer assignment, nprobe-list probing, and
+    * a per-centroid corpus cap (the inverted-file scale path next to the
+    * hyperplane-LSH one).
+    */
+  def qSimIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(t(s, dir, "embeddings").where(col("vec_id") < 300),
+      k = 3, nlist = 8, nprobe = 2, maxBucketSize = 80)
+      .orderBy("query_id", "rank")
+
   // --------------------------------------------------- text family
   def qTextLang(s: SparkSession, dir: String): DataFrame =
     TextStats.withLangId(t(s, dir, "documents"))

@@ -118,14 +118,77 @@ object StreamingScan {
     * State timeout: NoTimeout. Under Trigger.AvailableNow a
     * ProcessingTimeTimeout is never delivered (the query drains and must
     * stop — a pending timeout parks it forever, which is exactly the round-1
-    * `sbt test` hang). For a truly continuous deployment, bound state size
-    * with an event-time timeout against the watermark instead; the
-    * checkpoint dir already persists state across restarts, so periodic
-    * AvailableNow drains (as tested) keep state bounded by active
-    * conversations per drain window.
+    * `sbt test` hang). For a truly continuous deployment use
+    * conversationStateEventTime (event-time timeout against the watermark,
+    * bounded state); the checkpoint dir already persists state across
+    * restarts, so periodic AvailableNow drains (as tested) keep state
+    * bounded by active conversations per drain window.
     */
   final case class ConvState(conv_id: String, turns: Long,
       turnsWithCandidates: Long, firstTs: Long, lastTs: Long)
+
+  /** Event-time-timeout variant of conversationState: a conversation whose
+    * last turn is older than `idleGap` BEHIND THE WATERMARK is finalized —
+    * its state row is emitted once and removed. This is the bounded-state
+    * shape for a truly continuous deployment (state size = active
+    * conversations, not all conversations ever seen); timeouts fire when a
+    * later micro-batch advances the watermark, so periodic AvailableNow
+    * drains against the same checkpoint ALSO deliver them (safe under sbt
+    * test, unlike ProcessingTimeTimeout which parks AvailableNow forever —
+    * see conversationState's note).
+    */
+  def conversationStateEventTime(spark: SparkSession, inDir: String,
+      outDir: String, watermarkDelay: String = "10 seconds",
+      idleGapMs: Long = 60000L,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import spark.implicits._
+    val stream = spark.readStream.schema(turnSchema).json(inDir)
+    val perTurn = stream
+      .withWatermark("ts", watermarkDelay)
+      .select(col("conv_id"), col("ts"),
+        (size(graft.functions.GraftFunctions.extract_iocs(col("text"))) > 0)
+          .as("has_candidates"))
+      .as[(String, java.sql.Timestamp, Boolean)]
+    val finalized = perTurn
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ConvState, ConvState](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (convId, rows, state: GroupState[ConvState]) =>
+          if (state.hasTimedOut) {
+            // idle past the gap: emit the final state once, drop it
+            val done = state.get
+            state.remove()
+            Iterator.single(done)
+          } else {
+            val prev = state.getOption
+              .getOrElse(ConvState(convId, 0L, 0L, Long.MaxValue, 0L))
+            var turns = prev.turns
+            var withCands = prev.turnsWithCandidates
+            var first = prev.firstTs
+            var last = prev.lastTs
+            rows.foreach { case (_, ts, has) =>
+              val tsS = ts.getTime / 1000
+              turns += 1
+              if (has) withCands += 1
+              if (tsS < first) first = tsS
+              if (tsS > last) last = tsS
+            }
+            state.update(ConvState(convId, turns, withCands, first, last))
+            // finalize once the watermark passes lastTs + idleGap
+            state.setTimeoutTimestamp(last * 1000L + idleGapMs)
+            Iterator.empty
+          }
+      }
+    finalized.writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint_state_et")
+      .trigger(trigger)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[ConvState], _: Long) =>
+        batch.write.mode(SaveMode.Append).parquet(s"$outDir/conv_state_final")
+        ()
+      }
+      .start()
+  }
 
   def conversationState(spark: SparkSession, inDir: String, outDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {

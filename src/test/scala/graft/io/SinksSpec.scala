@@ -49,4 +49,26 @@ class SinksSpec extends AnyFunSuite {
     assert(lines.length == 2, lines.mkString("\n"))
     assert(lines.toSeq == Seq(ipLine, patLine).sorted, lines.mkString("\n"))
   }
+
+  test("ScanJob.run emits the NDJSON stream when enabled (byte-exact line)") {
+    import spark.implicits._
+    val turns = Seq(
+      Turn("c1", 0, "user", "ping 192.0.2.55 only", "",
+        new Timestamp(1700000000000L)),
+      Turn("c2", 0, "user", "all clean here", "",
+        new Timestamp(1700000001000L)))
+    val db = IntelDb.build("threats", Seq(
+      IntelEntry("192.0.2.0/24", "high", "c2", "feed-a", 90)))
+    val out = Files.createTempDirectory("run-ndjson").toString + "/scan"
+    ScanJob.run(spark, spark.createDataFrame(turns), Seq(db), out,
+      ScanJob.RunConfig(buckets = 4, ndjson = true,
+        ndjsonSource = "transcripts.log"))
+    val lines = spark.read.text(s"$out/ndjson").as[String].collect()
+    val expected =
+      """{"cidr":"192.0.2.55/24","data":{"category":"c2","confidence":90,""" +
+        """"source":"feed-a","threat_level":"high"},"match_type":"ip",""" +
+        """"matched_text":"192.0.2.55","prefix_len":24,""" +
+        """"source":"transcripts.log","timestamp":"1700000000.000"}"""
+    assert(lines.toSeq == Seq(expected), lines.mkString("\n"))
+  }
 }

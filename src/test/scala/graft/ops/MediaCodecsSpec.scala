@@ -68,6 +68,43 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.sampleAudio(w, 3).toSeq == Seq[Short](1, 7))
   }
 
+  test("PNG round-trip via ImageIO is lossless, pixel-exact") {
+    val w = 9; val h = 7
+    val px = Array.tabulate[Byte](w * h * 3)(i => ((i * 53 + 7) & 0xff).toByte)
+    val img = MediaCodecs.Bmp(w, h, px)
+    val png = MediaCodecs.encodeJvmImage(img, "png")
+    // PNG magic, not a BMP — exercises the ImageIO path through the sniffer
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P')
+    assert(MediaCodecs.decodeBmp(png) == null)
+    val dec = MediaCodecs.decodeAnyImage(png)
+    assert(dec != null && dec.width == w && dec.height == h)
+    assert(dec.pixels.toSeq == px.toSeq)
+  }
+
+  test("JPEG decode via ImageIO: exact dimensions, means within lossy " +
+    "tolerance") {
+    val w = 32; val h = 24
+    // smooth gradient (JPEG-friendly): mean error stays small
+    val px = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = (y * w + x) * 3
+      px(d) = (x * 4).toByte; px(d + 1) = (y * 5).toByte
+      px(d + 2) = ((x + y) * 2).toByte
+    }
+    val img = MediaCodecs.Bmp(w, h, px)
+    val jpg = MediaCodecs.encodeJvmImage(img, "jpg")
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8) // JFIF magic
+    val dec = MediaCodecs.decodeAnyImage(jpg)
+    assert(dec != null && dec.width == w && dec.height == h)
+    val (b0, g0, r0) = MediaCodecs.bmpMeanBgrMilli(img)
+    val (b1, g1, r1) = MediaCodecs.bmpMeanBgrMilli(dec)
+    // means in milli-units; allow 4/255 channel drift for the lossy codec
+    assert(math.abs(b1 - b0) < 4000 && math.abs(g1 - g0) < 4000 &&
+      math.abs(r1 - r0) < 4000, s"($b0,$g0,$r0) vs ($b1,$g1,$r1)")
+    // corrupt JPEG still routes as null, never throws
+    assert(MediaCodecs.decodeJvmImage(jpg.take(20)) == null)
+  }
+
   test("real multimodal pipeline: decode, route corrupt, resize") {
     import spark.implicits._
     val media = Multimodal.synthesizeReal(spark, 30)

@@ -31,6 +31,36 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // distinct doc
   }
 
+  test("IVF ANN: exact recall when every centroid list is probed, " +
+    "bounded scan when not") {
+    // deterministic vectors: 3 tight clusters around 3 directions
+    val vecs = (0L until 30L).map { i =>
+      val c = (i % 3).toInt
+      val base = Array.fill(8)(0.0f)
+      base(c) = 1.0f
+      base((c + 3) % 8) = 0.1f * (i / 3 % 5) // within-cluster variation
+      (i, base)
+    }.toDF("vec_id", "embedding")
+    // nprobe == nlist => every query scans the whole corpus => results must
+    // EQUAL brute force (IVF is exact when all lists are probed)
+    val ivfAll = Similarity.ivfTopK(vecs, k = 3, nlist = 4, nprobe = 4)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val brute = Similarity
+      .bruteForceTopK(vecs.withColumnRenamed("vec_id", "vid")
+        .select(col("vid").as("vec_id"), col("embedding")), vecs, k = 3)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(ivfAll == brute)
+    // nprobe = 1: each query sees only one list — results are a subset of
+    // per-query candidates from a single centroid, and no query vanishes
+    val ivf1 = Similarity.ivfTopK(vecs, k = 3, nlist = 4, nprobe = 1)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(ivf1.map(_._1).distinct.length == 30)
+    // per-centroid cap bounds a hot list without dropping queries
+    val capped = Similarity.ivfTopK(vecs, k = 3, nlist = 4, nprobe = 2,
+      maxBucketSize = 5)
+    assert(capped.select("query_id").distinct().count() == 30)
+  }
+
   test("simhash: identical token sets share a fingerprint") {
     val groups = Dedup.simhashGroups(docs).collect()
     // docs 0 and 1 are identical => same fingerprint group

@@ -12,14 +12,20 @@ object PlanDump {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val turns = spark.createDataFrame(Fixtures.turns(100))
+    spark.createDataFrame(Fixtures.turns(100))
+      .write.mode("overwrite").parquet("/tmp/plandump-turns")
+    val turns = spark.read.parquet("/tmp/plandump-turns")
     val dbs = Seq(
       IntelDb.build("threats", Fixtures.intelThreats),
       IntelDb.build("allowlist", Fixtures.intelAllowlist))
     val withBucket = turns.withColumn("bucket",
       pmod(xxhash64(col("conv_id")), lit(8)))
+    println("=== matched (ScanTurn single-expression extract+lookup) ===")
+    ScanJob.matched(turns, dbs, spark).explain("formatted")
     println("=== routedFrame (ScanJob.run single pass) ===")
     ScanJob.routedFrame(spark, withBucket, dbs).explain("formatted")
+    println("=== goldCounts over matched (the one shuffle) ===")
+    ScanJob.goldCounts(ScanJob.matched(turns, dbs, spark)).explain("formatted")
     spark.stop()
   }
 }

@@ -81,6 +81,88 @@ class StreamingScanSpec extends AnyFunSuite {
     assert(routed2.where("sink = 'clean'").count() == 2)
   }
 
+  test("true follow mode: ProcessingTime trigger picks up files appended " +
+    "mid-stream; graceful stop") {
+    val inDir = Files.createTempDirectory("stream-f-in").toString
+    val outDir = Files.createTempDirectory("stream-f-out").toString
+    val dbs = () => Seq(IntelDb.build("threats", Seq(
+      IntelEntry("192.0.2.0/24", "high", "c2", "f", 90))))
+    Files.writeString(java.nio.file.Paths.get(inDir, "b1.json"),
+      turnJson("c1", 0, "hit 192.0.2.55 here") + "\n")
+    val q = StreamingScan.startRouted(spark, inDir, outDir, dbs, buckets = 4,
+      trigger = org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("500 milliseconds"))
+    try {
+      // bounded poll until the continuously-running query lands the rows
+      def matchedCount(): Long =
+        try spark.read.parquet(s"$outDir/routed_stream")
+          .where("sink = 'matched'").count()
+        catch { case _: Throwable => -1L } // sink dir not created yet
+      def awaitCount(n: Long): Unit = {
+        val deadline = System.nanoTime() + 120e9.toLong
+        while (matchedCount() < n) {
+          if (System.nanoTime() > deadline)
+            fail(s"follow mode did not reach $n matched rows in time " +
+              s"(at ${matchedCount()})")
+          Thread.sleep(250)
+        }
+      }
+      awaitCount(1)
+      // the tail -f moment: append new files while the query is RUNNING
+      Files.writeString(java.nio.file.Paths.get(inDir, "b2.json"),
+        turnJson("c2", 0, "and 192.0.2.77 too") + "\n" +
+          turnJson("c2", 1, "clean line") + "\n")
+      awaitCount(2)
+    } finally {
+      // graceful shutdown (the reference's Ctrl-C flag, follow.rs:20-60)
+      q.stop()
+    }
+    assert(q.awaitTermination(60000), "query did not stop gracefully")
+    val routed = spark.read.parquet(s"$outDir/routed_stream")
+    assert(routed.where("sink = 'matched'").count() == 2)
+    assert(routed.where("sink = 'clean'").count() == 1)
+  }
+
+  test("event-time timeout finalizes idle conversations against the " +
+    "watermark") {
+    val inDir = Files.createTempDirectory("stream-et-in").toString
+    val outDir = Files.createTempDirectory("stream-et-out").toString
+    def turnAt(conv: String, idx: Int, ts: String, text: String): String =
+      s"""{"conv_id":"$conv","turn_idx":$idx,"role":"user","text":"$text","tool":"","ts":"$ts"}"""
+    def drain(): Unit = awaitOrFail(
+      StreamingScan.conversationStateEventTime(spark, inDir, outDir,
+        watermarkDelay = "5 seconds", idleGapMs = 10000L))
+    def finals(): Map[String, Long] =
+      try spark.read.parquet(s"$outDir/conv_state_final")
+        .collect().map(r => r.getAs[String]("conv_id") ->
+          r.getAs[Long]("turns")).toMap
+      catch { case _: Throwable => Map.empty }
+
+    // wave 1: two conversations near T0 — nothing can time out yet
+    Files.writeString(java.nio.file.Paths.get(inDir, "w1.json"),
+      turnAt("c1", 0, "2024-01-01T00:00:01.000Z", "hit 192.0.2.5 x") + "\n" +
+        turnAt("c1", 1, "2024-01-01T00:00:03.000Z", "clean") + "\n" +
+        turnAt("c2", 0, "2024-01-01T00:00:02.000Z", "clean too") + "\n")
+    drain()
+    assert(finals().isEmpty, "nothing should finalize in the first drain")
+
+    // wave 2: a far-future turn advances the watermark past c1/c2 + gap
+    // (the timeout check uses the watermark as of the PREVIOUS batch, so
+    // the advance lands in this drain and the timeouts fire in the next)
+    Files.writeString(java.nio.file.Paths.get(inDir, "w2.json"),
+      turnAt("c9", 0, "2024-01-01T00:10:00.000Z", "later era") + "\n")
+    drain()
+    // wave 3: any batch whose STARTING watermark is past the idle gap
+    // delivers the pending timeouts
+    Files.writeString(java.nio.file.Paths.get(inDir, "w3.json"),
+      turnAt("c9", 1, "2024-01-01T00:10:01.000Z", "tick") + "\n")
+    drain()
+    val f = finals()
+    assert(f.get("c1").contains(2L), s"c1 should be finalized with 2 turns: $f")
+    assert(f.get("c2").contains(1L), s"c2 should be finalized with 1 turn: $f")
+    assert(!f.contains("c9"), s"c9 is still active: $f")
+  }
+
   test("watermarked windowed match counts (streaming A10 analog)") {
     val inDir = Files.createTempDirectory("stream-w-in").toString
     val outDir = Files.createTempDirectory("stream-w-out").toString
