@@ -75,7 +75,9 @@ object SparkEntry {
     "q38_dedup_minhash_capped" -> (QueryDefs.qDedupMinhashCapped _),
     "q39_dedup_simhash_capped" -> (QueryDefs.qDedupSimhashCapped _),
     // IVF ANN (round 3): the inverted-file scale path next to LSH
-    "q40_sim_ivf" -> (QueryDefs.qSimIvf _)
+    "q40_sim_ivf" -> (QueryDefs.qSimIvf _),
+    // connected-components dedup clustering (round 3)
+    "q41_dedup_clusters" -> (QueryDefs.qDedupClusters _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -118,6 +120,7 @@ object SparkEntry {
     "q37_text_tokens" -> OracleDefs.textTokens,
     "q38_dedup_minhash_capped" -> OracleDefs.dedupMinhashCapped,
     "q39_dedup_simhash_capped" -> OracleDefs.dedupSimhashCapped,
-    "q40_sim_ivf" -> OracleDefs.simIvf
+    "q40_sim_ivf" -> OracleDefs.simIvf,
+    "q41_dedup_clusters" -> OracleDefs.dedupClusters
   )
 }

@@ -210,6 +210,65 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
   }
 
+  /** Connected components over a near-dup pair graph: every document gets
+    * `cluster_id` = the smallest doc_id transitively reachable through the
+    * pairs, plus `is_canonical` (the cluster representative a dedup job
+    * KEEPS; the rest are the drop set). This is the step a training-data
+    * pipeline runs AFTER pair generation — pairs alone don't dedup, the
+    * transitive closure does.
+    *
+    * Algorithm: iterative min-label propagation with POINTER JUMPING
+    * (label := min(own, neighbors' labels, label-of-label) per round) —
+    * O(log diameter) rounds instead of O(diameter), each round one
+    * neighbor-min shuffle + one label-table self-join. Lineage is
+    * truncated per round (localCheckpoint) so the plan doesn't grow with
+    * iterations; convergence = the monotonically-decreasing label sum
+    * stops changing (one cheap agg per round). 100 TB shape: labels are
+    * (doc_id, cluster_id) pairs — the working set is one long per doc,
+    * never the pair graph in memory.
+    */
+  def nearDupClusters(docs: DataFrame, pairs: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = docs.select(col("doc_id"),
+      col("doc_id").as("cluster_id")).localCheckpoint()
+    var prevSum = BigDecimal(-1)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min("cluster_id").as("nmin"))
+      val withNeighbor = labels.as("l")
+        .join(neighborMin, col("l.doc_id") === col("src"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+          least(coalesce(col("nmin"), col("l.cluster_id")),
+            col("l.cluster_id")).as("cluster_id"))
+      // pointer jumping: follow the label one hop (cluster_id's own label)
+      val jumped = withNeighbor.as("a")
+        .join(labels.select(col("doc_id").as("p_id"),
+          col("cluster_id").as("p_label")),
+          col("a.cluster_id") === col("p_id"), "left")
+        .select(col("a.doc_id").as("doc_id"),
+          least(col("a.cluster_id"),
+            coalesce(col("p_label"), col("a.cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
+      // labels are component-wise non-increasing, so an unchanged sum
+      // means NO label changed (strict decrease otherwise)
+      val sumRow = jumped.agg(
+        org.apache.spark.sql.functions.sum("cluster_id")).head()
+      val sum =
+        if (sumRow.isNullAt(0)) BigDecimal(0) else BigDecimal(sumRow.getLong(0))
+      converged = sum == prevSum
+      prevSum = sum
+      labels = jumped
+      iter += 1
+    }
+    require(converged, s"nearDupClusters did not converge in $maxIter rounds")
+    labels.withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+  }
+
   /** Document frequency per shingle — the skew diagnostic behind
     * `maxShingleDf` (shingles are distinct per doc, so count == df).
     */

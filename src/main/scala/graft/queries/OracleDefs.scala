@@ -493,6 +493,50 @@ object OracleDefs {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** Transitive closure via a recursive CTE: cluster_id = min doc_id
+    * reachable through the (capped) minhash near-dup pairs.
+    */
+  val dedupClusters: String = {
+    val numHashes = 8
+    val bands = 4
+    val r = numHashes / bands
+    val sig = (0 until numHashes)
+      .map(i => s"list_min(list_transform(sh, s -> md5('$i'||'|'||s)))")
+      .mkString("[", ", ", "]")
+    val bandRows = (0 until bands).map { b =>
+      s"SELECT doc_id, $b AS band_idx, " +
+        s"array_to_string(list_slice(sig, ${b * r + 1}, ${b * r + r}), '#') AS band_key FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE d AS ($floodDocsSql),
+       |sh_t AS (SELECT doc_id, ${duckShingles("text")} AS sh FROM d),
+       |sigs AS (SELECT doc_id, $sig AS sig FROM sh_t),
+       |banded AS (
+       |  $bandRows
+       |),
+       |capped AS (
+       |  SELECT doc_id, band_idx, band_key FROM (
+       |    SELECT doc_id, band_idx, band_key,
+       |      row_number() OVER (PARTITION BY band_idx, band_key
+       |                         ORDER BY doc_id ASC) AS bpos
+       |    FROM banded)
+       |  WHERE bpos <= 10),
+       |prs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM capped a JOIN banded b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |  WHERE a.doc_id < b.doc_id),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM prs
+       |      UNION ALL SELECT doc_b, doc_a FROM prs),
+       |reach AS (
+       |  SELECT doc_id AS doc, doc_id AS root FROM d
+       |  UNION
+       |  SELECT e.b, reach.root FROM reach JOIN e ON reach.doc = e.a
+       |)
+       |SELECT doc AS doc_id, min(root) AS cluster_id,
+       |       (doc = min(root)) AS is_canonical
+       |FROM reach GROUP BY doc ORDER BY doc""".stripMargin
+  }
+
   val dedupSimhashCapped: String = {
     val bits = 32
     val bands = 4

@@ -379,6 +379,18 @@ object QueryDefs {
       maxHamming = 3, maxBandDf = 10)
       .orderBy("doc_a", "doc_b")
 
+  /** q41: the full dedup JOB step — near-dup pairs (capped minhash bands on
+    * the flood fixture) -> connected components -> canonical selection.
+    * The 1000 identical docs collapse into one cluster whose canonical is
+    * the smallest doc_id; is_canonical marks the keep set.
+    */
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = floodDocs(s, dir)
+    val pairs = Dedup.minhashLshPairs(docs, k = 5, numHashes = 8,
+      bands = 4, maxBandDf = 10)
+    Dedup.nearDupClusters(docs, pairs).orderBy("doc_id")
+  }
+
   /** q34: case-insensitive match mode end-to-end (MatchMode::CaseInsensitive,
     * matchy-literal-hash/src/lib.rs:162-166): mixed-case literal + glob
     * entries built with caseInsensitive=true against mixed-case extracted

@@ -61,6 +61,22 @@ class OpsSpec extends AnyFunSuite {
     assert(capped.select("query_id").distinct().count() == 30)
   }
 
+  test("near-dup clustering: transitive closure, canonical = min doc_id") {
+    val nodes = (0L to 9L).toDF("doc_id")
+    // chain 1-2-3-4 (transitivity!), triangle 5-6-7, pair 8-9; 0 singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (6L, 7L),
+      (5L, 7L), (8L, 9L)).toDF("doc_a", "doc_b")
+    val r = Dedup.nearDupClusters(nodes, pairs)
+      .as[(Long, Long, Boolean)].collect()
+      .map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(r(0L) == ((0L, true)))
+    Seq(1L, 2L, 3L, 4L).foreach(d => assert(r(d) == ((1L, d == 1L)), s"d=$d"))
+    Seq(5L, 6L, 7L).foreach(d => assert(r(d) == ((5L, d == 5L))))
+    Seq(8L, 9L).foreach(d => assert(r(d) == ((8L, d == 8L))))
+    // the keep set is exactly one canonical per cluster
+    assert(r.values.count(_._2) == 4)
+  }
+
   test("simhash: identical token sets share a fingerprint") {
     val groups = Dedup.simhashGroups(docs).collect()
     // docs 0 and 1 are identical => same fingerprint group
