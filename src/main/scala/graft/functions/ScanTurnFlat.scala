@@ -1,0 +1,182 @@
+package graft.functions
+
+import graft.extract.{IocScanner, ScanConfig}
+import graft.intel.IntelDb
+import graft.model.{IndicatorType => T}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The MATCH-ONLY flattening of ScanTurn: one array element per
+  * (candidate x database hit), hitless candidates and clean turns omitted —
+  * `array<struct<indicator_type, value, matched_text, span_start, span_end,
+  * db_idx, entry_idx, prefix_len, match_type>>`.
+  *
+  * ScanJob.matched previously exploded ScanTurn's per-candidate rows,
+  * filtered `sink = 'cand' AND size(hits) > 0`, projected the struct
+  * fields, then exploded `hits` AGAIN — a Generate -> Filter -> Project ->
+  * Generate chain whose intermediate rows are all materialized per
+  * candidate. The flat form emits exactly the surviving rows from inside
+  * the expression, so the plan is ONE Generate feeding the metadata join.
+  * ScanJob.run keeps full ScanTurn (it needs the clean rows and the
+  * per-candidate stats observer).
+  */
+case class ScanTurnFlat(child: Expression, dbs: Seq[IntelDb],
+    config: ScanConfig) extends UnaryExpression {
+
+  @transient private lazy val scanner = new IocScanner(config)
+  @transient private lazy val dbArr = dbs.toArray
+
+  override def dataType: DataType = ScanTurnFlat.schema
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String =
+    s"scan_turn_flat_${dbs.map(_.databaseId).mkString("_")}"
+
+  override def nullSafeEval(input: Any): Any =
+    ScanTurnFlat.scan(scanner, dbArr, input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val scannerRef =
+      ctx.addReferenceObj("scanner", scanner, classOf[IocScanner].getName)
+    val dbsRef = ctx.addReferenceObj("inteldbs", dbArr, "graft.intel.IntelDb[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ScanTurnFlat.scan($scannerRef, $dbsRef, $c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ScanTurnFlat =
+    copy(child = newChild)
+}
+
+object ScanTurnFlat {
+  val elementSchema: StructType = StructType(Seq(
+    StructField("indicator_type", StringType, nullable = false),
+    StructField("value", StringType, nullable = false),
+    StructField("matched_text", StringType, nullable = false),
+    StructField("span_start", IntegerType, nullable = false),
+    StructField("span_end", IntegerType, nullable = false),
+    StructField("db_idx", IntegerType, nullable = false),
+    StructField("entry_idx", IntegerType, nullable = false),
+    StructField("prefix_len", IntegerType, nullable = false),
+    StructField("match_type", StringType, nullable = false)
+  ))
+  val schema: DataType = ArrayType(elementSchema, containsNull = false)
+
+  private val IP = UTF8String.fromString("ip")
+  private val PATTERN = UTF8String.fromString("pattern")
+  private val EMPTY: ArrayData = new GenericArrayData(Array.empty[Any])
+  private val typeInterned: java.util.HashMap[String, UTF8String] = {
+    val m = new java.util.HashMap[String, UTF8String]()
+    T.all.foreach(t => m.put(t, UTF8String.fromString(t)))
+    m
+  }
+
+  private def matchRow(tpe: UTF8String, value: UTF8String,
+      matchedText: UTF8String, spanStart: Int, spanEnd: Int, d: Int,
+      entryIdx: Int, prefixLen: Int, matchType: UTF8String)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val r = new GenericInternalRow(9)
+    r.update(0, tpe)
+    r.update(1, value)
+    r.update(2, matchedText)
+    r.update(3, spanStart)
+    r.update(4, spanEnd)
+    r.update(5, d)
+    r.update(6, entryIdx)
+    r.update(7, prefixLen)
+    r.update(8, matchType)
+    r
+  }
+
+  /** Static entry point shared by interpreted eval and generated code. */
+  def scan(scanner: IocScanner, dbs: Array[IntelDb],
+      text: UTF8String): ArrayData = {
+    val len = text.numBytes()
+    val scr = ExtractIoCs.tlScratch.get()
+    val buf = ExtractIoCs.copyToScratch(scr, text)
+    val iocs = scanner.scanInto(buf, len, scr.iocs)
+    val n = iocs.length
+    if (n == 0) return EMPTY
+    // reuse the RowScratch hit buffer to accumulate the flat rows of the
+    // whole turn (grow-only, copied to exact size at the end)
+    var rows = scr.hits
+    var nRows = 0
+    var i = 0
+    while (i < n) {
+      val m = iocs(i)
+      val isV6 = m.indicator_type == T.Ipv6
+      val isIp = isV6 || (m.indicator_type == T.Ipv4)
+      var tpe: UTF8String = null
+      var valueU8: UTF8String = null
+      var matchedU8: UTF8String = null
+      var d = 0
+      while (d < dbs.length) {
+        val db = dbs(d)
+        if (isIp) {
+          val hit = db.lookupIp(m.value, isV6)
+          if (hit != null) {
+            if (tpe == null) {
+              tpe = typeInterned.get(m.indicator_type)
+              valueU8 = valueBytes(m, buf)
+              matchedU8 =
+                if (m.matched_text eq m.value) valueU8
+                else UTF8String.fromString(m.matched_text)
+            }
+            if (nRows == rows.length) rows = grow(scr)
+            rows(nRows) = matchRow(tpe, valueU8, matchedU8, m.span_start,
+              m.span_end, d, hit._1, hit._2, IP)
+            nRows += 1
+          }
+        } else {
+          val ids = db.lookupString(m.value)
+          var k = 0
+          while (k < ids.length) {
+            if (tpe == null) {
+              tpe = typeInterned.get(m.indicator_type)
+              valueU8 = valueBytes(m, buf)
+              matchedU8 =
+                if (m.matched_text eq m.value) valueU8
+                else UTF8String.fromString(m.matched_text)
+            }
+            if (nRows == rows.length) rows = grow(scr)
+            rows(nRows) = matchRow(tpe, valueU8, matchedU8, m.span_start,
+              m.span_end, d, ids(k), -1, PATTERN)
+            nRows += 1
+            k += 1
+          }
+        }
+        d += 1
+      }
+      i += 1
+    }
+    if (nRows == 0) EMPTY
+    else {
+      val exact = new Array[Any](nRows)
+      System.arraycopy(rows, 0, exact, 0, nRows)
+      new GenericArrayData(exact)
+    }
+  }
+
+  @inline private def valueBytes(m: graft.model.Ioc,
+      buf: Array[Byte]): UTF8String =
+    if (m.matched_text eq m.value)
+      UTF8String.fromBytes(java.util.Arrays.copyOfRange(
+        buf, m.span_start, m.span_end))
+    else UTF8String.fromString(m.value)
+
+  private def grow(scr: ExtractIoCs.RowScratch): Array[Any] = {
+    val old = scr.hits
+    val bigger = new Array[Any](old.length * 2)
+    System.arraycopy(old, 0, bigger, 0, old.length)
+    scr.hits = bigger
+    bigger
+  }
+
+  def column(text: Column, dbs: Seq[IntelDb],
+      config: ScanConfig = ScanConfig()): Column =
+    ExpressionUtils.column(
+      ScanTurnFlat(ExpressionUtils.expression(text), dbs, config))
+}

@@ -173,6 +173,10 @@ class ScanJobSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
     // the matched plan itself must contain no shuffle exchange
     assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+    // round 3: ONE flat generator (scan_turn_flat) — no intermediate
+    // filter/re-explode chain between extraction and the metadata join
+    assert("Generate ".r.findAllIn(plan).size == 1, plan.take(2000))
+    assert(plan.toLowerCase.contains("scan_turn_flat"), plan.take(2000))
   }
 
   test("plan shape: run()'s routed frame is shuffle-free (single pass)") {
