@@ -77,7 +77,9 @@ object SparkEntry {
     // IVF ANN (round 3): the inverted-file scale path next to LSH
     "q40_sim_ivf" -> (QueryDefs.qSimIvf _),
     // connected-components dedup clustering (round 3)
-    "q41_dedup_clusters" -> (QueryDefs.qDedupClusters _)
+    "q41_dedup_clusters" -> (QueryDefs.qDedupClusters _),
+    // Gopher-style keep/drop quality filter (round 3)
+    "q42_text_quality_filter" -> (QueryDefs.qTextQualityFilter _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -121,6 +123,7 @@ object SparkEntry {
     "q38_dedup_minhash_capped" -> OracleDefs.dedupMinhashCapped,
     "q39_dedup_simhash_capped" -> OracleDefs.dedupSimhashCapped,
     "q40_sim_ivf" -> OracleDefs.simIvf,
-    "q41_dedup_clusters" -> OracleDefs.dedupClusters
+    "q41_dedup_clusters" -> OracleDefs.dedupClusters,
+    "q42_text_quality_filter" -> OracleDefs.textQualityFilter
   )
 }

@@ -134,4 +134,30 @@ object TextStats {
     */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Gopher-style quality FILTER (Rae et al. 2021, appendix A — the public
+    * heuristic rule family): the keep/drop decision a training-data
+    * pipeline actually applies, built on qualityFeatures. `fail_reason`
+    * names the FIRST failing rule (rule order below) for drop-set
+    * diagnostics; `keep` is true iff no rule fails. All arithmetic is the
+    * deterministic cross-engine-exact feature set, so thresholds compare
+    * identically in any engine.
+    *
+    * Rules (in order): token count in [minTokens, maxTokens]; mean token
+    * length in [minMeanTokenLen, maxMeanTokenLen]; alphanumeric character
+    * ratio >= minAlnumRatio; >= minStopwordHits stopword occurrences.
+    */
+  def qualityFilter(docs: DataFrame, textCol: String = "text",
+      minTokens: Long = 25, maxTokens: Long = 100000,
+      minMeanTokenLen: Double = 3.0, maxMeanTokenLen: Double = 10.0,
+      minAlnumRatio: Double = 0.6, minStopwordHits: Long = 1): DataFrame =
+    qualityFeatures(docs, textCol)
+      .withColumn("fail_reason",
+        when(col("n_tokens") < minTokens, "too_few_tokens")
+          .when(col("n_tokens") > maxTokens, "too_many_tokens")
+          .when(col("mean_token_len") < minMeanTokenLen ||
+            col("mean_token_len") > maxMeanTokenLen, "mean_token_len")
+          .when(col("alnum_ratio") < minAlnumRatio, "low_alnum_ratio")
+          .when(col("stopword_hits") < minStopwordHits, "no_stopwords"))
+      .withColumn("keep", col("fail_reason").isNull)
 }

@@ -639,6 +639,37 @@ object OracleDefs {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  val textQualityFilter: String = {
+    val stop = Seq(" the ", " and ", " a ", " of ")
+      .map(w => occ("(' '||lower(text)||' ')", w)).mkString(" + ")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE length(string_split_regex(trim(text), '\\s+')) END
+       |      AS n_tokens,
+       |    CAST(length(text) AS DOUBLE) /
+       |      CAST(greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+       |        ELSE length(string_split_regex(trim(text), '\\s+')) END, 1)
+       |        AS DOUBLE) AS mean_token_len,
+       |    CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))
+       |      AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)
+       |      AS alnum_ratio,
+       |    $stop AS stopword_hits
+       |  FROM documents),
+       |v AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n_tokens < 25 THEN 'too_few_tokens'
+       |         WHEN n_tokens > 90 THEN 'too_many_tokens'
+       |         WHEN mean_token_len < 4.8 OR mean_token_len > 6.0
+       |           THEN 'mean_token_len'
+       |         WHEN alnum_ratio < 0.81 THEN 'low_alnum_ratio'
+       |         WHEN stopword_hits < 1 THEN 'no_stopwords'
+       |         END AS fail_reason
+       |  FROM f)
+       |SELECT doc_id, (fail_reason IS NULL) AS keep, fail_reason
+       |FROM v ORDER BY doc_id""".stripMargin
+  }
+
   val textTokens: String =
     """SELECT doc_id,
       |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -454,6 +454,18 @@ object QueryDefs {
         min("doc_id").as("canonical_doc_id"))
       .orderBy("fp")
 
+  /** q42: the Gopher-style keep/drop quality filter — thresholds chosen so
+    * the fixture exercises every rule (token band, mean-token-length band,
+    * alnum ratio, stopword floor) and both verdicts.
+    */
+  def qTextQualityFilter(s: SparkSession, dir: String): DataFrame =
+    TextStats.qualityFilter(t(s, dir, "documents"),
+      minTokens = 25, maxTokens = 90,
+      minMeanTokenLen = 4.8, maxMeanTokenLen = 6.0,
+      minAlnumRatio = 0.81, minStopwordHits = 1)
+      .select("doc_id", "keep", "fail_reason")
+      .orderBy("doc_id")
+
   /** q37: BPE-ish regex tokenization counts (letters/digits/symbol runs —
     * the byte-level-BPE pre-tokenization split) next to whitespace tokens.
     */

@@ -61,6 +61,27 @@ class OpsSpec extends AnyFunSuite {
     assert(capped.select("query_id").distinct().count() == 30)
   }
 
+  test("quality filter: first failing rule named; keep iff all rules pass") {
+    val d = Seq(
+      (0L, "the cat and a dog of note walked home today fine"), // keeps
+      (1L, "tiny"), // too few tokens
+      (2L, "aaaaaaaaaaaaaaaaaaaaaa bbbbbbbbbbbbbbbbbbbb " * 3), // long tokens
+      (3L, "### $$$ %%% ^^^ &&& *** ((( ))) @@@ !!!"), // low alnum
+      (4L, "zebra quartz jumps vexed lymph crwth docks fghij klmno") // no stopwords
+    ).toDF("doc_id", "text")
+    val r = TextStats.qualityFilter(d, minTokens = 5, maxTokens = 100,
+      minMeanTokenLen = 2.0, maxMeanTokenLen = 8.0,
+      minAlnumRatio = 0.6, minStopwordHits = 1)
+      .select("doc_id", "keep", "fail_reason")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getBoolean(1), Option(x.getString(2))))).toMap
+    assert(r(0L) == ((true, None)))
+    assert(r(1L) == ((false, Some("too_few_tokens"))))
+    assert(r(2L) == ((false, Some("mean_token_len"))))
+    assert(r(3L) == ((false, Some("low_alnum_ratio"))))
+    assert(r(4L) == ((false, Some("no_stopwords"))))
+  }
+
   test("near-dup clustering: transitive closure, canonical = min doc_id") {
     val nodes = (0L to 9L).toDF("doc_id")
     // chain 1-2-3-4 (transitivity!), triangle 5-6-7, pair 8-9; 0 singleton

@@ -163,6 +163,29 @@ class StreamingScanSpec extends AnyFunSuite {
     assert(!f.contains("c9"), s"c9 is still active: $f")
   }
 
+  test("streaming exact dedup: first fingerprint wins across micro-batches") {
+    val inDir = Files.createTempDirectory("stream-d-in").toString
+    val outDir = Files.createTempDirectory("stream-d-out").toString
+    def doc(id: Long, text: String): String =
+      s"""{"doc_id":$id,"text":"$text"}"""
+    // batch 1: in-batch dup (1 vs 2 — formatting variant, same
+    // fingerprint) + two uniques
+    Files.writeString(java.nio.file.Paths.get(inDir, "b1.json"),
+      doc(2, "The quick  brown fox") + "\n" + // variant of doc 1, larger id
+        doc(1, "the quick brown fox") + "\n" +
+        doc(3, "something else entirely") + "\n")
+    awaitOrFail(StreamingDedup.start(spark, inDir, outDir))
+    def ids(): Seq[Long] = spark.read.parquet(s"$outDir/deduped")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids() == Seq(1L, 3L)) // smallest id survives the in-batch dup
+    // batch 2: repeats batch-1 text (dropped via state) + one new doc
+    Files.writeString(java.nio.file.Paths.get(inDir, "b2.json"),
+      doc(9, "THE QUICK BROWN FOX") + "\n" + // dup across batches
+        doc(10, "genuinely new content") + "\n")
+    awaitOrFail(StreamingDedup.start(spark, inDir, outDir))
+    assert(ids() == Seq(1L, 3L, 10L), s"cross-batch dup not dropped: ${ids()}")
+  }
+
   test("watermarked windowed match counts (streaming A10 analog)") {
     val inDir = Files.createTempDirectory("stream-w-in").toString
     val outDir = Files.createTempDirectory("stream-w-out").toString
