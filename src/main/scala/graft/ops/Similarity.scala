@@ -109,11 +109,13 @@ object Similarity {
     * the hyperplane-LSH path (lshTopK).
     *
     * Coarse quantizer: the `nlist` vectors with the smallest vec_id serve
-    * as centroids — i.e. the deterministic INIT step of k-means, skipping
-    * Lloyd iterations so the oracle can reproduce assignments bit-exactly
-    * (real deployments would refine with a few seeded k-means rounds; the
-    * assignment/probe/join machinery — the Spark-side substance — is
-    * identical either way). Ties rank by centroid_id ascending.
+    * as centroids (selected by ORDER BY vec_id LIMIT nlist, so sparse or
+    * filtered id spaces still yield nlist centroids) — i.e. the
+    * deterministic INIT step of k-means, skipping Lloyd iterations so the
+    * oracle can reproduce assignments bit-exactly (real deployments would
+    * refine with a few seeded k-means rounds; the assignment/probe/join
+    * machinery — the Spark-side substance — is identical either way).
+    * Ties rank by centroid_id ascending.
     *
     * Scale shape: centroids broadcast (nlist is small); assignment and
     * probe ranking are one windowed pass over n x nlist scored pairs; the
@@ -123,7 +125,7 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, k: Int, nlist: Int = 8, nprobe: Int = 2,
       maxBucketSize: Int = 0): DataFrame = {
     val q = corpus.select(col("vec_id"), quantize(col("embedding")).as("qv"))
-    val cents = q.where(col("vec_id") < nlist)
+    val cents = q.orderBy(col("vec_id").asc).limit(nlist)
       .select(col("vec_id").as("centroid_id"), col("qv").as("cv"))
     val scored = q.join(broadcast(cents))
       .select(col("vec_id"), col("qv"), col("centroid_id"),

@@ -377,7 +377,7 @@ object OracleDefs {
     s"""WITH base AS (
        |  SELECT vec_id, $qv AS v FROM embeddings WHERE vec_id < 300),
        |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM base
-       |          WHERE vec_id < $nlist),
+       |          ORDER BY vec_id LIMIT $nlist),
        |scored AS (
        |  SELECT b.vec_id, b.v, c.centroid_id,
        |         ${cosine("b.v", "c.cv")} AS ccos

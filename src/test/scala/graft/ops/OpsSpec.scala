@@ -59,6 +59,12 @@ class OpsSpec extends AnyFunSuite {
     val capped = Similarity.ivfTopK(vecs, k = 3, nlist = 4, nprobe = 2,
       maxBucketSize = 5)
     assert(capped.select("query_id").distinct().count() == 30)
+    // sparse/offset id spaces still get nlist centroids (ORDER BY + LIMIT,
+    // not `vec_id < nlist` which would select NOTHING here)
+    val shifted = vecs.withColumn("vec_id", col("vec_id") + 1000L)
+    val ivfShift = Similarity.ivfTopK(shifted, k = 3, nlist = 4, nprobe = 4)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(ivfShift == brute.map(t => (t._1 + 1000L, t._2, t._3 + 1000L, t._4)))
   }
 
   test("quality filter: first failing rule named; keep iff all rules pass") {
