@@ -77,6 +77,29 @@ object ExtractIoCs {
     override def initialValue(): RowScratch = new RowScratch
   }
 
+  /** Double the scratch hit buffer (shared by ScanTurn/ScanTurnFlat). */
+  def growHits(scr: RowScratch): Array[Any] = {
+    val old = scr.hits
+    val bigger = new Array[Any](old.length * 2)
+    System.arraycopy(old, 0, bigger, 0, old.length)
+    scr.hits = bigger
+    bigger
+  }
+
+  /** Direct 4-field (db_idx, entry_idx, prefix_len, match_type) hit row —
+    * InternalRow.apply's varargs path detours through Seq.toArray per hit
+    * (profiled); shared by ScanTurn, ScanTurnFlat and IntelLookupMulti.
+    */
+  def hitRow4(d: Int, entryIdx: Int, prefixLen: Int,
+      matchType: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(4)
+    r.update(0, d)
+    r.update(1, entryIdx)
+    r.update(2, prefixLen)
+    r.update(3, matchType)
+    r
+  }
+
   /** Copy the UTF8String's bytes into the scratch buffer (grown
     * geometrically, never shrunk); read with text.numBytes().
     */

@@ -63,16 +63,8 @@ object IntelLookupMulti {
   private val IPV6 = UTF8String.fromString(T.Ipv6)
 
   private def hitRow(d: Int, entryIdx: Int, prefixLen: Int,
-      matchType: UTF8String): InternalRow = {
-    // direct 4-field row — InternalRow.apply's varargs path detours
-    // through Seq.toArray per hit (profiled in the 32-thread scan)
-    val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(4)
-    r.update(0, d)
-    r.update(1, entryIdx)
-    r.update(2, prefixLen)
-    r.update(3, matchType)
-    r
-  }
+      matchType: UTF8String): InternalRow =
+    ExtractIoCs.hitRow4(d, entryIdx, prefixLen, matchType)
 
   def lookup(dbs: Array[IntelDb], value: UTF8String,
       itype: UTF8String): ArrayData = {

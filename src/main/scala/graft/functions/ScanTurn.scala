@@ -95,24 +95,14 @@ object ScanTurn {
   // hit-row scratch rides ExtractIoCs.RowScratch (one ThreadLocal get per
   // turn): the common case is 0-4 hits, and a fresh ArrayBuffer per
   // candidate (plus the varargs InternalRow.apply -> Seq -> toArray
-  // detour) was a measured allocation hot spot at 32 scan threads
-  private def growHits(scr: ExtractIoCs.RowScratch): Array[Any] = {
-    val old = scr.hits
-    val bigger = new Array[Any](old.length * 2)
-    System.arraycopy(old, 0, bigger, 0, old.length)
-    scr.hits = bigger
-    bigger
-  }
+  // detour) was a measured allocation hot spot at 32 scan threads.
+  // Buffer growth + the 4-field hit row are the shared ExtractIoCs helpers.
+  private def growHits(scr: ExtractIoCs.RowScratch): Array[Any] =
+    ExtractIoCs.growHits(scr)
 
   private def hitRow(d: Int, entryIdx: Int, prefixLen: Int,
-      matchType: UTF8String): InternalRow = {
-    val r = new GenericInternalRow(4)
-    r.update(0, d)
-    r.update(1, entryIdx)
-    r.update(2, prefixLen)
-    r.update(3, matchType)
-    r
-  }
+      matchType: UTF8String): InternalRow =
+    ExtractIoCs.hitRow4(d, entryIdx, prefixLen, matchType)
 
   /** Static entry point shared by interpreted eval and generated code. */
   def scan(scanner: IocScanner, dbs: Array[IntelDb],

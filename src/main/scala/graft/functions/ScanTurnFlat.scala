@@ -167,13 +167,8 @@ object ScanTurnFlat {
         buf, m.span_start, m.span_end))
     else UTF8String.fromString(m.value)
 
-  private def grow(scr: ExtractIoCs.RowScratch): Array[Any] = {
-    val old = scr.hits
-    val bigger = new Array[Any](old.length * 2)
-    System.arraycopy(old, 0, bigger, 0, old.length)
-    scr.hits = bigger
-    bigger
-  }
+  private def grow(scr: ExtractIoCs.RowScratch): Array[Any] =
+    ExtractIoCs.growHits(scr)
 
   def column(text: Column, dbs: Seq[IntelDb],
       config: ScanConfig = ScanConfig()): Column =

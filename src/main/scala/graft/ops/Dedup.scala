@@ -55,11 +55,12 @@ object Dedup {
     * it IS reported as a near-dup), but the quadratic intra-flood pair list
     * is truncated deterministically.
     */
-  private def capBandSide(banded: DataFrame, cap: Int): DataFrame =
+  private def capBandSide(banded: DataFrame, cap: Int,
+      keyCol: String = "band_key"): DataFrame =
     if (cap <= 0) banded
     else {
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("band_idx", "band_key").orderBy(col("doc_id").asc)
+        .partitionBy("band_idx", keyCol).orderBy(col("doc_id").asc)
       banded.withColumn("bpos", row_number().over(w))
         .where(col("bpos") <= cap).drop("bpos")
     }
@@ -147,14 +148,7 @@ object Dedup {
     // same guard as minhashLshPairs (`maxBandDf`): cap the smaller-id side
     // per band bucket so an identical-fingerprint flood emits N x cap pairs,
     // not N^2 — every doc still pairs with its bucket's first cap members
-    val left =
-      if (maxBandDf <= 0) banded
-      else {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("band_idx", "band_bits").orderBy(col("doc_id").asc)
-        banded.withColumn("bpos", row_number().over(w))
-          .where(col("bpos") <= maxBandDf).drop("bpos")
-      }
+    val left = capBandSide(banded, maxBandDf, keyCol = "band_bits")
     left.as("x")
       .join(banded.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
@@ -262,12 +256,28 @@ object Dedup {
         if (sumRow.isNullAt(0)) BigDecimal(0) else BigDecimal(sumRow.getLong(0))
       converged = sum == prevSum
       prevSum = sum
+      // release the superseded checkpoint's blocks (otherwise up to
+      // maxIter full label-table copies stay pinned in block storage
+      // until driver GC + ContextCleaner get around to them)
+      releaseLocalCheckpoint(labels)
       labels = jumped
       iter += 1
     }
     require(converged, s"nearDupClusters did not converge in $maxIter rounds")
     labels.withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
+
+  /** Unpersist the RDD behind a localCheckpoint'd DataFrame.
+    * `Dataset.unpersist` only talks to the cache manager and is a no-op for
+    * checkpoint blocks — they live on the physical RDD inside the
+    * LogicalRDD plan node.
+    */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => () // not a checkpointed frame; nothing to release
+    }
 
   /** Document frequency per shingle — the skew diagnostic behind
     * `maxShingleDf` (shingles are distinct per doc, so count == df).

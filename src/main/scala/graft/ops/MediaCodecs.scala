@@ -140,6 +140,22 @@ object MediaCodecs {
   def decodeJvmImage(bytes: Array[Byte]): Bmp = {
     if (bytes == null || bytes.length < 8) return null
     try {
+      // read the DIMENSIONS from the header first — an adversarial file
+      // declaring a huge raster must be rejected BEFORE ImageIO.read
+      // attempts the multi-GB allocation (same allocate-nothing-before-
+      // the-size-check contract as decodeBmp)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return null }
+      val reader = readers.next()
+      val (hw, hh) =
+        try {
+          reader.setInput(iis, true, true)
+          (reader.getWidth(0), reader.getHeight(0))
+        } finally { reader.dispose(); iis.close() }
+      if (hw <= 0 || hh <= 0 || hw > MaxDecodeDim || hh > MaxDecodeDim ||
+        hw.toLong * hh * 3 > Int.MaxValue) return null
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
       if (img == null) return null
@@ -164,7 +180,11 @@ object MediaCodecs {
         y += 1
       }
       Bmp(w, h, px)
-    } catch { case _: Throwable => null }
+    } catch {
+      // NonFatal only: swallowing OutOfMemoryError/InterruptedException
+      // would mask executor heap exhaustion and task kills
+      case scala.util.control.NonFatal(_) => null
+    }
   }
 
   /** Encode a Bmp buffer as "jpg" or "png" through ImageIO (fixture /

@@ -265,6 +265,10 @@ object ScanJob {
     if (!cfg.resume && cfg.onlyBuckets.isEmpty) {
       fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/routed"), true)
       fs.delete(donePath, true)
+      // the NDJSON stream is derived from routed/ — a stale one from a
+      // previous run must not survive next to fresh results (it is also
+      // deleted when THIS run has ndjson off)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/ndjson"), true)
     }
 
     val withBucket = turns

@@ -55,8 +55,13 @@ object StreamingDedup {
       .option("checkpointLocation", s"$outDir/_checkpoint_dedup")
       .trigger(trigger)
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: Dataset[Doc], _: Long) =>
-        batch.write.mode(SaveMode.Append).parquet(s"$outDir/deduped")
+      .foreachBatch { (batch: Dataset[Doc], batchId: Long) =>
+        // idempotent under replay: a crash between the parquet write and
+        // the checkpoint commit re-runs the SAME batchId, which overwrites
+        // its own directory instead of appending duplicates — the one
+        // failure mode a dedup sink must not have
+        batch.write.mode(SaveMode.Overwrite)
+          .parquet(s"$outDir/deduped/batch=$batchId")
         ()
       }
       .start()

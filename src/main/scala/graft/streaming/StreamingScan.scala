@@ -144,6 +144,9 @@ object StreamingScan {
     import spark.implicits._
     val stream = spark.readStream.schema(turnSchema).json(inDir)
     val perTurn = stream
+      // rows with no event time can neither advance nor respect the
+      // watermark — and a null ts would NPE inside the state function
+      .where(col("ts").isNotNull)
       .withWatermark("ts", watermarkDelay)
       .select(col("conv_id"), col("ts"),
         (size(graft.functions.GraftFunctions.extract_iocs(col("text"))) > 0)
@@ -183,8 +186,11 @@ object StreamingScan {
       .option("checkpointLocation", s"$outDir/_checkpoint_state_et")
       .trigger(trigger)
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: Dataset[ConvState], _: Long) =>
-        batch.write.mode(SaveMode.Append).parquet(s"$outDir/conv_state_final")
+      .foreachBatch { (batch: Dataset[ConvState], batchId: Long) =>
+        // batch-partitioned overwrite = idempotent under micro-batch
+        // replay (a finalized conversation must be emitted exactly once)
+        batch.write.mode(SaveMode.Overwrite)
+          .parquet(s"$outDir/conv_state_final/batch=$batchId")
         ()
       }
       .start()
