@@ -39,8 +39,20 @@ import scala.collection.mutable.ArrayBuffer
   *    calibrations quantifying the host's own thread-scaling ceilings
   *    (the scan is memory-traffic-heavy: its in-box 8->32 curve is bounded
   *    by the bandwidth calibration, not the arithmetic one);
-  *  - the JSON line is printed bare (build.sbt routes forked stdout through
-  *    unprefixed) AND written to BENCH_LOCAL.json.
+  *  - headline efficiency = median of PER-ROUND efficiencies over rounds
+  *    whose two interleaved windows both survived the stall filter — each
+  *    round's low/high windows ran back-to-back under the same host
+  *    conditions, so the per-round ratio is the noise-symmetric estimator
+  *    (round-4 change after a multi-minute host stall bimodalized the
+  *    per-level medians in the round-3 driver run);
+  *  - within-round A/B order alternates by round so systematic drift
+  *    (page-cache warming, heap growth) cancels across rounds;
+  *  - output contract (round 4): FULL detail (per-query timings, raw
+  *    samples, calibrations) is written to BENCH_LOCAL.json and printed
+  *    early on a "BENCH_DETAIL " prefixed line; the LAST stdout line is a
+  *    compact (<400 byte) bare JSON summary so no stdout-tail capture
+  *    window can truncate it (round 3: the 3 KB single line outgrew the
+  *    driver's tail and parsed as null).
   */
 object Bench {
 
@@ -146,8 +158,25 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "6000000").toLong
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "5").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "7").toInt
     val minWindow = sys.env.getOrElse("SPARK_GRAFT_BENCH_WINDOW_SEC", "6.0").toDouble
+
+    // SPARK_GRAFT_BENCH_SKIP_SCAN=1: queries-only mode for local iteration
+    // (skips the scaling pairs + calibrations; NOT for driver runs)
+    if (sys.env.get("SPARK_GRAFT_BENCH_SKIP_SCAN").contains("1")) {
+      val spark = newSession(cpus)
+      val qFilter0 = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+        .map(_.split(',').toSeq).getOrElse(Seq.empty)
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => qFilter0.isEmpty || qFilter0.exists(n.contains) }
+        .foreach { case (name, fn) =>
+          val t0 = System.nanoTime()
+          val n = fn(spark, sfDir).count()
+          println(f"QUERY $name rows=$n sec=${(System.nanoTime() - t0) / 1e9}%.3f")
+        }
+      spark.stop()
+      return
+    }
 
     val turnsDir = materializeTurns(nTurns, cpus)
 
@@ -237,8 +266,12 @@ object Bench {
       val highSamples = ArrayBuffer[Double]()
       var r = -1 // round -1 = warm-up, discarded
       while (r < pairRounds) {
-        for ((cores, sink) <- Seq(lowCores -> lowSamples,
-            highCores -> highSamples)) {
+        // alternate within-round order by round so monotone drift
+        // (page-cache warming, heap growth) cancels across rounds
+        val order =
+          if (r % 2 == 0) Seq(lowCores -> lowSamples, highCores -> highSamples)
+          else Seq(highCores -> highSamples, lowCores -> lowSamples)
+        for ((cores, sink) <- order) {
           val s = newSession(cores)
           val (rdd, run) = scanRunner(s, turnsDir)
           warmSession(s, rdd)
@@ -253,7 +286,7 @@ object Bench {
       }
       (lowSamples.toSeq, highSamples.toSeq)
     }
-    val primaryRounds = rounds + 2
+    val primaryRounds = rounds + 2 // default 9 interleaved measured rounds
     val (p2, p8) = measurePair(2, 8, primaryRounds)
     // the secondary pair gets the SAME round count as the primary — its
     // round-2 value rested on 2 samples spreading 3.4x (VERDICT r2 #5)
@@ -276,16 +309,26 @@ object Bench {
     val (s32k, s32Drop) = discardStalls(s32)
     val thrLow = median(p2k)
     val thrHigh = median(p8k)
-    val efficiency = (thrHigh / thrLow) / 4.0
+    val efficiencyLevelMedian = (thrHigh / thrLow) / 4.0
     // best-of at BOTH levels: peak sustainable throughput under noisy
     // neighbors (reported alongside the median-based headline, never
     // instead of it — raw samples are in the JSON either way)
     val efficiencyBest = (p8.max / p2.max) / 4.0
-    // noise-symmetric second estimator: efficiency per interleaved ROUND
-    // (sample i at both levels ran back-to-back under the same host
-    // conditions), median over rounds
+    // HEADLINE estimator (round 4, per round-3 verdict directive): median
+    // of per-round efficiencies over rounds whose two back-to-back windows
+    // BOTH survived the stall filter. Each round's low/high windows ran
+    // under the same host conditions, so the per-round ratio is immune to
+    // the asymmetric multi-minute stalls this shared VM exhibits; dropping
+    // rounds where either window stalled removes the residual case where a
+    // stall lands inside one window of a round.
     val roundEffs = p2.zip(p8).map { case (lo, hi) => (hi / lo) / 4.0 }
-    val efficiencyRoundMedian = median(roundEffs)
+    val keptRoundEffs = p2.zip(p8).collect {
+      case (lo, hi) if lo >= median(p2) / 3.0 && hi >= median(p8) / 3.0 =>
+        (hi / lo) / 4.0
+    }
+    val efficiency =
+      median(if (keptRoundEffs.nonEmpty) keptRoundEffs else roundEffs)
+    val roundsDropped = roundEffs.length - keptRoundEffs.length
     val thrLow2 = median(s8k)
     val thrHigh2 = median(s32k)
     val efficiency2 = (thrHigh2 / thrLow2) / (cpus.toDouble / math.max(1, cpus / 4))
@@ -294,12 +337,18 @@ object Bench {
     // a broken query is reported as an error, not a fast time).
     // SPARK_GRAFT_BENCH_SCAN_ONLY=1 skips them (scaling-iteration mode).
     val scanOnly = sys.env.get("SPARK_GRAFT_BENCH_SCAN_ONLY").contains("1")
+    // comma-separated substring filter for local iteration on one query
+    val qFilter = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(',').toSeq).getOrElse(Seq.empty)
     val errors = ArrayBuffer[(String, String)]()
     val results =
       if (scanOnly) Seq.empty[(String, Double)]
       else {
         val spark = newSession(cpus)
-        val r = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val r = SparkEntry.queries.toSeq.sortBy(_._1)
+          .filter { case (name, _) =>
+            qFilter.isEmpty || qFilter.exists(name.contains) }
+          .map { case (name, fn) =>
           val t0 = System.nanoTime()
           try fn(spark, sfDir).count()
           catch {
@@ -337,17 +386,32 @@ object Bench {
         f""""turns_per_sec_low":$thrLow%.0f,"turns_per_sec_high":$thrHigh%.0f,""" +
         s""""samples_low":${arr(p2)},"samples_high":${arr(p8)},""" +
         s""""discarded_low":$p2Drop,"discarded_high":$p8Drop,""" +
+        s""""rounds_dropped":$roundsDropped,""" +
         f""""scaling_efficiency":$efficiency%.3f,""" +
+        f""""scaling_efficiency_level_median":$efficiencyLevelMedian%.3f,""" +
         f""""scaling_efficiency_best":$efficiencyBest%.3f,""" +
-        f""""scaling_efficiency_round_median":$efficiencyRoundMedian%.3f,""" +
         s""""secondary_pair":$secondary,"machine_calibration":$calib}"""
-    val json =
+    val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scan":$scan,"errors":$errJson}"""
-    // write the JSON to a file as well — belt and braces for the driver's
-    // stdout parser (round 1: the sbt [info] prefix broke it)
+    // FULL detail to a file + a prefixed stdout line (never the last line);
+    // the driver's stdout-tail capture truncated the round-3 3 KB single
+    // line, so the contract line below is a compact summary (<400 bytes).
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), json + "\n")
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), detail + "\n")
     catch { case _: Throwable => () }
-    println(json)
+    println("BENCH_DETAIL " + detail)
+    val compact =
+      f"""{"metric":"turns_per_sec_scan","value":$thrHigh%.0f,"unit":"turns/sec",""" +
+        f""""queries_total_sec":$total%.1f,"n_queries":${results.length},""" +
+        f""""n_errors":${errors.length},"sf":"$sfDir",""" +
+        f""""scan":{"eff_primary_2to8":$efficiency%.3f,""" +
+        f""""eff_level_median":$efficiencyLevelMedian%.3f,""" +
+        f""""eff_best":$efficiencyBest%.3f,""" +
+        f""""eff_secondary_8to32":$efficiency2%.3f,""" +
+        f""""membw_eff_8to32":$membwEff%.3f,""" +
+        f""""tps_low":$thrLow%.0f,"tps_high":$thrHigh%.0f,""" +
+        f""""rounds":$primaryRounds,"rounds_dropped":$roundsDropped},""" +
+        s""""detail":"BENCH_LOCAL.json"}"""
+    println(compact)
   }
 }

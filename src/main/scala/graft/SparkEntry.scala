@@ -79,7 +79,9 @@ object SparkEntry {
     // connected-components dedup clustering (round 3)
     "q41_dedup_clusters" -> (QueryDefs.qDedupClusters _),
     // Gopher-style keep/drop quality filter (round 3)
-    "q42_text_quality_filter" -> (QueryDefs.qTextQualityFilter _)
+    "q42_text_quality_filter" -> (QueryDefs.qTextQualityFilter _),
+    // dynamic per-entry metadata passthrough (round 4)
+    "q43_lookup_extras" -> (QueryDefs.qLookupExtras _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -124,6 +126,7 @@ object SparkEntry {
     "q39_dedup_simhash_capped" -> OracleDefs.dedupSimhashCapped,
     "q40_sim_ivf" -> OracleDefs.simIvf,
     "q41_dedup_clusters" -> OracleDefs.dedupClusters,
-    "q42_text_quality_filter" -> OracleDefs.textQualityFilter
+    "q42_text_quality_filter" -> OracleDefs.textQualityFilter,
+    "q43_lookup_extras" -> OracleDefs.lookupExtras
   )
 }

@@ -15,7 +15,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // optional substring filter for local iteration (driver leaves it unset)
+    val filter = sys.env.get("SPARK_GRAFT_VERIFY_QUERIES")
+      .map(_.split(',').toSeq).getOrElse(Seq.empty)
+    SparkEntry.queries
+      .filter { case (n, _) => filter.isEmpty || filter.exists(n.contains) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

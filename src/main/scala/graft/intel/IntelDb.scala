@@ -405,7 +405,10 @@ final case class IntelMeta(
     comment: String = "",
     attrType: String = "",
     attrTimestamp: Long = -1L,
-    tags: String = ""
+    tags: String = "",
+    // dynamic feed metadata (key-sorted at build time so map iteration —
+    // and therefore NDJSON serialization — is deterministic)
+    extra: Map[String, String] = Map.empty
 )
 
 /** One compiled intel database: the Spark-side analog of a loaded .mxy —
@@ -491,7 +494,11 @@ object IntelDb {
         val idx = metas.size
         metas += IntelMeta(r.entry, entryTypeName(et), r.threat_level,
           r.category, r.source, r.confidence, r.to_ids, r.comment,
-          r.attr_type, r.attr_timestamp, r.tags)
+          r.attr_type, r.attr_timestamp, r.tags,
+          // ListMap sorted by key: deterministic iteration order for the
+          // NDJSON sink regardless of the feed's column order
+          scala.collection.immutable.ListMap(
+            r.extra.toSeq.sortBy(_._1): _*))
         et match {
           case IpEntry(c)       => cidrs += ((c, idx))
           case LiteralEntry(k)  => lits += ((k, idx))

@@ -31,19 +31,39 @@ object Sinks {
     * as_value). `tsSeconds` supplies the reference's per-line timestamp
     * (epoch seconds; batch jobs pass the turn's event time — deterministic,
     * unlike the reference's wall clock).
+    *
+    * Dynamic metadata: when the matched frame carries an `extra`
+    * map<string,string> column (feed columns outside the fixed ThreatDB
+    * shape — reference matchy-data-format/src/lib.rs:49-77 carries an
+    * arbitrary DataValue map per entry), each data object gains an
+    * "extra":{...} member with key-sorted entries, omitted when empty so
+    * extra-less feeds keep the reference-exact byte shape. (The reference
+    * inlines unknown keys at the data top level; nesting under one typed
+    * key is the schema-stable Spark translation — a fixed struct stays
+    * codegen- and parquet-friendly where a per-row dynamic schema would
+    * not.) "extra" sorts between "confidence" and "source", preserving the
+    * alphabetical key order rule.
     */
   def ndjsonMatched(matched: DataFrame, sourcePath: String,
       tsSeconds: Column, path: String): Unit = {
-    val dataObj = struct(col("category"), col("confidence"), col("source"),
-      col("threat_level"))
+    val extraField =
+      if (matched.columns.contains("extra"))
+        when(size(col("extra")) > 0, col("extra"))
+      else lit(null).cast("map<string,string>")
+    val dataObj = struct(col("category"), col("confidence"),
+      extraField.as("extra"), col("source"), col("threat_level"))
     val grouped = matched.withColumn("__ts", tsSeconds)
       .groupBy(col("conv_id"), col("turn_idx"), col("span_start"),
         col("value"), col("database_id"), col("match_type"),
         col("prefix_len"), col("cidr"), col("__ts"))
       .agg(count(lit(1)).cast("int").as("pattern_count"),
         transform(
-          sort_array(collect_list(struct(col("entry_idx").as("i"),
-            dataObj.as("d")))),
+          // array_sort with an explicit id comparator: the struct carries a
+          // map (extra), which sort_array's natural ordering cannot order
+          array_sort(collect_list(struct(col("entry_idx").as("i"),
+            dataObj.as("d"))),
+            (l, r) => when(l("i") < r("i"), -1)
+              .when(l("i") > r("i"), 1).otherwise(0)),
           x => x.getField("d")).as("data_arr"))
     val ts = format_string("%.3f", col("__ts").cast("double"))
     val ipJson = to_json(struct(

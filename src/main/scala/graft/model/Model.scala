@@ -64,7 +64,13 @@ final case class IntelEntry(
     comment: String = "",
     attr_type: String = "",
     attr_timestamp: Long = -1L,
-    tags: String = ""
+    tags: String = "",
+    // Dynamic per-entry metadata (reference: arbitrary HashMap<String,
+    // DataValue> per entry, matchy-data-format/src/lib.rs:49-77): any feed
+    // column OUTSIDE the fixed ThreatDB/MISP shape above survives here as
+    // string key/values instead of being silently dropped, and rides the
+    // broadcast metadata join into the matched output + NDJSON sink.
+    extra: Map[String, String] = Map.empty
 )
 
 /** Matched output row: reference `MatchResult`

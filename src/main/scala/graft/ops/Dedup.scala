@@ -214,10 +214,16 @@ object Dedup {
     * Algorithm: iterative min-label propagation with POINTER JUMPING
     * (label := min(own, neighbors' labels, label-of-label) per round) —
     * O(log diameter) rounds instead of O(diameter), each round one
-    * neighbor-min shuffle + one label-table self-join. Lineage is
-    * truncated per round (localCheckpoint) so the plan doesn't grow with
-    * iterations; convergence = the monotonically-decreasing label sum
-    * stops changing (one cheap agg per round). 100 TB shape: labels are
+    * neighbor-min shuffle + one label-table self-join. The edge list is
+    * materialized ONCE (localCheckpoint) before the loop: `pairs` is
+    * typically the full minhash-LSH pipeline, and leaving it lazy would
+    * re-execute that pipeline every iteration — the most expensive stage
+    * multiplied by O(log diameter). Label lineage is likewise truncated
+    * per round so the plan doesn't grow with iterations; convergence is
+    * EXACT: the new label table carries the previous label, and the round
+    * converges when zero rows changed (a count, immune to the silent
+    * wrap-around a sum-of-labels check would have under non-ANSI Long
+    * overflow at huge doc_id scales). 100 TB shape: labels are
     * (doc_id, cluster_id) pairs — the working set is one long per doc,
     * never the pair graph in memory.
     */
@@ -225,9 +231,11 @@ object Dedup {
       maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    var labels = docs.select(col("doc_id"),
-      col("doc_id").as("cluster_id")).localCheckpoint()
-    var prevSum = BigDecimal(-1)
+      .localCheckpoint()
+    // labels carry (doc_id, cluster_id, prev) so the per-round action can
+    // count changed rows off the already-checkpointed data (no extra join)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"),
+      col("doc_id").as("prev")).localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -237,6 +245,7 @@ object Dedup {
       val withNeighbor = labels.as("l")
         .join(neighborMin, col("l.doc_id") === col("src"), "left")
         .select(col("l.doc_id").as("doc_id"),
+          col("l.cluster_id").as("old_label"),
           least(coalesce(col("nmin"), col("l.cluster_id")),
             col("l.cluster_id")).as("cluster_id"))
       // pointer jumping: follow the label one hop (cluster_id's own label)
@@ -246,16 +255,11 @@ object Dedup {
           col("a.cluster_id") === col("p_id"), "left")
         .select(col("a.doc_id").as("doc_id"),
           least(col("a.cluster_id"),
-            coalesce(col("p_label"), col("a.cluster_id"))).as("cluster_id"))
+            coalesce(col("p_label"), col("a.cluster_id"))).as("cluster_id"),
+          col("a.old_label").as("prev"))
         .localCheckpoint()
-      // labels are component-wise non-increasing, so an unchanged sum
-      // means NO label changed (strict decrease otherwise)
-      val sumRow = jumped.agg(
-        org.apache.spark.sql.functions.sum("cluster_id")).head()
-      val sum =
-        if (sumRow.isNullAt(0)) BigDecimal(0) else BigDecimal(sumRow.getLong(0))
-      converged = sum == prevSum
-      prevSum = sum
+      val changed = jumped.where(col("cluster_id") =!= col("prev")).count()
+      converged = changed == 0L
       // release the superseded checkpoint's blocks (otherwise up to
       // maxIter full label-table copies stay pinned in block storage
       // until driver GC + ContextCleaner get around to them)
@@ -263,8 +267,10 @@ object Dedup {
       labels = jumped
       iter += 1
     }
+    releaseLocalCheckpoint(edges)
     require(converged, s"nearDupClusters did not converge in $maxIter rounds")
-    labels.withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+    labels.select("doc_id", "cluster_id")
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
 
   /** Unpersist the RDD behind a localCheckpoint'd DataFrame.

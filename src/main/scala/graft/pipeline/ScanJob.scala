@@ -50,11 +50,11 @@ object ScanJob {
       db.entries.zipWithIndex.map { case (m, i) =>
         (d, i, db.databaseId, m.entry, m.entryType, m.threatLevel,
           m.category, m.source, m.confidence,
-          m.toIds, m.comment, m.attrType, m.attrTimestamp, m.tags)
+          m.toIds, m.comment, m.attrType, m.attrTimestamp, m.tags, m.extra)
       }
     }.toDF("db_idx", "entry_idx", "database_id", "entry", "entry_type",
       "threat_level", "category", "source", "confidence",
-      "to_ids", "comment", "attr_type", "attr_timestamp", "tags")
+      "to_ids", "comment", "attr_type", "attr_timestamp", "tags", "extra")
   }
 
   /** Broadcast-metadata tail shared by `enriched` and `matched`: join the
@@ -265,11 +265,14 @@ object ScanJob {
     if (!cfg.resume && cfg.onlyBuckets.isEmpty) {
       fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/routed"), true)
       fs.delete(donePath, true)
-      // the NDJSON stream is derived from routed/ — a stale one from a
-      // previous run must not survive next to fresh results (it is also
-      // deleted when THIS run has ndjson off)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/ndjson"), true)
     }
+    // the NDJSON stream is derived from routed/ — a stale one from a
+    // previous run must never survive next to updated routed/ data, so it
+    // is deleted on EVERY run with ndjson off (including resumes and
+    // bucket-restricted reruns, which skip the routed/ wipe above) and
+    // regenerated from the full routed output when ndjson is on
+    if (!cfg.ndjson)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/ndjson"), true)
 
     val withBucket = turns
       .withColumn("bucket", pmod(xxhash64(col("conv_id")), lit(cfg.buckets)))

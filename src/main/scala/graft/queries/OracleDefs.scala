@@ -709,4 +709,22 @@ object OracleDefs {
     """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
       |       CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS cents
       |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
+  /** q43: the CSV feed literal mirrors QueryDefs.qLookupExtras; empty CSV
+    * cells (absent extra-map keys on the Spark side) are '' here too.
+    */
+  val lookupExtras: String =
+    """SELECT c.value AS value, i.category AS category,
+      |       i.campaign AS campaign, i.actor AS actor, i.ttl AS ttl,
+      |       count(*) AS n
+      |FROM (SELECT 'host'||(event_id%50)||'.example.com' AS value
+      |      FROM events) c
+      |JOIN (VALUES ('host0.example.com','c2','alpha','APT-0','3600'),
+      |             ('host1.example.com','c2','beta','APT-1','7200'),
+      |             ('host2.example.com','phish','gamma','APT-2',''),
+      |             ('host3.example.com','c2','delta','','900'),
+      |             ('host4.example.com','c2','epsilon','APT-4','1800'))
+      |     i(entry, category, campaign, actor, ttl)
+      |  ON c.value = i.entry
+      |GROUP BY 1,2,3,4,5 ORDER BY 1""".stripMargin
 }

@@ -414,6 +414,44 @@ object QueryDefs {
       .orderBy("value", "entry")
   }
 
+  /** q43: dynamic per-entry metadata passthrough (reference: arbitrary
+    * HashMap<String, DataValue> per entry, matchy-data-format/src/lib.rs:
+    * 49-77) — a CSV feed with custom columns (campaign/actor/ttl) outside
+    * the fixed ThreatDB shape is ingested through the REAL CSV reader
+    * (IntelIngest.readCsv -> normalize -> `extra` map), compiled into an
+    * IntelDb, and the custom values round-trip through the broadcast
+    * metadata join into the matched output. Empty CSV cells become absent
+    * map keys (projected here as '' so the oracle compare is null-free).
+    */
+  def qLookupExtras(s: SparkSession, dir: String): DataFrame = {
+    val csv =
+      """entry,category,campaign,actor,ttl
+        |host0.example.com,c2,alpha,APT-0,3600
+        |host1.example.com,c2,beta,APT-1,7200
+        |host2.example.com,phish,gamma,APT-2,
+        |host3.example.com,c2,delta,,900
+        |host4.example.com,c2,epsilon,APT-4,1800
+        |""".stripMargin
+    val feedPath = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-q43-feed.csv")
+    java.nio.file.Files.writeString(feedPath, csv)
+    val feed = graft.sources.IntelIngest.readCsv(s, feedPath.toString)
+    val db = IntelDb.build("feed",
+      graft.sources.IntelIngest.toEntries(feed))
+    val meta = ScanJob.intelMetaDf(s, Seq(db))
+    domainCands(s, dir)
+      .withColumn("hit", explode(
+        IntelLookup.column(col("value"), col("indicator_type"), db)))
+      .select(col("value"), col("hit.entry_idx").as("entry_idx"))
+      .join(broadcast(meta.select(col("entry_idx"), col("category"),
+        coalesce(col("extra")("campaign"), lit("")).as("campaign"),
+        coalesce(col("extra")("actor"), lit("")).as("actor"),
+        coalesce(col("extra")("ttl"), lit("")).as("ttl"))), Seq("entry_idx"))
+      .groupBy("value", "category", "campaign", "actor", "ttl")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("value")
+  }
+
   // --------------------------------------------------- similarity family
   def qSimTopk(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")

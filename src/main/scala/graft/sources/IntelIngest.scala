@@ -49,8 +49,26 @@ object IntelIngest {
       out.withColumn("attr_timestamp",
         coalesce(col("attr_timestamp").cast("long"), lit(-1L)))
     else out.withColumn("attr_timestamp", lit(-1L))
+    // dynamic metadata passthrough (reference: arbitrary per-entry
+    // HashMap<String, DataValue>, matchy-data-format/src/lib.rs:49-77):
+    // every feed column OUTSIDE the fixed shape survives as a string
+    // key/value in `extra` (null values dropped) instead of being lost
+    val known = Set("entry", "threat_level", "category", "source",
+      "confidence", "to_ids", "comment", "attr_type", "attr_timestamp",
+      "tags")
+    val extraCols = df.columns.filterNot(c =>
+      known.contains(c) || c == keyCol).sorted
+    val extraExpr =
+      if (extraCols.isEmpty)
+        map().cast("map<string,string>")
+      else
+        map_filter(
+          map(extraCols.flatMap(c =>
+            Seq(lit(c), col(s"`$c`").cast("string"))): _*),
+          (_, v) => v.isNotNull)
+    out = out.withColumn("extra", extraExpr)
     out.select("entry", "threat_level", "category", "source", "confidence",
-      "to_ids", "comment", "attr_type", "attr_timestamp", "tags")
+      "to_ids", "comment", "attr_type", "attr_timestamp", "tags", "extra")
       .where(col("entry").isNotNull && length(col("entry")) > 0)
   }
 

@@ -50,6 +50,37 @@ class SinksSpec extends AnyFunSuite {
     assert(lines.toSeq == Seq(ipLine, patLine).sorted, lines.mkString("\n"))
   }
 
+  test("ndjsonMatched carries dynamic feed metadata in data.extra, " +
+      "byte-exact and key-sorted") {
+    import spark.implicits._
+    val turns = Seq(
+      Turn("c1", 0, "user", "ping 192.0.2.55 then evil.example.com end", "",
+        new Timestamp(1700000000000L)))
+    val db = IntelDb.build("threats", Seq(
+      IntelEntry("192.0.2.0/24", "high", "c2", "feed-a", 90,
+        extra = Map("ttl" -> "3600", "campaign" -> "alpha")),
+      // extra-less entry keeps the reference-exact shape (no extra member)
+      IntelEntry("evil.example.com", "critical", "phishing", "feed-a", 95)))
+    val matched = ScanJob.matched(spark.createDataFrame(turns), Seq(db), spark)
+    val out = Files.createTempDirectory("ndjson-extra").toString
+    Sinks.ndjsonMatched(matched, "transcripts.log", lit(1700000000.0),
+      s"$out/matches")
+    val lines = spark.read.text(s"$out/matches").as[String].collect().sorted
+    val ipLine =
+      """{"cidr":"192.0.2.55/24","data":{"category":"c2","confidence":90,""" +
+        """"extra":{"campaign":"alpha","ttl":"3600"},"source":"feed-a",""" +
+        """"threat_level":"high"},"match_type":"ip",""" +
+        """"matched_text":"192.0.2.55","prefix_len":24,""" +
+        """"source":"transcripts.log","timestamp":"1700000000.000"}"""
+    val patLine =
+      """{"data":[{"category":"phishing","confidence":95,"source":"feed-a",""" +
+        """"threat_level":"critical"}],""" +
+        """"match_type":"pattern","matched_text":"evil.example.com",""" +
+        """"pattern_count":1,"source":"transcripts.log",""" +
+        """"timestamp":"1700000000.000"}"""
+    assert(lines.toSeq == Seq(ipLine, patLine).sorted, lines.mkString("\n"))
+  }
+
   test("ScanJob.run emits the NDJSON stream when enabled (byte-exact line)") {
     import spark.implicits._
     val turns = Seq(

@@ -29,6 +29,29 @@ class IntelIngestSpec extends AnyFunSuite {
     assert(db.lookupString("x.bad.org").nonEmpty)
   }
 
+  test("csv feed: columns outside the fixed shape survive in `extra`") {
+    val dir = Files.createTempDirectory("intel-csv-extra")
+    Files.writeString(dir.resolve("feed.csv"),
+      """entry,category,campaign,actor,ttl
+        |evil.com,phishing,alpha,APT-1,3600
+        |bad.org,c2,beta,,900
+        |""".stripMargin)
+    val entries = IntelIngest.toEntries(
+      IntelIngest.readCsv(spark, dir.toString + "/feed.csv"))
+    val byEntry = entries.map(e => e.entry -> e).toMap
+    assert(byEntry("evil.com").extra ==
+      Map("actor" -> "APT-1", "campaign" -> "alpha", "ttl" -> "3600"))
+    // empty CSV cell = null = absent key, not an empty-string value
+    assert(byEntry("bad.org").extra ==
+      Map("campaign" -> "beta", "ttl" -> "900"))
+    assert(byEntry("evil.com").category == "phishing") // fixed cols intact
+    // the compiled db carries extras key-sorted into its metadata
+    val db = IntelDb.build("csv", entries)
+    val m = db.entries.find(_.entry == "evil.com").get
+    assert(m.extra.toSeq == Seq("actor" -> "APT-1", "campaign" -> "alpha",
+      "ttl" -> "3600"))
+  }
+
   test("json feed (S6): [{key, data}] shape") {
     val dir = Files.createTempDirectory("intel-json")
     Files.writeString(dir.resolve("feed.json"),
