@@ -81,7 +81,9 @@ object SparkEntry {
     // Gopher-style keep/drop quality filter (round 3)
     "q42_text_quality_filter" -> (QueryDefs.qTextQualityFilter _),
     // dynamic per-entry metadata passthrough (round 4)
-    "q43_lookup_extras" -> (QueryDefs.qLookupExtras _)
+    "q43_lookup_extras" -> (QueryDefs.qLookupExtras _),
+    // IVF with seeded Lloyd centroid refinement (round 4)
+    "q44_sim_ivf_lloyd" -> (QueryDefs.qSimIvfLloyd _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -127,6 +129,7 @@ object SparkEntry {
     "q40_sim_ivf" -> OracleDefs.simIvf,
     "q41_dedup_clusters" -> OracleDefs.dedupClusters,
     "q42_text_quality_filter" -> OracleDefs.textQualityFilter,
-    "q43_lookup_extras" -> OracleDefs.lookupExtras
+    "q43_lookup_extras" -> OracleDefs.lookupExtras,
+    "q44_sim_ivf_lloyd" -> OracleDefs.simIvfLloyd
   )
 }

@@ -102,19 +102,72 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Deterministic k-means centroids for the IVF coarse quantizer.
+    *
+    * Init: the `nlist` vectors with the smallest vec_id (ORDER BY vec_id
+    * LIMIT nlist — sparse or filtered id spaces still yield nlist
+    * centroids). Then `lloydRounds` Lloyd iterations, each fully
+    * oracle-reproducible:
+    *  - assignment = argmax cosine, ties by centroid_id ascending (integer
+    *    dot products — exact);
+    *  - update = element-wise FLOOR division sum/count over the assigned
+    *    quantized vectors, computed as (s - ((s % c + c) % c)) / c — pure
+    *    integer arithmetic with identical semantics in Spark and DuckDB
+    *    (long division truncates toward zero, so a plain s/c would differ
+    *    from floor on negative sums);
+    *  - empty clusters keep their previous centroid (classic Lloyd).
+    * Centroid ids stay 0..nlist-1 across rounds. Each round's centroid
+    * table is collected to the driver (nlist x dim longs — a small
+    * dimension read) so the next assignment joins against a fresh literal
+    * broadcast instead of a plan that deepens every round.
+    */
+  def ivfCentroids(corpus: DataFrame, nlist: Int,
+      lloydRounds: Int = 0): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = corpus.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    var cents = q.orderBy(col("vec_id").asc).limit(nlist)
+      .select(col("vec_id").as("centroid_id"), col("qv").as("cv"))
+      .as[(Long, Array[Long])].collect().toSeq
+      .sortBy(_._1).zipWithIndex
+      .map { case ((_, v), i) => (i.toLong, v) }
+    var round = 0
+    while (round < lloydRounds) {
+      val cw = Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("centroid_id").asc)
+      val assigned = q.join(broadcast(cents.toDF("centroid_id", "cv")))
+        .select(col("vec_id"), col("qv"), col("centroid_id"),
+          cosineQ(col("qv"), col("cv")).as("ccos"))
+        .withColumn("crank", row_number().over(cw))
+        .where(col("crank") === 1)
+      val sums = assigned
+        .select(col("centroid_id"), posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy("centroid_id", "pos")
+        .agg(sum("x").as("s"), count(lit(1)).as("c"))
+        .withColumn("comp",
+          (col("s") - pmod(col("s"), col("c"))) / col("c"))
+        .groupBy("centroid_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("comp")))),
+          f => f.getField("comp").cast("long")).as("cv"))
+        .as[(Long, Array[Long])].collect().toMap
+      cents = cents.map { case (id, old) => (id, sums.getOrElse(id, old)) }
+      round += 1
+    }
+    cents.toDF("centroid_id", "cv")
+  }
+
   /** ANN top-k via IVF (inverted-file) coarse quantization: assign every
     * vector to its nearest of `nlist` centroids, then each query probes
     * only the corpus lists of its `nprobe` nearest centroids — the classic
     * IVF trade (recall vs fraction of corpus scanned), complementary to
     * the hyperplane-LSH path (lshTopK).
     *
-    * Coarse quantizer: the `nlist` vectors with the smallest vec_id serve
-    * as centroids (selected by ORDER BY vec_id LIMIT nlist, so sparse or
-    * filtered id spaces still yield nlist centroids) — i.e. the
-    * deterministic INIT step of k-means, skipping Lloyd iterations so the
-    * oracle can reproduce assignments bit-exactly (real deployments would
-    * refine with a few seeded k-means rounds; the assignment/probe/join
-    * machinery — the Spark-side substance — is identical either way).
+    * Coarse quantizer: `ivfCentroids` — deterministic first-nlist init plus
+    * `lloydRounds` seeded Lloyd iterations (0 = init only, the fully
+    * closed-form path; 2-3 rounds markedly improve recall on clustered
+    * corpora — see the ANN recall capability bench). Both settings are
+    * DuckDB-reproducible, so either is oracle-checked end-to-end.
     * Ties rank by centroid_id ascending.
     *
     * Scale shape: centroids broadcast (nlist is small); assignment and
@@ -123,10 +176,9 @@ object Similarity {
     * `maxBucketSize` caps a hot centroid's list like lshTopK's guard.
     */
   def ivfTopK(corpus: DataFrame, k: Int, nlist: Int = 8, nprobe: Int = 2,
-      maxBucketSize: Int = 0): DataFrame = {
+      maxBucketSize: Int = 0, lloydRounds: Int = 0): DataFrame = {
     val q = corpus.select(col("vec_id"), quantize(col("embedding")).as("qv"))
-    val cents = q.orderBy(col("vec_id").asc).limit(nlist)
-      .select(col("vec_id").as("centroid_id"), col("qv").as("cv"))
+    val cents = ivfCentroids(corpus, nlist, lloydRounds)
     val scored = q.join(broadcast(cents))
       .select(col("vec_id"), col("qv"), col("centroid_id"),
         cosineQ(col("qv"), col("cv")).as("ccos"))

@@ -410,6 +410,78 @@ object OracleDefs {
        |FROM rankedq WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q44: IVF with 2 seeded Lloyd rounds — mirrors Similarity.ivfCentroids:
+    * assignment = argmax cosine (ties by centroid order), update =
+    * element-wise floor division sum/count in pure integer arithmetic
+    * ((s - ((s%c)+c)%c) / c), empty clusters keep their centroid.
+    */
+  val simIvfLloyd: String = {
+    val nlist = 8
+    val nprobe = 2
+    val cap = 80
+    // one Lloyd round: assign `base` to `cin` centroids, emit `cout`
+    def lloyd(cin: String, cout: String): String =
+      s"""assigned_$cout AS (
+         |  SELECT vec_id, v, centroid_id FROM (
+         |    SELECT b.vec_id, b.v, c.centroid_id,
+         |      row_number() OVER (PARTITION BY b.vec_id
+         |        ORDER BY ${cosine("b.v", "c.cv")} DESC, c.centroid_id ASC)
+         |        AS crank
+         |    FROM base b CROSS JOIN $cin c)
+         |  WHERE crank = 1),
+         |exploded_$cout AS (
+         |  SELECT centroid_id, generate_subscripts(v, 1) AS pos,
+         |         unnest(v) AS x
+         |  FROM assigned_$cout),
+         |comp_$cout AS (
+         |  SELECT centroid_id, pos,
+         |    CAST((s - ((s % c) + c) % c) / c AS BIGINT) AS comp
+         |  FROM (SELECT centroid_id, pos, sum(x) AS s, count(*) AS c
+         |        FROM exploded_$cout GROUP BY 1, 2)),
+         |new_$cout AS (
+         |  SELECT centroid_id, list(comp ORDER BY pos) AS cv
+         |  FROM comp_$cout GROUP BY 1),
+         |$cout AS (
+         |  SELECT p.centroid_id, COALESCE(n.cv, p.cv) AS cv
+         |  FROM $cin p LEFT JOIN new_$cout n USING (centroid_id))""".stripMargin
+    s"""WITH base AS (
+       |  SELECT vec_id, $qv AS v FROM embeddings WHERE vec_id < 300),
+       |cents0 AS (SELECT vec_id AS centroid_id, v AS cv FROM base
+       |           ORDER BY vec_id LIMIT $nlist),
+       |${lloyd("cents0", "cents1")},
+       |${lloyd("cents1", "cents2")},
+       |scored AS (
+       |  SELECT b.vec_id, b.v, c.centroid_id,
+       |         ${cosine("b.v", "c.cv")} AS ccos
+       |  FROM base b CROSS JOIN cents2 c),
+       |ranked AS (
+       |  SELECT vec_id, v, centroid_id, ccos,
+       |    row_number() OVER (PARTITION BY vec_id
+       |                       ORDER BY ccos DESC, centroid_id ASC) AS crank
+       |  FROM scored),
+       |corpus_capped AS (
+       |  SELECT centroid_id, corpus_id, cv2 FROM (
+       |    SELECT centroid_id, vec_id AS corpus_id, v AS cv2,
+       |      row_number() OVER (PARTITION BY centroid_id
+       |                         ORDER BY vec_id ASC) AS bpos
+       |    FROM ranked WHERE crank = 1)
+       |  WHERE bpos <= $cap),
+       |probes AS (
+       |  SELECT centroid_id, vec_id AS query_id, v AS qv2
+       |  FROM ranked WHERE crank <= $nprobe),
+       |cands AS (
+       |  SELECT query_id, corpus_id, ${cosine("qv2", "cv2")} AS cosine
+       |  FROM probes JOIN corpus_capped USING (centroid_id)
+       |  WHERE query_id <> corpus_id),
+       |rankedq AS (
+       |  SELECT query_id, corpus_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cosine DESC, corpus_id ASC) AS rank
+       |  FROM cands)
+       |SELECT query_id, CAST(rank AS INT) AS rank, corpus_id, cosine
+       |FROM rankedq WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   val dedupEmbeddingLsh: String = {
     val planes = 4
     s"""WITH base AS (

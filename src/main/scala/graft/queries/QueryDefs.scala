@@ -473,6 +473,17 @@ object QueryDefs {
       k = 3, nlist = 8, nprobe = 2, maxBucketSize = 80)
       .orderBy("query_id", "rank")
 
+  /** q44: IVF with SEEDED LLOYD REFINEMENT — same probe machinery as q40
+    * but the coarse quantizer runs 2 deterministic k-means rounds
+    * (integer-exact assignment + floor-division centroid update), the
+    * recall-relevant upgrade over first-K init. The oracle reproduces both
+    * Lloyd rounds bit-exactly in SQL.
+    */
+  def qSimIvfLloyd(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(t(s, dir, "embeddings").where(col("vec_id") < 300),
+      k = 3, nlist = 8, nprobe = 2, maxBucketSize = 80, lloydRounds = 2)
+      .orderBy("query_id", "rank")
+
   // --------------------------------------------------- text family
   def qTextLang(s: SparkSession, dir: String): DataFrame =
     TextStats.withLangId(t(s, dir, "documents"))

@@ -67,6 +67,40 @@ class OpsSpec extends AnyFunSuite {
     assert(ivfShift == brute.map(t => (t._1 + 1000L, t._2, t._3 + 1000L, t._4)))
   }
 
+  test("IVF Lloyd refinement: still exact when all lists probed; " +
+    "empty clusters keep their centroid; rounds are deterministic") {
+    val vecs = (0L until 30L).map { i =>
+      val c = (i % 3).toInt
+      val base = Array.fill(8)(0.0f)
+      base(c) = 1.0f
+      base((c + 3) % 8) = 0.1f * (i / 3 % 5)
+      (i, base)
+    }.toDF("vec_id", "embedding")
+    val brute = Similarity
+      .bruteForceTopK(vecs.withColumnRenamed("vec_id", "vid")
+        .select(col("vid").as("vec_id"), col("embedding")), vecs, k = 3)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    // Lloyd rounds move centroids but nprobe == nlist is still exhaustive
+    val ivfL = Similarity.ivfTopK(vecs, k = 3, nlist = 4, nprobe = 4,
+      lloydRounds = 2).as[(Long, Int, Long, Double)].collect().toSet
+    assert(ivfL == brute)
+    // determinism: the refined centroid table is identical across runs
+    val c1 = Similarity.ivfCentroids(vecs, nlist = 4, lloydRounds = 3)
+      .as[(Long, Array[Long])].collect().toMap
+    val c2 = Similarity.ivfCentroids(vecs, nlist = 4, lloydRounds = 3)
+      .as[(Long, Array[Long])].collect().toMap
+    assert(c1.keySet == c2.keySet &&
+      c1.forall { case (k, v) => v.sameElements(c2(k)) })
+    // 4 centroids over 3 tight clusters: at least one pair of init
+    // centroids shares a cluster, so after refinement one centroid may own
+    // no points — it must keep its previous position, never vanish
+    assert(c1.size == 4)
+    // a refined centroid list still yields all 30 queries at nprobe=1
+    val ivf1 = Similarity.ivfTopK(vecs, k = 3, nlist = 4, nprobe = 1,
+      lloydRounds = 2)
+    assert(ivf1.select("query_id").distinct().count() == 30)
+  }
+
   test("quality filter: first failing rule named; keep iff all rules pass") {
     val d = Seq(
       (0L, "the cat and a dog of note walked home today fine"), // keeps
