@@ -18,11 +18,11 @@ object IntelStore {
     val rows = db.entries.toSeq.map { m =>
       (db.databaseId, m.entry, m.entryType, m.threatLevel, m.category,
         m.source, m.confidence, db.caseInsensitive,
-        m.toIds, m.comment, m.attrType, m.attrTimestamp, m.tags)
+        m.toIds, m.comment, m.attrType, m.attrTimestamp, m.tags, m.extra)
     }
     rows.toDF("database_id", "entry", "entry_type", "threat_level",
       "category", "source", "confidence", "case_insensitive",
-      "to_ids", "comment", "attr_type", "attr_timestamp", "tags")
+      "to_ids", "comment", "attr_type", "attr_timestamp", "tags", "extra")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
     // sidecar metadata (underscore-prefixed: invisible to parquet readers)
     // carries database_id + match mode even for a legitimately EMPTY feed —
@@ -52,9 +52,16 @@ object IntelStore {
       coalesce(optCol("attr_type", lit("")), lit("")).as("attr_type"),
       coalesce(optCol("attr_timestamp", lit(-1L)), lit(-1L))
         .as("attr_timestamp"),
-      coalesce(optCol("tags", lit("")), lit("")).as("tags"))
+      coalesce(optCol("tags", lit("")), lit("")).as("tags"),
+      coalesce(
+        optCol("extra",
+          org.apache.spark.sql.functions.map()
+            .cast("map<string,string>")),
+        org.apache.spark.sql.functions.map().cast("map<string,string>"))
+        .as("extra"))
       .as[(String, String, String, String, String, Int, Boolean,
-        Option[Boolean], String, String, Long, String)]
+        Option[Boolean], String, String, Long, String,
+        Map[String, String])]
       .collect()
     val (databaseId, ci) =
       if (rows.nonEmpty) (rows.head._1, rows.head._7)
@@ -76,7 +83,56 @@ object IntelStore {
     IntelDb.build(databaseId,
       rows.toSeq.map(r => IntelEntry(r._2, r._3, r._4, r._5, r._6,
         to_ids = r._8, comment = r._9, attr_type = r._10,
-        attr_timestamp = r._11, tags = r._12)), ci)
+        attr_timestamp = r._11, tags = r._12, extra = r._13)), ci)
+  }
+
+  /** `matchy inspect` analog: database statistics — entry counts by type
+    * (the reference's per-section counts), capability flags, metadata
+    * cardinalities and the dynamic-metadata footprint.
+    */
+  final case class InspectReport(
+      databaseId: String,
+      caseInsensitive: Boolean,
+      entries: Int,
+      ipEntries: Int,
+      literalEntries: Int,
+      globEntries: Int,
+      hasIpSection: Boolean,
+      hasStringSection: Boolean,
+      distinctCategories: Int,
+      distinctSources: Int,
+      minConfidence: Int,
+      maxConfidence: Int,
+      entriesWithExtra: Int,
+      distinctExtraKeys: Int)
+
+  def inspect(db: IntelDb): InspectReport = {
+    val es = db.entries
+    def cnt(t: String) = es.count(_.entryType == t)
+    InspectReport(
+      db.databaseId,
+      db.caseInsensitive,
+      es.length,
+      cnt("ip"), cnt("literal"), cnt("glob"),
+      db.hasIpSection, db.hasStringSection,
+      es.iterator.map(_.category).toSet.size,
+      es.iterator.map(_.source).toSet.size,
+      if (es.isEmpty) 0 else es.iterator.map(_.confidence).min,
+      if (es.isEmpty) 0 else es.iterator.map(_.confidence).max,
+      es.count(_.extra.nonEmpty),
+      es.iterator.flatMap(_.extra.keysIterator).toSet.size)
+  }
+
+  /** One-line JSON form of `inspect` (CLI-ish surface). */
+  def inspectJson(db: IntelDb): String = {
+    val r = inspect(db)
+    s"""{"database_id":"${r.databaseId}","case_insensitive":${r.caseInsensitive},""" +
+      s""""entries":${r.entries},"ip_entries":${r.ipEntries},""" +
+      s""""literal_entries":${r.literalEntries},"glob_entries":${r.globEntries},""" +
+      s""""has_ip_section":${r.hasIpSection},"has_string_section":${r.hasStringSection},""" +
+      s""""distinct_categories":${r.distinctCategories},"distinct_sources":${r.distinctSources},""" +
+      s""""min_confidence":${r.minConfidence},"max_confidence":${r.maxConfidence},""" +
+      s""""entries_with_extra":${r.entriesWithExtra},"distinct_extra_keys":${r.distinctExtraKeys}}"""
   }
 }
 

@@ -159,27 +159,7 @@ object MediaCodecs {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
       if (img == null) return null
-      val w = img.getWidth
-      val h = img.getHeight
-      if (w <= 0 || h <= 0 || w > MaxDecodeDim || h > MaxDecodeDim ||
-        w.toLong * h * 3 > Int.MaxValue) return null
-      val px = new Array[Byte](w * h * 3)
-      val row = new Array[Int](w)
-      var y = 0
-      while (y < h) {
-        img.getRGB(0, y, w, 1, row, 0, w)
-        var x = 0
-        while (x < w) {
-          val rgb = row(x)
-          val d = (y * w + x) * 3
-          px(d) = (rgb & 0xff).toByte // B
-          px(d + 1) = ((rgb >> 8) & 0xff).toByte // G
-          px(d + 2) = ((rgb >> 16) & 0xff).toByte // R
-          x += 1
-        }
-        y += 1
-      }
-      Bmp(w, h, px)
+      bufferedToBmp(img)
     } catch {
       // NonFatal only: swallowing OutOfMemoryError/InterruptedException
       // would mask executor heap exhaustion and task kills
@@ -187,10 +167,34 @@ object MediaCodecs {
     }
   }
 
-  /** Encode a Bmp buffer as "jpg" or "png" through ImageIO (fixture /
-    * re-encode path).
+  /** BufferedImage -> Bmp pixel contract (BGR byte triples), with the same
+    * size guards as the byte-level decoders. Null when out of bounds.
     */
-  def encodeJvmImage(img: Bmp, format: String): Array[Byte] = {
+  private def bufferedToBmp(img: java.awt.image.BufferedImage): Bmp = {
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w <= 0 || h <= 0 || w > MaxDecodeDim || h > MaxDecodeDim ||
+      w.toLong * h * 3 > Int.MaxValue) return null
+    val px = new Array[Byte](w * h * 3)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val rgb = row(x)
+        val d = (y * w + x) * 3
+        px(d) = (rgb & 0xff).toByte // B
+        px(d + 1) = ((rgb >> 8) & 0xff).toByte // G
+        px(d + 2) = ((rgb >> 16) & 0xff).toByte // R
+        x += 1
+      }
+      y += 1
+    }
+    Bmp(w, h, px)
+  }
+
+  private def bmpToBuffered(img: Bmp): java.awt.image.BufferedImage = {
     val bi = new java.awt.image.BufferedImage(img.width, img.height,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -205,8 +209,74 @@ object MediaCodecs {
       }
       y += 1
     }
+    bi
+  }
+
+  // ------------------------------------------- animated GIF (multi-frame)
+  /** Decode ALL frames of a (possibly animated) GIF through the JDK's GIF
+    * reader — the pure-JVM path that gives the `video` kind a real
+    * frames -> features pipeline without native codecs (container formats
+    * like mp4 stay documented stubs). Per-frame size guards run BEFORE each
+    * frame's pixel read; `maxFrames` bounds an adversarial frame flood.
+    * Returns null on anything undecodable (routing contract, never throws).
+    */
+  def decodeGifFrames(bytes: Array[Byte], maxFrames: Int = 256): Array[Bmp] = {
+    if (bytes == null || bytes.length < 6) return null
+    if (bytes(0) != 'G' || bytes(1) != 'I' || bytes(2) != 'F') return null
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return null }
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, false, true)
+        val n = math.min(reader.getNumImages(true), maxFrames)
+        if (n <= 0) return null
+        val out = new Array[Bmp](n)
+        var i = 0
+        while (i < n) {
+          if (reader.getWidth(i) > MaxDecodeDim ||
+            reader.getHeight(i) > MaxDecodeDim) return null
+          val bmp = bufferedToBmp(reader.read(i))
+          if (bmp == null) return null
+          out(i) = bmp
+          i += 1
+        }
+        out
+      } finally { reader.dispose(); iis.close() }
+    } catch {
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
+  /** Encode frames as a multi-image GIF (fixture/re-encode path for the
+    * video pipeline; frame delay metadata is irrelevant to the features).
+    */
+  def encodeGifAnimated(frames: Seq[Bmp]): Array[Byte] = {
+    require(frames.nonEmpty, "no frames")
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
     val baos = new java.io.ByteArrayOutputStream()
-    require(javax.imageio.ImageIO.write(bi, format, baos),
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { f =>
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(bmpToBuffered(f), null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    baos.toByteArray
+  }
+
+  /** Encode a Bmp buffer as "jpg" or "png" through ImageIO (fixture /
+    * re-encode path).
+    */
+  def encodeJvmImage(img: Bmp, format: String): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(bmpToBuffered(img), format, baos),
       s"no ImageIO writer for $format")
     baos.toByteArray
   }

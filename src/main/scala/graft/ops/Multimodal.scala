@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
   *    2) plus JPEG/PNG/GIF through the JDK's ImageIO (round 3 — no native
   *    deps) drive synthesizeReal/decodeFeatures/resizeImages — decode,
   *    feature-extract and resize are actual byte-level work inside the
-  *    same mapPartitions batching contract;
-  *  - STUB (kept for the `video` kind — containerized video decode needs
-  *    native codecs this environment lacks): decodeMeta parses a fake
-  *    header; the batching/partitioning shape is identical.
+  *    same mapPartitions batching contract. The `video` kind has a real
+  *    multi-frame path too (round 4): animated GIF via ImageIO —
+  *    frames -> per-channel features (decodeFeatures) and strided frame
+  *    extraction (sampleVideoFrames);
+  *  - STUB (container video: mp4/webm decode needs native codecs this
+  *    environment lacks): decodeMeta parses a fake header; the
+  *    batching/partitioning shape is identical.
   */
 object Multimodal {
 
@@ -88,7 +91,9 @@ object Multimodal {
   final case class MediaFeatures(media_id: Long, kind: String,
       decoded: Boolean, width: Int, height: Int,
       mean_b_milli: Long, mean_g_milli: Long, mean_r_milli: Long,
-      channels: Int, sample_rate: Int, n_samples: Int, rms_milli: Long)
+      channels: Int, sample_rate: Int, n_samples: Int, rms_milli: Long,
+      // video only: decoded frame count (0 for image/audio)
+      n_frames: Int = 0)
 
   /** Synthesize REAL media payloads: valid 24-bit BMPs, PNGs and JPEGs
     * (kind=image, rotating by row so all three decode paths are exercised)
@@ -163,10 +168,75 @@ object Multimodal {
               MediaFeatures(m.media_id, m.kind, decoded = true, 0, 0, 0, 0, 0,
                 wav.channels, wav.sampleRate, wav.samples.length,
                 MediaCodecs.wavRmsMilli(wav))
+          case "video" =>
+            // animated GIF: the pure-JVM multi-frame path (container
+            // formats like mp4 need native codecs — documented stub,
+            // routed as undecoded like any other unreadable payload)
+            val frames = MediaCodecs.decodeGifFrames(m.payload)
+            if (frames == null)
+              MediaFeatures(m.media_id, m.kind, decoded = false,
+                0, 0, 0, 0, 0, 0, 0, 0, 0)
+            else {
+              // per-channel mean over ALL frames (mean of frame means
+              // would skew if frame sizes differed)
+              var b = 0L; var g = 0L; var r = 0L; var n = 0L
+              frames.foreach { f =>
+                val (fb, fg, fr) = MediaCodecs.bmpMeanBgrMilli(f)
+                val fn = (f.pixels.length / 3).toLong
+                b += fb * fn; g += fg * fn; r += fr * fn; n += fn
+              }
+              MediaFeatures(m.media_id, m.kind, decoded = true,
+                frames(0).width, frames(0).height,
+                b / n, g / n, r / n, 0, 0, 0, 0, frames.length)
+            }
           case _ =>
             MediaFeatures(m.media_id, m.kind, decoded = false,
               0, 0, 0, 0, 0, 0, 0, 0, 0)
         }
+      }
+    }
+  }
+
+  /** Synthesize REAL video payloads: multi-frame animated GIFs (frame
+    * pixels a pure function of (media_id, frame)), every fourth row a
+    * truncated/corrupt payload that must route, not throw.
+    */
+  def synthesizeRealVideo(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n.toLong).map { i =>
+      if (i % 4 == 3)
+        MediaRow(i, "video", Array[Byte]('G', 'I', 'F', '8', '9'))
+      else {
+        val w = 8 + (i % 16).toInt
+        val h = 8 + (i % 8).toInt
+        val nf = 2 + (i % 4).toInt
+        val frames = (0 until nf).map { f =>
+          val px = new Array[Byte](w * h * 3)
+          var j = 0
+          while (j < px.length) {
+            px(j) = graft.pipeline.Fixtures.mix(i * 31L + f * 7L + j).toByte
+            j += 1
+          }
+          MediaCodecs.Bmp(w, h, px)
+        }
+        MediaRow(i, "video", MediaCodecs.encodeGifAnimated(frames))
+      }
+    }
+  }
+
+  /** REAL frame sampling: decode animated-GIF videos and emit every
+    * `stride`-th frame re-encoded as BMP bytes (`offset` = -1: frames are
+    * decoded, not byte-sliced). Undecodable payloads yield no frames —
+    * they surface through decodeFeatures' decoded=false routing instead.
+    */
+  def sampleVideoFrames(media: Dataset[MediaRow],
+      stride: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { m =>
+      val frames = MediaCodecs.decodeGifFrames(m.payload)
+      if (frames == null) Seq.empty
+      else (0 until frames.length by stride).map { f =>
+        Frame(m.media_id, f, -1, MediaCodecs.encodeBmp(frames(f)))
       }
     }
   }

@@ -24,6 +24,38 @@ class IntelStoreSpec extends AnyFunSuite {
       db.lookupString("host1.evil-glob.net").toSeq)
   }
 
+  test("save/load round-trips dynamic extra metadata; inspect reports " +
+    "section counts (the `matchy inspect` analog)") {
+    import graft.model.IntelEntry
+    val db = IntelDb.build("mixed", Seq(
+      IntelEntry("10.0.0.0/8", "high", "c2", "feed-a", 80,
+        extra = Map("campaign" -> "alpha", "ttl" -> "3600")),
+      IntelEntry("evil.example.com", "critical", "phishing", "feed-a", 95,
+        extra = Map("campaign" -> "beta")),
+      IntelEntry("*.bad.net", "low", "heuristic", "feed-b", 40)))
+    val path = Files.createTempDirectory("intel-store-x").toString + "/db"
+    IntelStore.save(spark, db, path)
+    val loaded = IntelStore.load(spark, path)
+    assert(loaded.entries.find(_.entry == "10.0.0.0/8").get.extra ==
+      Map("campaign" -> "alpha", "ttl" -> "3600"))
+    assert(loaded.entries.find(_.entry == "*.bad.net").get.extra.isEmpty)
+    val r = IntelStore.inspect(loaded)
+    assert(r.databaseId == "mixed" && r.entries == 3)
+    assert(r.ipEntries == 1 && r.literalEntries == 1 && r.globEntries == 1)
+    assert(r.hasIpSection && r.hasStringSection)
+    assert(r.distinctCategories == 3 && r.distinctSources == 2)
+    assert(r.minConfidence == 40 && r.maxConfidence == 95)
+    assert(r.entriesWithExtra == 2 && r.distinctExtraKeys == 2)
+    // json surface parses and carries the same counts
+    val j = IntelStore.inspectJson(loaded)
+    assert(j.contains("\"entries\":3") && j.contains("\"ip_entries\":1") &&
+      j.contains("\"distinct_extra_keys\":2"))
+    // empty db: zero counts, no section flags
+    val er = IntelStore.inspect(IntelDb.build("none", Nil))
+    assert(er.entries == 0 && !er.hasIpSection && !er.hasStringSection &&
+      er.minConfidence == 0 && er.maxConfidence == 0)
+  }
+
   test("empty feed round-trips (reference builds/opens empty dbs fine)") {
     val db = IntelDb.build("empty-feed", Nil, caseInsensitive = true)
     val path = Files.createTempDirectory("intel-store-e").toString + "/db"

@@ -124,4 +124,46 @@ class MediaCodecsSpec extends AnyFunSuite {
       .forall(f => f.decoded && f.width == 16 && f.height == 16))
     assert(rf.filter(f => f.media_id % 3 == 2).forall(!_.decoded))
   }
+
+  test("animated GIF: multi-frame encode/decode round-trip, frame count " +
+    "and per-frame pixel fidelity (palette-quantized)") {
+    val frames = (0 until 3).map { f =>
+      val w = 10; val h = 6
+      val px = new Array[Byte](w * h * 3)
+      // flat per-frame color — survives GIF's 256-color palette exactly
+      java.util.Arrays.fill(px, (40 * (f + 1)).toByte)
+      MediaCodecs.Bmp(w, h, px)
+    }
+    val gif = MediaCodecs.encodeGifAnimated(frames)
+    val dec = MediaCodecs.decodeGifFrames(gif)
+    assert(dec != null && dec.length == 3)
+    dec.zipWithIndex.foreach { case (d, f) =>
+      assert(d.width == 10 && d.height == 6)
+      assert(d.pixels.forall(_ == (40 * (f + 1)).toByte),
+        s"frame $f pixels changed")
+    }
+    // truncated GIF routes as null, never throws
+    assert(MediaCodecs.decodeGifFrames(gif.take(12)) == null)
+    assert(MediaCodecs.decodeGifFrames(Array[Byte]('G', 'I', 'F')) == null)
+  }
+
+  test("video pipeline: GIF frames -> features, strided sampling, " +
+    "corrupt payloads routed") {
+    val media = Multimodal.synthesizeRealVideo(spark, 20)
+    val feats = Multimodal.decodeFeatures(media).collect()
+    assert(feats.length == 20)
+    val ok = feats.filter(f => f.media_id % 4 != 3)
+    val corrupt = feats.filter(f => f.media_id % 4 == 3)
+    assert(ok.forall(f => f.decoded && f.kind == "video" &&
+      f.n_frames == 2 + (f.media_id % 4).toInt && f.width >= 8))
+    assert(corrupt.forall(!_.decoded)) // truncated GIF header: routed
+    // strided sampling: every 2nd frame, re-encoded as decodable BMPs
+    val sampled = Multimodal.sampleVideoFrames(media, stride = 2).collect()
+    val byId = sampled.groupBy(_.media_id)
+    assert(!byId.contains(3L) && !byId.contains(7L)) // corrupt -> no frames
+    assert(byId(0L).map(_.frame_idx).sorted.sameElements(Array(0)))
+    assert(byId(2L).map(_.frame_idx).sorted.sameElements(Array(0, 2)))
+    assert(sampled.forall(f =>
+      MediaCodecs.decodeBmp(f.frame_bytes) != null))
+  }
 }

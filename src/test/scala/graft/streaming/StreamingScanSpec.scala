@@ -186,6 +186,47 @@ class StreamingScanSpec extends AnyFunSuite {
     assert(ids() == Seq(1L, 3L, 10L), s"cross-batch dup not dropped: ${ids()}")
   }
 
+  test("streaming dedup TTL: duplicate dropped inside the window, " +
+    "fingerprint re-admitted only after TTL passes the watermark") {
+    val inDir = Files.createTempDirectory("stream-dttl-in").toString
+    val outDir = Files.createTempDirectory("stream-dttl-out").toString
+    def doc(id: Long, text: String, ts: String): String =
+      s"""{"doc_id":$id,"text":"$text","ts":"$ts"}"""
+    def drain(): Unit = awaitOrFail(
+      StreamingDedup.startTtl(spark, inDir, outDir, ttlMs = 60000L,
+        watermarkDelay = "10 seconds"))
+    def ids(): Seq[Long] = spark.read.parquet(s"$outDir/deduped")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // drain 1: fingerprint X admitted at 00:00:00 (TTL expires 00:01:00)
+    Files.writeString(java.nio.file.Paths.get(inDir, "b1.json"),
+      doc(1, "the quick brown fox", "2024-01-01T00:00:00.000Z") + "\n")
+    drain()
+    assert(ids() == Seq(1L))
+    // drain 2: X again 30s later — inside the TTL window, dropped
+    Files.writeString(java.nio.file.Paths.get(inDir, "b2.json"),
+      doc(2, "THE QUICK  BROWN FOX", "2024-01-01T00:00:30.000Z") + "\n")
+    drain()
+    assert(ids() == Seq(1L), s"duplicate inside TTL not dropped: ${ids()}")
+    // drain 3: unrelated doc far ahead advances the watermark past
+    // 00:01:00 (timeout checks use the PREVIOUS batch's watermark, so the
+    // expiry lands in the NEXT drain)
+    Files.writeString(java.nio.file.Paths.get(inDir, "b3.json"),
+      doc(5, "watermark mover one", "2024-01-01T00:05:00.000Z") + "\n")
+    drain()
+    // drain 4: another mover — X had no data this batch and its timeout is
+    // behind the watermark now, so its state is removed here
+    Files.writeString(java.nio.file.Paths.get(inDir, "b4.json"),
+      doc(6, "watermark mover two", "2024-01-01T00:05:10.000Z") + "\n")
+    drain()
+    assert(ids() == Seq(1L, 5L, 6L))
+    // drain 5: X re-appears AFTER expiry — re-admitted
+    Files.writeString(java.nio.file.Paths.get(inDir, "b5.json"),
+      doc(9, "the quick brown fox", "2024-01-01T00:05:20.000Z") + "\n")
+    drain()
+    assert(ids() == Seq(1L, 5L, 6L, 9L),
+      s"fingerprint not re-admitted after TTL: ${ids()}")
+  }
+
   test("watermarked windowed match counts (streaming A10 analog)") {
     val inDir = Files.createTempDirectory("stream-w-in").toString
     val outDir = Files.createTempDirectory("stream-w-out").toString
