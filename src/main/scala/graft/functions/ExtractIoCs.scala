@@ -72,6 +72,8 @@ object ExtractIoCs {
     var buf: Array[Byte] = new Array[Byte](1024)
     val iocs = new scala.collection.mutable.ArrayBuffer[graft.model.Ioc](8)
     var hits: Array[Any] = new Array[Any](16)
+    // direct-mapped value-intern cache (see internSpan): ~16 KB of refs
+    val intern: Array[UTF8String] = new Array[UTF8String](InternSize)
   }
   val tlScratch = new ThreadLocal[RowScratch] {
     override def initialValue(): RowScratch = new RowScratch
@@ -98,6 +100,79 @@ object ExtractIoCs {
     r.update(2, prefixLen)
     r.update(3, matchType)
     r
+  }
+
+  private final val InternSize = 2048 // power of two
+  private final val InternMask = InternSize - 1
+  private final val InternMaxLen = 64
+
+  /** Per-thread direct-mapped intern cache for candidate value strings.
+    *
+    * The set of DISTINCT matched values in a scan is tiny compared to the
+    * row count — it is bounded by the feed (plus CIDR-matched IPs and
+    * glob-matched names, which still repeat heavily in real transcripts) —
+    * yet the extractors allocated a fresh copyOfRange + UTF8String per
+    * candidate (JFR: fromBytes ~11% of the 8-core matched loop). A
+    * direct-mapped, content-hashed table (FNV-1a, overwrite-on-collision,
+    * no probing) returns ONE owned immutable UTF8String per hot value.
+    * UTF8Strings are immutable and rows only ever read them, so sharing an
+    * instance across output rows is safe; each thread owns its table.
+    */
+  def internSpan(scr: RowScratch, buf: Array[Byte], start: Int,
+      end: Int): UTF8String = {
+    val len = end - start
+    if (len > InternMaxLen)
+      return UTF8String.fromBytes(java.util.Arrays.copyOfRange(buf, start, end))
+    var h = -2128831035 // FNV-1a offset basis
+    var i = start
+    while (i < end) { h = (h ^ buf(i)) * 16777619; i += 1 }
+    val slot = h & InternMask
+    val cached = scr.intern(slot)
+    if (cached != null && cached.numBytes == len &&
+      org.apache.spark.unsafe.array.ByteArrayMethods.arrayEquals(
+        cached.getBaseObject, cached.getBaseOffset,
+        buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start, len))
+      return cached
+    val s = UTF8String.fromBytes(java.util.Arrays.copyOfRange(buf, start, end))
+    scr.intern(slot) = s
+    s
+  }
+
+  /** Intern an (ASCII) canonicalized value String — the non-span path
+    * (RFC-5952 IPv6, refanged text). Hashing chars-as-bytes matches
+    * internSpan's byte hash for ASCII, so both paths share slots; non-ASCII
+    * falls back to a plain conversion.
+    */
+  def internString(scr: RowScratch, s: String): UTF8String = {
+    val n = s.length
+    if (n > InternMaxLen) return UTF8String.fromString(s)
+    var h = -2128831035
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c >= 128) return UTF8String.fromString(s)
+      h = (h ^ c) * 16777619
+      i += 1
+    }
+    val slot = h & InternMask
+    val cached = scr.intern(slot)
+    if (cached != null && cached.numBytes == n && charsEqual(cached, s, n))
+      return cached
+    val u = UTF8String.fromString(s)
+    scr.intern(slot) = u
+    u
+  }
+
+  private def charsEqual(u: UTF8String, s: String, n: Int): Boolean = {
+    val base = u.getBaseObject
+    val off = u.getBaseOffset
+    var i = 0
+    while (i < n) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) != s.charAt(i).toByte)
+        return false
+      i += 1
+    }
+    true
   }
 
   /** Copy the UTF8String's bytes into the scratch buffer (grown
@@ -136,17 +211,16 @@ object ExtractIoCs {
       val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(5)
       row.update(0, typeInterned.get(m.indicator_type))
       // when the canonical value IS the matched span (every type except
-      // canonicalized IPv6), copy the UTF-8 bytes straight out of the
+      // canonicalized IPv6), intern the UTF-8 bytes straight out of the
       // scratch buffer instead of re-encoding the String char by char
       val valueU8 =
         if (m.matched_text eq m.value)
-          UTF8String.fromBytes(java.util.Arrays.copyOfRange(
-            buf, m.span_start, m.span_end))
-        else UTF8String.fromString(m.value)
+          internSpan(scr, buf, m.span_start, m.span_end)
+        else internString(scr, m.value)
       row.update(1, valueU8)
       row.update(2,
         if (m.matched_text eq m.value) valueU8
-        else UTF8String.fromString(m.matched_text))
+        else internString(scr, m.matched_text))
       row.update(3, m.span_start)
       row.update(4, m.span_end)
       rows(i) = row

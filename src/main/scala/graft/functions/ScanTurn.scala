@@ -148,17 +148,16 @@ object ScanTurn {
       row.update(0, CAND)
       row.update(1, typeInterned.get(m.indicator_type))
       // value bytes: when the canonical value IS the matched span (every
-      // type except canonicalized IPv6), copy the UTF-8 bytes straight out
-      // of the scratch buffer — no char-by-char re-encode of the String
+      // type except canonicalized IPv6), intern the UTF-8 bytes straight
+      // out of the scratch buffer — no char-by-char re-encode of the String
       val valueU8 =
         if (m.matched_text eq m.value)
-          UTF8String.fromBytes(java.util.Arrays.copyOfRange(
-            buf, m.span_start, m.span_end))
-        else UTF8String.fromString(m.value)
+          ExtractIoCs.internSpan(scr, buf, m.span_start, m.span_end)
+        else ExtractIoCs.internString(scr, m.value)
       row.update(2, valueU8)
       row.update(3,
         if (m.matched_text eq m.value) valueU8
-        else UTF8String.fromString(m.matched_text))
+        else ExtractIoCs.internString(scr, m.matched_text))
       row.update(4, m.span_start)
       row.update(5, m.span_end)
       if (nHits == 0) row.update(6, EMPTY_HITS)

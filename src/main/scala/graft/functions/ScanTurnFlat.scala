@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.extract.{IocScanner, ScanConfig}
-import graft.intel.IntelDb
+import graft.intel.{CleanPreScreen, IntelDb}
 import graft.model.{IndicatorType => T}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -26,10 +26,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * per-candidate stats observer).
   */
 case class ScanTurnFlat(child: Expression, dbs: Seq[IntelDb],
-    config: ScanConfig) extends UnaryExpression {
+    config: ScanConfig, fastScreen: Boolean = false) extends UnaryExpression {
 
   @transient private lazy val scanner = new IocScanner(config)
   @transient private lazy val dbArr = dbs.toArray
+  // OPTIONAL embedded clean-turn pre-screen. Output-identical (superset
+  // filter; IntelStoreSpec + CleanPreScreenSpec assert soundness) and only
+  // valid here: the match-only flat form never reports hitless candidates,
+  // so skipping extraction on screened turns is invisible. ScanTurn (the
+  // stats path) must NOT screen — its candidate counts (A2-A6) require
+  // extracting clean turns too. Default OFF: measured on the bench corpus
+  // (ScanFnBench), the screen pass costs ~12% while the single-pass byte
+  // scanner's own anchor sweep already rejects clean turns at the same
+  // cost — the reference needs the AC screen because its per-type regex
+  // extraction is expensive; this engine absorbed that fast path into the
+  // extractor. The screen stays for extraction configs where scanning IS
+  // expensive (many databases, case-folded globs) and for the explicit
+  // `matched(prescreen = true)` filter form.
+  @transient private lazy val screen: CleanPreScreen =
+    if (fastScreen) CleanPreScreen.build(dbs) else null
 
   override def dataType: DataType = ScanTurnFlat.schema
   override def nullable: Boolean = child.nullable
@@ -37,14 +52,18 @@ case class ScanTurnFlat(child: Expression, dbs: Seq[IntelDb],
     s"scan_turn_flat_${dbs.map(_.databaseId).mkString("_")}"
 
   override def nullSafeEval(input: Any): Any =
-    ScanTurnFlat.scan(scanner, dbArr, input.asInstanceOf[UTF8String])
+    ScanTurnFlat.scan(scanner, dbArr, screen, input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val scannerRef =
       ctx.addReferenceObj("scanner", scanner, classOf[IocScanner].getName)
     val dbsRef = ctx.addReferenceObj("inteldbs", dbArr, "graft.intel.IntelDb[]")
+    val screenRef =
+      if (screen == null) "null"
+      else ctx.addReferenceObj("prescreen", screen,
+        classOf[CleanPreScreen].getName)
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.ScanTurnFlat.scan($scannerRef, $dbsRef, $c);")
+      s"${ev.value} = graft.functions.ScanTurnFlat.scan($scannerRef, $dbsRef, $screenRef, $c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): ScanTurnFlat =
@@ -92,11 +111,12 @@ object ScanTurnFlat {
   }
 
   /** Static entry point shared by interpreted eval and generated code. */
-  def scan(scanner: IocScanner, dbs: Array[IntelDb],
+  def scan(scanner: IocScanner, dbs: Array[IntelDb], screen: CleanPreScreen,
       text: UTF8String): ArrayData = {
     val len = text.numBytes()
     val scr = ExtractIoCs.tlScratch.get()
     val buf = ExtractIoCs.copyToScratch(scr, text)
+    if (screen != null && !screen.mightMatch(buf, len)) return EMPTY
     val iocs = scanner.scanInto(buf, len, scr.iocs)
     val n = iocs.length
     if (n == 0) return EMPTY
@@ -120,10 +140,10 @@ object ScanTurnFlat {
           if (hit != null) {
             if (tpe == null) {
               tpe = typeInterned.get(m.indicator_type)
-              valueU8 = valueBytes(m, buf)
+              valueU8 = valueBytes(m, buf, scr)
               matchedU8 =
                 if (m.matched_text eq m.value) valueU8
-                else UTF8String.fromString(m.matched_text)
+                else ExtractIoCs.internString(scr, m.matched_text)
             }
             if (nRows == rows.length) rows = grow(scr)
             rows(nRows) = matchRow(tpe, valueU8, matchedU8, m.span_start,
@@ -136,10 +156,10 @@ object ScanTurnFlat {
           while (k < ids.length) {
             if (tpe == null) {
               tpe = typeInterned.get(m.indicator_type)
-              valueU8 = valueBytes(m, buf)
+              valueU8 = valueBytes(m, buf, scr)
               matchedU8 =
                 if (m.matched_text eq m.value) valueU8
-                else UTF8String.fromString(m.matched_text)
+                else ExtractIoCs.internString(scr, m.matched_text)
             }
             if (nRows == rows.length) rows = grow(scr)
             rows(nRows) = matchRow(tpe, valueU8, matchedU8, m.span_start,
@@ -160,18 +180,17 @@ object ScanTurnFlat {
     }
   }
 
-  @inline private def valueBytes(m: graft.model.Ioc,
-      buf: Array[Byte]): UTF8String =
+  @inline private def valueBytes(m: graft.model.Ioc, buf: Array[Byte],
+      scr: ExtractIoCs.RowScratch): UTF8String =
     if (m.matched_text eq m.value)
-      UTF8String.fromBytes(java.util.Arrays.copyOfRange(
-        buf, m.span_start, m.span_end))
-    else UTF8String.fromString(m.value)
+      ExtractIoCs.internSpan(scr, buf, m.span_start, m.span_end)
+    else ExtractIoCs.internString(scr, m.value)
 
   private def grow(scr: ExtractIoCs.RowScratch): Array[Any] =
     ExtractIoCs.growHits(scr)
 
   def column(text: Column, dbs: Seq[IntelDb],
-      config: ScanConfig = ScanConfig()): Column =
+      config: ScanConfig = ScanConfig(), fastScreen: Boolean = false): Column =
     ExpressionUtils.column(
-      ScanTurnFlat(ExpressionUtils.expression(text), dbs, config))
+      ScanTurnFlat(ExpressionUtils.expression(text), dbs, config, fastScreen))
 }

@@ -50,7 +50,14 @@ object ScanJob {
       db.entries.zipWithIndex.map { case (m, i) =>
         (d, i, db.databaseId, m.entry, m.entryType, m.threatLevel,
           m.category, m.source, m.confidence,
-          m.toIds, m.comment, m.attrType, m.attrTimestamp, m.tags, m.extra)
+          m.toIds, m.comment, m.attrType, m.attrTimestamp, m.tags,
+          // NULL instead of an empty map: every matched row inherits this
+          // column through the broadcast join, and a null costs one bit in
+          // the output UnsafeRow where an empty MapData costs a 16-byte
+          // body plus per-row serialization (JFR: getMap + row-copy tax on
+          // the extra-less common case). Consumers are null-safe
+          // (element_at(null)=null; size(null) keeps the NDJSON guard off).
+          if (m.extra.isEmpty) null else m.extra)
       }
     }.toDF("db_idx", "entry_idx", "database_id", "entry", "entry_type",
       "threat_level", "category", "source", "confidence",
