@@ -92,15 +92,24 @@ final class IocScanner(val config: ScanConfig) extends Serializable {
     // per-char compare chain this replaces (the anchor chars '.': '@' '0'
     // are mutually exclusive, and the boundary bit mirrors isBoundary).
     val tbl = IocScanner.anchorClassTable
-    var inToken = false
+    // token spans feed ONLY the fixed-width scanners (hashes >= 32,
+    // bitcoin >= 26, monero >= 90 bytes): spans shorter than 26 can never
+    // produce a candidate, and most tokens in real text are short words —
+    // filtering here keeps the span vector (and the three consumers'
+    // iteration) proportional to rare long tokens instead of every word.
+    var tokenStart = -1
     var i = 0
     while (i < n) {
       val k = tbl(b(i) & 0xff)
       if (k == 0) {
-        if (!inToken) { tokens.add(i); inToken = true }
+        if (tokenStart < 0) tokenStart = i
       } else {
-        if ((k & 1) != 0) { if (inToken) { tokens.add(i); inToken = false } }
-        else if (!inToken) { tokens.add(i); inToken = true }
+        if ((k & 1) != 0) {
+          if (tokenStart >= 0) {
+            if (i - tokenStart >= 26) { tokens.add(tokenStart); tokens.add(i) }
+            tokenStart = -1
+          }
+        } else if (tokenStart < 0) tokenStart = i
         if ((k & 2) != 0) dots.add(i)
         else if ((k & 4) != 0) ats.add(i)
         else if ((k & 8) != 0) { if (i + 1 < n && b(i + 1) == ':') dcolons.add(i) }
@@ -108,7 +117,9 @@ final class IocScanner(val config: ScanConfig) extends Serializable {
       }
       i += 1
     }
-    if (inToken) tokens.add(n)
+    if (tokenStart >= 0 && n - tokenStart >= 26) {
+      tokens.add(tokenStart); tokens.add(n)
+    }
   }
 
   // ------------------------------------------------------------- domains

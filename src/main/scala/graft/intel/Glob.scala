@@ -42,6 +42,32 @@ object Glob {
     private val prefilterNorm =
       if (caseInsensitive) asciiLower(prefilter) else prefilter
 
+    // simple shapes bypass the backtracking matcher entirely (the dominant
+    // real-world glob forms; JFR: matchImpl re-scanned the text after the
+    // contains() prefilter had already proven a *lit* match)
+    private val shape: Int = {
+      val s = segments match {
+        case List(Star, Lit(_), Star) => 1 // contains(lit)
+        case List(Lit(_), Star)       => 2 // startsWith(lit)
+        case List(Star, Lit(_))       => 3 // endsWith(lit)
+        case List(Lit(_), Star, Lit(_)) => 4 // prefix+suffix, no overlap
+        case _                          => 0
+      }
+      // char-indexed startsWith/endsWith only agrees with the codepoint-
+      // aligned matcher when the literals carry no surrogate halves
+      val surrogateFree = segments.forall {
+        case Lit(l) => l.forall(c => c < 0xD800 || c > 0xDFFF)
+        case _      => true
+      }
+      if (surrogateFree) s else 0
+    }
+    private val shapeLits: Array[String] = {
+      val lits = segments.collect { case Lit(s) =>
+        if (caseInsensitive) asciiLower(s) else s
+      }
+      lits.toArray
+    }
+
     /** Paraglob semantics for one pattern: pure literals match as substring;
       * anything else is an anchored glob match.
       */
@@ -50,6 +76,14 @@ object Glob {
         val hay = if (caseInsensitive) asciiLower(text) else text
         if (!hay.contains(prefilterNorm)) return false
         if (isPureLiteral) return true
+        shape match {
+          case 1 => return true // *lit*: the contains() above IS the match
+          case 2 => return hay.startsWith(shapeLits(0))
+          case 3 => return hay.endsWith(shapeLits(0))
+          case 4 => return hay.length >= shapeLits(0).length + shapeLits(1).length &&
+            hay.startsWith(shapeLits(0)) && hay.endsWith(shapeLits(1))
+          case _ =>
+        }
       } else if (isPureLiteral) {
         // empty-literal pure pattern (can't occur: empty patterns rejected)
         return true
