@@ -27,10 +27,24 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Shared-VM heap pathology (BENCH.md): when this host's memory subsystem
+// is in a degraded phase, JVMs with heaps >= ~32g run the 8-core scan up
+// to 10x slower (fresh-eden page-touch storms hit the host's paging path;
+// -Xms48g/-Xmx48g reproduces it, -Xms8g..16g is immune, measured
+// 2026-08-17). Nothing in this repo needs more than ~12g (6-12M-turn
+// fixtures, KB-scale broadcasts), so the requested driver memory is capped
+// at 16g and pinned Xms=Xmx so the heap never resizes mid-benchmark.
+val driverMemGb: Int = {
+  val req = sys.env.get("SPARK_DRIVER_MEM")
+    .flatMap(s => scala.util.Try(s.toLowerCase.stripSuffix("g").toInt).toOption)
+    .getOrElse(16)
+  math.max(2, math.min(req, 16))
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xmx${driverMemGb}g",
+  s"-Xms${driverMemGb}g",
   // throughput GC for the batch scan workload: the 32-thread scan is
   // allocation-heavy (per-candidate rows/strings) and ParallelGC sustains
   // a higher allocation rate than G1's pause-targeted collection here

@@ -52,16 +52,22 @@ final class IocScanner(val config: ScanConfig) extends Serializable {
     * scan threads that per-row garbage was the GC wall (round-2 scaling).
     */
   def scanInto(bytes: Array[Byte], n: Int,
-      out: ArrayBuffer[Ioc]): ArrayBuffer[Ioc] = {
+      out: ArrayBuffer[Ioc]): ArrayBuffer[Ioc] =
+    scanInto(bytes, n, out, scratch.get())
+
+  /** Caller-supplied-scratch variant: lets the expression layer reuse the
+    * ScanScratch it hangs off its own per-row scratch holder, so a scan
+    * costs ONE ThreadLocal probe total (every extra ThreadLocal is a hash
+    * probe in a collision-prone per-thread map — JFR: getEntryAfterMiss).
+    */
+  def scanInto(bytes: Array[Byte], n: Int, out: ArrayBuffer[Ioc],
+      scr: IocScanner.ScanScratch): ArrayBuffer[Ioc] = {
     out.clear()
     // ONE fused anchor pass over the bytes (the reference's shared
     // precompute, lib.rs:412-447): token boundaries + '.', '@', "::", "0x"
     // anchor positions collected together — the per-type scans previously
     // each swept the full byte range again (6 passes; fused is the single
-    // biggest scanner win in the JFR profile). ONE ThreadLocal get per
-    // scan: every extra ThreadLocal is a hash probe in a collision-prone
-    // per-thread map (JFR: getEntryAfterMiss).
-    val scr = scratch.get()
+    // biggest scanner win in the JFR profile).
     collectAnchors(bytes, n, scr)
     if (config.domains) scanDomains(bytes, n, scr.dots, out)
     if (config.ipv4) scanIpv4(bytes, n, scr.dots, out)

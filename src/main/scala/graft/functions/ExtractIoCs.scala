@@ -74,6 +74,9 @@ object ExtractIoCs {
     var hits: Array[Any] = new Array[Any](16)
     // direct-mapped value-intern cache (see internSpan): ~16 KB of refs
     val intern: Array[UTF8String] = new Array[UTF8String](InternSize)
+    // scanner anchor scratch, carried here so one ThreadLocal probe serves
+    // the whole row (scanInto's own ThreadLocal is only the fallback path)
+    val scan = new graft.extract.IocScanner.ScanScratch
   }
   val tlScratch = new ThreadLocal[RowScratch] {
     override def initialValue(): RowScratch = new RowScratch
@@ -201,7 +204,7 @@ object ExtractIoCs {
     val len = text.numBytes()
     val scr = tlScratch.get()
     val buf = copyToScratch(scr, text)
-    val iocs = scanner.scanInto(buf, len, scr.iocs)
+    val iocs = scanner.scanInto(buf, len, scr.iocs, scr.scan)
     val n = iocs.length
     if (n == 0) return EMPTY
     val rows = new Array[Any](n)

@@ -110,7 +110,7 @@ object ScanTurn {
     val len = text.numBytes()
     val scr = ExtractIoCs.tlScratch.get()
     val buf = ExtractIoCs.copyToScratch(scr, text)
-    val iocs = scanner.scanInto(buf, len, scr.iocs)
+    val iocs = scanner.scanInto(buf, len, scr.iocs, scr.scan)
     val n = iocs.length
     if (n == 0) return CLEAN_ONLY
     val rows = new Array[Any](n)

@@ -117,7 +117,7 @@ object ScanTurnFlat {
     val scr = ExtractIoCs.tlScratch.get()
     val buf = ExtractIoCs.copyToScratch(scr, text)
     if (screen != null && !screen.mightMatch(buf, len)) return EMPTY
-    val iocs = scanner.scanInto(buf, len, scr.iocs)
+    val iocs = scanner.scanInto(buf, len, scr.iocs, scr.scan)
     val n = iocs.length
     if (n == 0) return EMPTY
     // reuse the RowScratch hit buffer to accumulate the flat rows of the

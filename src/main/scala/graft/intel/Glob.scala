@@ -100,6 +100,25 @@ object Glob {
       matchImpl(text, 0, segments, steps)
     }
 
+    /** Verify assuming every literal segment is ALREADY PROVEN a substring
+      * of `text` (the GlobIndex AC path establishes exactly that before
+      * calling — its meta-words are the patterns' literal segments), so the
+      * contains() prefilter is skipped. `hay` is the CI-folded text (== text
+      * in case-sensitive mode), letting the simple shapes reuse the fold the
+      * index already computed instead of folding per pattern.
+      */
+    def matchesLitsProven(text: String, hay: String): Boolean = {
+      if (isPureLiteral) return true
+      shape match {
+        case 1 => true // *lit*: substring presence IS the match
+        case 2 => hay.startsWith(shapeLits(0))
+        case 3 => hay.endsWith(shapeLits(0))
+        case 4 => hay.length >= shapeLits(0).length + shapeLits(1).length &&
+          hay.startsWith(shapeLits(0)) && hay.endsWith(shapeLits(1))
+        case _ => matchImpl(text, 0, segments, new Steps(100000))
+      }
+    }
+
     private def matchImpl(text: String, pos0: Int, segs: List[Segment],
         steps: Steps): Boolean = {
       if (steps.n == 0) return false

@@ -281,6 +281,13 @@ final class GlobIndex private (
         hits(nOut) = entryIdx(p) // bounded by patterns.length
         nOut += 1
       }
+    // AC-path verifier: all of p's literal segments are proven substrings,
+    // so the per-pattern contains() prefilter (and its CI re-fold) is skipped
+    @inline def tryPatternProven(p: Int, hay: String): Unit =
+      if (patterns(p).matchesLitsProven(value, hay)) {
+        hits(nOut) = entryIdx(p)
+        nOut += 1
+      }
     if (ac == null) {
       // no meta-words anywhere: verify all (degenerate tiny sets)
       var i = 0
@@ -311,7 +318,7 @@ final class GlobIndex private (
               if (seenW(ws(j)) != gen) all = false
               j += 1
             }
-            if (all) tryPattern(p)
+            if (all) tryPatternProven(p, hay)
           }
           k += 1
         }
