@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.intel.IntelDb
+import graft.intel.{BcHandle, IntelDb}
 import graft.model.{IndicatorType => T}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
@@ -12,9 +12,11 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Catalyst expression: `intel_lookup(value, indicator_type)` against one
-  * compiled intel database (broadcast by value into the serialized plan —
-  * Spark ships it once per executor, the analog of the reference's
-  * one-mmap-per-process sharing, DEVELOPMENT.md:202-206).
+  * compiled intel database, carried via a Broadcast handle (BcHandle) so it
+  * deserializes once per EXECUTOR — the analog of the reference's
+  * one-mmap-per-process sharing (DEVELOPMENT.md:202-206). Embedding the db
+  * in the expression directly would ride the task binary and deserialize
+  * once per TASK (SerProbe: 2.1 s/task at 100k globs).
   *
   * Dispatch follows the reference (database.rs:760-764, 889-901): ipv4/ipv6
   * candidates walk the LPM trie; everything else takes the string path
@@ -22,21 +24,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * `array<struct<entry_idx, prefix_len, match_type>>` — empty array = no
   * match (F1 filters it), so `NotFound` never materializes a row.
   */
-case class IntelLookup(left: Expression, right: Expression, db: IntelDb)
-    extends BinaryExpression {
+case class IntelLookup(left: Expression, right: Expression,
+    db: BcHandle[IntelDb]) extends BinaryExpression {
 
   override def dataType: DataType = IntelLookup.schema
   override def nullable: Boolean = left.nullable || right.nullable
-  override def prettyName: String = s"intel_lookup_${db.databaseId}"
+  override def prettyName: String = s"intel_lookup_${db.get.databaseId}"
 
   override def nullSafeEval(value: Any, itype: Any): Any =
-    IntelLookup.lookup(db, value.asInstanceOf[UTF8String],
+    IntelLookup.lookup(db.get, value.asInstanceOf[UTF8String],
       itype.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val dbRef = ctx.addReferenceObj("inteldb", db, classOf[IntelDb].getName)
+    val dbRef = ctx.addReferenceObj("inteldb", db, "graft.intel.BcHandle")
     nullSafeCodeGen(ctx, ev, (v, t) =>
-      s"${ev.value} = graft.functions.IntelLookup.lookup($dbRef, $v, $t);")
+      s"${ev.value} = graft.functions.IntelLookup.lookup(" +
+        s"(graft.intel.IntelDb) $dbRef.get(), $v, $t);")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
@@ -81,5 +84,5 @@ object IntelLookup {
   def column(value: Column, indicatorType: Column, db: IntelDb): Column =
     ExpressionUtils.column(IntelLookup(
       ExpressionUtils.expression(value),
-      ExpressionUtils.expression(indicatorType), db))
+      ExpressionUtils.expression(indicatorType), BcHandle.auto(db)))
 }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.intel.IntelDb
+import graft.intel.{BcHandle, IntelDb}
 import graft.model.{IndicatorType => T}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
@@ -19,27 +19,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * match_type>>; db_idx indexes ScanJob's metadata table.
   */
 case class IntelLookupMulti(left: Expression, right: Expression,
-    dbs: Seq[IntelDb]) extends BinaryExpression {
-
-  @transient private lazy val dbArr = dbs.toArray
+    dbs: BcHandle[Array[IntelDb]]) extends BinaryExpression {
 
   override def dataType: DataType = IntelLookupMulti.schema
   override def nullable: Boolean = left.nullable || right.nullable
   override def prettyName: String =
-    s"intel_lookup_multi_${dbs.map(_.databaseId).mkString("_")}"
+    s"intel_lookup_multi_${dbs.get.map(_.databaseId).mkString("_")}"
 
   override def nullSafeEval(value: Any, itype: Any): Any =
-    IntelLookupMulti.lookup(dbArr, value.asInstanceOf[UTF8String],
+    IntelLookupMulti.lookup(dbs.get, value.asInstanceOf[UTF8String],
       itype.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the reference object is the small broadcast HANDLE (BcHandle) — the
+    // compiled dbs deserialize once per executor, not once per task.
     // NOTE: classOf[Array[IntelDb]].getName is the JVM binary name
     // ("[Lgraft.intel.IntelDb;") which is NOT valid Java source — it would
     // break whole-stage codegen for the entire stage and silently fall back
     // to interpreted execution (~70x slower scans)
-    val ref = ctx.addReferenceObj("inteldbs", dbArr, "graft.intel.IntelDb[]")
+    val ref = ctx.addReferenceObj("inteldbs", dbs, "graft.intel.BcHandle")
     nullSafeCodeGen(ctx, ev, (v, t) =>
-      s"${ev.value} = graft.functions.IntelLookupMulti.lookup($ref, $v, $t);")
+      s"${ev.value} = graft.functions.IntelLookupMulti.lookup(" +
+        s"(graft.intel.IntelDb[]) $ref.get(), $v, $t);")
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
@@ -98,5 +99,5 @@ object IntelLookupMulti {
   def column(value: Column, indicatorType: Column, dbs: Seq[IntelDb]): Column =
     ExpressionUtils.column(IntelLookupMulti(
       ExpressionUtils.expression(value),
-      ExpressionUtils.expression(indicatorType), dbs))
+      ExpressionUtils.expression(indicatorType), BcHandle.auto(dbs.toArray)))
 }

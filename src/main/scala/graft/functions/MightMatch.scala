@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.intel.CleanPreScreen
+import graft.intel.{BcHandle, CleanPreScreen}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -13,7 +13,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * never reach the (more expensive) scanner. False = provably no match in
   * any configured database.
   */
-case class MightMatch(child: Expression, screen: CleanPreScreen)
+case class MightMatch(child: Expression, screen: BcHandle[CleanPreScreen])
     extends UnaryExpression {
 
   override def dataType: DataType = BooleanType
@@ -22,14 +22,14 @@ case class MightMatch(child: Expression, screen: CleanPreScreen)
 
   override def nullSafeEval(input: Any): Any = {
     val t = input.asInstanceOf[UTF8String]
-    screen.mightMatch(ExtractIoCs.copyToScratch(t), t.numBytes())
+    screen.get.mightMatch(ExtractIoCs.copyToScratch(t), t.numBytes())
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("prescreen", screen,
-      classOf[CleanPreScreen].getName)
+    // broadcast HANDLE: the screen deserializes once per executor
+    val ref = ctx.addReferenceObj("prescreen", screen, "graft.intel.BcHandle")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = $ref.mightMatch(" +
+      s"${ev.value} = ((graft.intel.CleanPreScreen) $ref.get()).mightMatch(" +
         s"graft.functions.ExtractIoCs.copyToScratch($c), $c.numBytes());")
   }
 
@@ -39,5 +39,6 @@ case class MightMatch(child: Expression, screen: CleanPreScreen)
 
 object MightMatch {
   def column(text: Column, screen: CleanPreScreen): Column =
-    ExpressionUtils.column(MightMatch(ExpressionUtils.expression(text), screen))
+    ExpressionUtils.column(MightMatch(ExpressionUtils.expression(text),
+      BcHandle.auto(screen)))
 }

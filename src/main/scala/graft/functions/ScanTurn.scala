@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.extract.{IocScanner, ScanConfig}
-import graft.intel.IntelDb
+import graft.intel.{BcHandle, IntelDb}
 import graft.model.{IndicatorType => T}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
@@ -34,27 +34,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * Codegen: emits a direct static call, keeping the stage in whole-stage
   * codegen like ExtractIoCs / IntelLookupMulti.
   */
-case class ScanTurn(child: Expression, dbs: Seq[IntelDb], config: ScanConfig)
-    extends UnaryExpression {
+case class ScanTurn(child: Expression, dbs: BcHandle[Array[IntelDb]],
+    config: ScanConfig) extends UnaryExpression {
 
   @transient private lazy val scanner = new IocScanner(config)
-  @transient private lazy val dbArr = dbs.toArray
 
   override def dataType: DataType = ScanTurn.schema
   override def nullable: Boolean = child.nullable
   override def prettyName: String =
-    s"scan_turn_${dbs.map(_.databaseId).mkString("_")}"
+    s"scan_turn_${dbs.get.map(_.databaseId).mkString("_")}"
 
   override def nullSafeEval(input: Any): Any =
-    ScanTurn.scan(scanner, dbArr, input.asInstanceOf[UTF8String])
+    ScanTurn.scan(scanner, dbs.get, input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val scannerRef =
       ctx.addReferenceObj("scanner", scanner, classOf[IocScanner].getName)
-    // binary array class names are not valid Java source — spell it out
-    val dbsRef = ctx.addReferenceObj("inteldbs", dbArr, "graft.intel.IntelDb[]")
+    // broadcast HANDLE: dbs deserialize once per executor, not per task
+    val dbsRef = ctx.addReferenceObj("inteldbs", dbs, "graft.intel.BcHandle")
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.ScanTurn.scan($scannerRef, $dbsRef, $c);")
+      s"${ev.value} = graft.functions.ScanTurn.scan($scannerRef, " +
+        s"(graft.intel.IntelDb[]) $dbsRef.get(), $c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): ScanTurn =
@@ -185,5 +185,6 @@ object ScanTurn {
   def column(text: Column, dbs: Seq[IntelDb],
       config: ScanConfig = ScanConfig()): Column =
     ExpressionUtils.column(
-      ScanTurn(ExpressionUtils.expression(text), dbs, config))
+      ScanTurn(ExpressionUtils.expression(text), BcHandle.auto(dbs.toArray),
+        config))
 }

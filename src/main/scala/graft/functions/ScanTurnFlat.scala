@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.extract.{IocScanner, ScanConfig}
-import graft.intel.{CleanPreScreen, IntelDb}
+import graft.intel.{BcHandle, CleanPreScreen, IntelDb}
 import graft.model.{IndicatorType => T}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -25,45 +25,35 @@ import org.apache.spark.unsafe.types.UTF8String
   * ScanJob.run keeps full ScanTurn (it needs the clean rows and the
   * per-candidate stats observer).
   */
-case class ScanTurnFlat(child: Expression, dbs: Seq[IntelDb],
-    config: ScanConfig, fastScreen: Boolean = false) extends UnaryExpression {
+case class ScanTurnFlat(child: Expression, dbs: BcHandle[Array[IntelDb]],
+    config: ScanConfig, screen: BcHandle[CleanPreScreen] = null)
+    extends UnaryExpression {
 
   @transient private lazy val scanner = new IocScanner(config)
-  @transient private lazy val dbArr = dbs.toArray
-  // OPTIONAL embedded clean-turn pre-screen. Output-identical (superset
-  // filter; IntelStoreSpec + CleanPreScreenSpec assert soundness) and only
-  // valid here: the match-only flat form never reports hitless candidates,
-  // so skipping extraction on screened turns is invisible. ScanTurn (the
-  // stats path) must NOT screen — its candidate counts (A2-A6) require
-  // extracting clean turns too. Default OFF: measured on the bench corpus
-  // (ScanFnBench), the screen pass costs ~12% while the single-pass byte
-  // scanner's own anchor sweep already rejects clean turns at the same
-  // cost — the reference needs the AC screen because its per-type regex
-  // extraction is expensive; this engine absorbed that fast path into the
-  // extractor. The screen stays for extraction configs where scanning IS
-  // expensive (many databases, case-folded globs) and for the explicit
-  // `matched(prescreen = true)` filter form.
-  @transient private lazy val screen: CleanPreScreen =
-    if (fastScreen) CleanPreScreen.build(dbs) else null
 
   override def dataType: DataType = ScanTurnFlat.schema
   override def nullable: Boolean = child.nullable
   override def prettyName: String =
-    s"scan_turn_flat_${dbs.map(_.databaseId).mkString("_")}"
+    s"scan_turn_flat_${dbs.get.map(_.databaseId).mkString("_")}"
 
   override def nullSafeEval(input: Any): Any =
-    ScanTurnFlat.scan(scanner, dbArr, screen, input.asInstanceOf[UTF8String])
+    ScanTurnFlat.scan(scanner, dbs.get,
+      if (screen == null) null else screen.get,
+      input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val scannerRef =
       ctx.addReferenceObj("scanner", scanner, classOf[IocScanner].getName)
-    val dbsRef = ctx.addReferenceObj("inteldbs", dbArr, "graft.intel.IntelDb[]")
+    // broadcast HANDLES, not the structures: the compiled dbs (and screen)
+    // deserialize once per executor, not once per task (see BcHandle)
+    val dbsRef = ctx.addReferenceObj("inteldbs", dbs, "graft.intel.BcHandle")
     val screenRef =
       if (screen == null) "null"
-      else ctx.addReferenceObj("prescreen", screen,
-        classOf[CleanPreScreen].getName)
+      else s"(graft.intel.CleanPreScreen) ${
+        ctx.addReferenceObj("prescreen", screen, "graft.intel.BcHandle")}.get()"
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.ScanTurnFlat.scan($scannerRef, $dbsRef, $screenRef, $c);")
+      s"${ev.value} = graft.functions.ScanTurnFlat.scan($scannerRef, " +
+        s"(graft.intel.IntelDb[]) $dbsRef.get(), $screenRef, $c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): ScanTurnFlat =
@@ -189,8 +179,25 @@ object ScanTurnFlat {
   private def grow(scr: ExtractIoCs.RowScratch): Array[Any] =
     ExtractIoCs.growHits(scr)
 
+  /** fastScreen: OPTIONAL embedded clean-turn pre-screen, built at plan
+    * time and broadcast. Output-identical (superset filter; IntelStoreSpec
+    * + CleanPreScreenSpec assert soundness) and only valid here: the
+    * match-only flat form never reports hitless candidates, so skipping
+    * extraction on screened turns is invisible. ScanTurn (the stats path)
+    * must NOT screen — its candidate counts (A2-A6) require extracting
+    * clean turns too. Default OFF: measured on the bench corpus
+    * (ScanFnBench), the screen pass costs ~12% while the single-pass byte
+    * scanner's own anchor sweep already rejects clean turns at the same
+    * cost — the reference needs the AC screen because its per-type regex
+    * extraction is expensive; this engine absorbed that fast path into the
+    * extractor. The screen stays for extraction configs where scanning IS
+    * expensive (many databases, case-folded globs) and for the explicit
+    * `matched(prescreen = true)` filter form.
+    */
   def column(text: Column, dbs: Seq[IntelDb],
       config: ScanConfig = ScanConfig(), fastScreen: Boolean = false): Column =
     ExpressionUtils.column(
-      ScanTurnFlat(ExpressionUtils.expression(text), dbs, config, fastScreen))
+      ScanTurnFlat(ExpressionUtils.expression(text),
+        BcHandle.auto(dbs.toArray), config,
+        if (fastScreen) BcHandle.auto(CleanPreScreen.build(dbs)) else null))
 }
