@@ -125,7 +125,12 @@ object Similarity {
       lloydRounds: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val q = corpus.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    // materialize the quantized corpus ONCE when Lloyd rounds will loop
+    // over it — each round otherwise re-executes the corpus scan +
+    // quantization per assignment AND per update (the q41 lesson:
+    // iterative refinement must never leave its loop input lazy)
+    val qRaw = corpus.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val q = if (lloydRounds > 0) qRaw.localCheckpoint() else qRaw
     var cents = q.orderBy(col("vec_id").asc).limit(nlist)
       .select(col("vec_id").as("centroid_id"), col("qv").as("cv"))
       .as[(Long, Array[Long])].collect().toSeq
@@ -153,6 +158,11 @@ object Similarity {
         .as[(Long, Array[Long])].collect().toMap
       cents = cents.map { case (id, old) => (id, sums.getOrElse(id, old)) }
       round += 1
+    }
+    if (lloydRounds > 0) q.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
     }
     cents.toDF("centroid_id", "cv")
   }
