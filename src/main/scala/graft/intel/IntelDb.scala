@@ -431,21 +431,53 @@ final class IntelDb(
     val caseInsensitive: Boolean
 ) extends Serializable {
 
+  // L7: per-thread bounded lookup memo (the reference's per-worker LRU
+  // cache, database.rs query cache). Transcript indicator values repeat
+  // heavily (feed-bounded distinct set, see ExtractIoCs.internSpan), so a
+  // content-keyed memo short-circuits the glob probe — the one lookup with
+  // real per-call cost. Flush-on-full instead of true LRU: no per-hit
+  // bookkeeping, same bound. Per (db instance, thread): with broadcast
+  // handles there is one db instance per executor, and hot reload swaps
+  // instances so a stale memo cannot survive a feed update. Results are
+  // immutable by contract (callers never mutate the id arrays).
+  @transient private lazy val stringMemo
+      : ThreadLocal[java.util.HashMap[String, Array[Int]]] =
+    ThreadLocal.withInitial(() => new java.util.HashMap[String, Array[Int]]())
+  @transient private lazy val ipMemo
+      : ThreadLocal[java.util.HashMap[String, (Int, Int)]] =
+    ThreadLocal.withInitial(() => new java.util.HashMap[String, (Int, Int)]())
+  private val MemoMax = 8192
+
   /** IP-path lookup (L2): canonical string + family. Returns
     * (entryIdx, familyPrefixLen) or null.
     */
-  def lookupIp(value: String, isV6: Boolean): (Int, Int) =
-    if (isV6) lpm.lookupV6(value) else lpm.lookupV4(value)
+  def lookupIp(value: String, isV6: Boolean): (Int, Int) = {
+    val memo = ipMemo.get()
+    val hit = memo.get(value)
+    if (hit != null)
+      return if (hit eq IntelDb.IpNotFound) null else hit
+    val r = if (isV6) lpm.lookupV6(value) else lpm.lookupV4(value)
+    if (memo.size >= MemoMax) memo.clear()
+    memo.put(value, if (r == null) IntelDb.IpNotFound else r)
+    r
+  }
 
   /** String-path lookup (L3+L4 combined, L5 union semantics: literal ids
-    * first, then sorted glob ids; database.rs:911-981).
+    * first, then sorted glob ids; database.rs:911-981). Memoized (L7).
     */
   def lookupString(value: String): Array[Int] = {
+    val memo = stringMemo.get()
+    val hit = memo.get(value)
+    if (hit != null) return hit
     val lit = literals.lookup(value)
     val glob = globs.findAll(value)
-    if (glob.isEmpty) lit
-    else if (lit.isEmpty) glob
-    else lit ++ glob
+    val r =
+      if (glob.isEmpty) lit
+      else if (lit.isEmpty) glob
+      else lit ++ glob
+    if (memo.size >= MemoMax) memo.clear()
+    memo.put(value, r)
+    r
   }
 
   def hasIpSection: Boolean = !lpm.isEmpty
@@ -453,6 +485,13 @@ final class IntelDb(
 }
 
 object IntelDb {
+
+  /** lookupIp miss sentinel for the L7 memo (a HashMap can't distinguish
+    * "cached null" from "absent" without a second probe). A value string's
+    * family is determined by its grammar, so keying the memo by value
+    * alone (without isV6) is sound.
+    */
+  private val IpNotFound: (Int, Int) = (-1, -1)
 
   sealed trait EntryType
   final case class IpEntry(cidr: Cidr) extends EntryType

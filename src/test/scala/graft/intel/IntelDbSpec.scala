@@ -99,4 +99,22 @@ class IntelDbSpec extends AnyFunSuite {
     val hits = db.lookupString("ab")
     assert(hits.toSeq == hits.sorted.toSeq && hits.length == 2)
   }
+  test("L7 lookup memo: repeat and flooded lookups stay correct") {
+    val db = IntelDb.build("t", Seq(entry("evil.com"), entry("*.bad.org"),
+      entry("192.0.2.0/24"), entry("192.0.2.1")))
+    // repeated lookups (memo hits) return the same results as the first
+    val first = db.lookupString("evil.com").toSeq
+    assert(first.nonEmpty)
+    (1 to 3).foreach(_ => assert(db.lookupString("evil.com").toSeq == first))
+    assert(db.lookupIp("192.0.2.1", isV6 = false) ==
+      db.lookupIp("192.0.2.1", isV6 = false))
+    assert(db.lookupIp("203.0.113.9", isV6 = false) == null)
+    assert(db.lookupIp("203.0.113.9", isV6 = false) == null) // cached miss
+    // flood past the memo bound (8192) so the flush path runs, then
+    // verify hot keys still resolve correctly afterwards
+    (0 until 9000).foreach(i => db.lookupString(s"miss$i.example.com"))
+    assert(db.lookupString("evil.com").toSeq == first)
+    assert(db.lookupString("x.bad.org").nonEmpty)
+    assert(db.lookupIp("192.0.2.77", isV6 = false) != null) // /24 via memo
+  }
 }
