@@ -107,7 +107,9 @@ object ExtractIoCs {
 
   private final val InternSize = 2048 // power of two
   private final val InternMask = InternSize - 1
-  private final val InternMaxLen = 64
+  // covers every fixed-width candidate class (sha512 = 128 bytes, monero
+  // = 95): above this, values are assumed effectively unique and bypass
+  private final val InternMaxLen = 128
 
   /** Per-thread direct-mapped intern cache for candidate value strings.
     *
