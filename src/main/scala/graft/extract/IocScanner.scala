@@ -80,10 +80,12 @@ final class IocScanner(val config: ScanConfig) extends Serializable {
     out
   }
 
-  /** The fused anchor pass: token spans (identical semantics to
-    * tokenSpansInto), dot/at positions, "::" pair starts (all, including
-    * overlapping — the consumer applies the non-overlap skip), and "0x"
-    * starts (overlap impossible: b(i+1)=='x' excludes a '0' there).
+  /** The fused anchor pass: token spans of maximal non-boundary runs
+    * (reference find_word_boundaries_into, lib.rs:1742-1782), RESTRICTED
+    * to spans >= 26 bytes (the fixed-width consumers' floor — see the
+    * comment in the body), dot/at positions, "::" pair starts (all,
+    * including overlapping — the consumer applies the non-overlap skip),
+    * and "0x" starts (overlap impossible: b(i+1)=='x' excludes a '0').
     */
   private def collectAnchors(b: Array[Byte], n: Int,
       scr: IocScanner.ScanScratch): Unit = {
@@ -530,29 +532,6 @@ object IocScanner {
       length += 1
     }
     def apply(i: Int): Int = arr(i)
-  }
-
-  /** Token spans: flat [start0, end0, start1, end1, ...] of maximal
-    * non-boundary runs (reference find_word_boundaries_into,
-    * lib.rs:1742-1782).
-    */
-  def tokenSpans(b: Array[Byte]): IntVec =
-    tokenSpansInto(b, b.length, new IntVec(16))
-
-  def tokenSpansInto(b: Array[Byte], n: Int, out: IntVec): IntVec = {
-    out.clear()
-    if (n == 0) return out
-    var inToken = !isBoundary(b(0))
-    if (inToken) out.add(0)
-    var i = 1
-    while (i < n) {
-      val bd = isBoundary(b(i))
-      if (inToken && bd) { out.add(i); inToken = false }
-      else if (!inToken && !bd) { out.add(i); inToken = true }
-      i += 1
-    }
-    if (inToken) out.add(n)
-    out
   }
 
   /** Strict UTF-8 validity of bytes[from, to). */

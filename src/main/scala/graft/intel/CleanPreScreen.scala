@@ -69,6 +69,17 @@ final class CleanPreScreen private (
         b += 1
       }
     }
+    // CI soundness backstop: Java toLowerCase can map NON-ASCII text
+    // characters INTO ASCII (U+212A KELVIN SIGN -> 'k', U+0130 -> 'i'), so
+    // under a case-insensitive string section an ASCII-stored literal CAN
+    // match a candidate containing non-ASCII bytes via the index's own
+    // toLowerCase normalization. The ASCII byte fold cannot see that, so
+    // any >= 0x80 byte makes the turn pass outright (class bit 8) — a
+    // cheap, sound widening; pure-ASCII text (the norm) is unaffected.
+    if (foldCase && hasAc) {
+      var b = 128
+      while (b < 256) { t(b) = (t(b) | 8).toByte; b += 1 }
+    }
     t
   }
   @transient private lazy val foldTable: Array[Int] = {
@@ -102,6 +113,7 @@ final class CleanPreScreen private (
       if (state == 0) {
         val c = cls(b)
         if (c != 0) {
+          if ((c & 8) != 0) return true // CI non-ASCII widening (see table)
           if ((c & 1) != 0 && i > 0 && i + 1 < n &&
             IocScanner.isDigit(bytes(i - 1)) && IocScanner.isDigit(bytes(i + 1)))
             return true
@@ -112,6 +124,7 @@ final class CleanPreScreen private (
           }
         }
       } else {
+        if (b >= 128 && (cls(b) & 8) != 0) return true
         // in-word: '.'/':'-anchored checks still apply (words may contain
         // them), then advance the automaton
         if (b == '.') {

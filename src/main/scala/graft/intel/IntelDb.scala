@@ -443,16 +443,22 @@ final class IntelDb(
   @transient private lazy val stringMemo
       : ThreadLocal[java.util.HashMap[String, Array[Int]]] =
     ThreadLocal.withInitial(() => new java.util.HashMap[String, Array[Int]]())
+  // one map per IP family: the caller-supplied itype is not guaranteed to
+  // agree with the value's grammar (the public lookup expressions accept
+  // arbitrary (value, indicator_type) pairs), and a wrong-family probe
+  // memoized under a family-less key would poison later correct-family
+  // lookups into order-dependent wrong results
   @transient private lazy val ipMemo
-      : ThreadLocal[java.util.HashMap[String, (Int, Int)]] =
-    ThreadLocal.withInitial(() => new java.util.HashMap[String, (Int, Int)]())
+      : ThreadLocal[Array[java.util.HashMap[String, (Int, Int)]]] =
+    ThreadLocal.withInitial(() =>
+      Array.fill(2)(new java.util.HashMap[String, (Int, Int)]()))
   private val MemoMax = 8192
 
   /** IP-path lookup (L2): canonical string + family. Returns
     * (entryIdx, familyPrefixLen) or null.
     */
   def lookupIp(value: String, isV6: Boolean): (Int, Int) = {
-    val memo = ipMemo.get()
+    val memo = ipMemo.get()(if (isV6) 1 else 0)
     val hit = memo.get(value)
     if (hit != null)
       return if (hit eq IntelDb.IpNotFound) null else hit
@@ -487,10 +493,7 @@ final class IntelDb(
 object IntelDb {
 
   /** lookupIp miss sentinel for the L7 memo (a HashMap can't distinguish
-    * "cached null" from "absent" without a second probe). A value string's
-    * family is determined by its grammar, so keying the memo by value
-    * alone (without isV6) is sound.
-    */
+    * "cached null" from "absent" without a second probe). */
   private val IpNotFound: (Int, Int) = (-1, -1)
 
   sealed trait EntryType

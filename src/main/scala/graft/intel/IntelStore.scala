@@ -126,7 +126,14 @@ object IntelStore {
   /** One-line JSON form of `inspect` (CLI-ish surface). */
   def inspectJson(db: IntelDb): String = {
     val r = inspect(db)
-    s"""{"database_id":"${r.databaseId}","case_insensitive":${r.caseInsensitive},""" +
+    // database ids are arbitrary caller strings — escape for valid JSON
+    val id = r.databaseId.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c    => c.toString
+    }
+    s"""{"database_id":"$id","case_insensitive":${r.caseInsensitive},""" +
       s""""entries":${r.entries},"ip_entries":${r.ipEntries},""" +
       s""""literal_entries":${r.literalEntries},"glob_entries":${r.globEntries},""" +
       s""""has_ip_section":${r.hasIpSection},"has_string_section":${r.hasStringSection},""" +

@@ -279,11 +279,7 @@ object Dedup {
     * LogicalRDD plan node.
     */
   private def releaseLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => () // not a checkpointed frame; nothing to release
-    }
+    Checkpoints.releaseLocal(df)
 
   /** Document frequency per shingle — the skew diagnostic behind
     * `maxShingleDf` (shingles are distinct per doc, so count == df).

@@ -234,10 +234,19 @@ object MediaCodecs {
         val n = math.min(reader.getNumImages(true), maxFrames)
         if (n <= 0) return null
         val out = new Array[Bmp](n)
+        // cumulative pixel budget across ALL frames: per-frame caps alone
+        // would let a 256-frame flood of max-size frames force multi-GB
+        // allocations (an OutOfMemoryError is not NonFatal and would kill
+        // the task instead of routing the payload as corrupt)
+        val maxTotalPixelBytes = Int.MaxValue.toLong // ~2 GB of RGB
+        var totalPixelBytes = 0L
         var i = 0
         while (i < n) {
-          if (reader.getWidth(i) > MaxDecodeDim ||
-            reader.getHeight(i) > MaxDecodeDim) return null
+          val w = reader.getWidth(i)
+          val h = reader.getHeight(i)
+          if (w > MaxDecodeDim || h > MaxDecodeDim) return null
+          totalPixelBytes += w.toLong * h * 3
+          if (totalPixelBytes > maxTotalPixelBytes) return null
           val bmp = bufferedToBmp(reader.read(i))
           if (bmp == null) return null
           out(i) = bmp

@@ -149,8 +149,11 @@ object Similarity {
         .select(col("centroid_id"), posexplode(col("qv")).as(Seq("pos", "x")))
         .groupBy("centroid_id", "pos")
         .agg(sum("x").as("s"), count(lit(1)).as("c"))
+        // `div`, not `/`: Column./ on longs is DOUBLE division, which
+        // loses low bits once |s| exceeds 2^53 and would diverge from the
+        // oracle's exact integer arithmetic; `div` stays integral
         .withColumn("comp",
-          (col("s") - pmod(col("s"), col("c"))) / col("c"))
+          expr("(s - pmod(s, c)) div c"))
         .groupBy("centroid_id")
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("comp")))),
@@ -159,11 +162,7 @@ object Similarity {
       cents = cents.map { case (id, old) => (id, sums.getOrElse(id, old)) }
       round += 1
     }
-    if (lloydRounds > 0) q.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
+    if (lloydRounds > 0) Checkpoints.releaseLocal(q)
     cents.toDF("centroid_id", "cv")
   }
 

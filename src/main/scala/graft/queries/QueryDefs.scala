@@ -432,9 +432,13 @@ object QueryDefs {
         |host3.example.com,c2,delta,,900
         |host4.example.com,c2,epsilon,APT-4,1800
         |""".stripMargin
+    // per-process unique name: a fixed shared path races truncate-vs-read
+    // when two drivers (e.g. Verify and Bench) run q43 on one host
     val feedPath = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft-q43-feed.csv")
+      sys.props("java.io.tmpdir"),
+      s"graft-q43-feed-${ProcessHandle.current().pid()}.csv")
     java.nio.file.Files.writeString(feedPath, csv)
+    feedPath.toFile.deleteOnExit()
     val feed = graft.sources.IntelIngest.readCsv(s, feedPath.toString)
     val db = IntelDb.build("feed",
       graft.sources.IntelIngest.toEntries(feed))

@@ -110,10 +110,17 @@ object StreamingDedup {
     val kept = keyed.flatMapGroupsWithState[Long, Doc](
       OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
       case (_, rows, state: GroupState[Long]) =>
+        // a state whose TTL the watermark has already passed is expired
+        // even if Spark hasn't fired its timeout yet: data for a key
+        // arriving in the SAME batch that advances the watermark past
+        // expiry suppresses hasTimedOut for that invocation, and the
+        // occurrence must be re-admitted, not dropped
+        val expired = state.exists &&
+          state.get + ttlMs <= state.getCurrentWatermarkMs()
         if (state.hasTimedOut) { // TTL passed the watermark: forget
           state.remove()
           Iterator.empty
-        } else if (state.exists) {
+        } else if (state.exists && !expired) {
           // duplicate within the TTL window: drop; do NOT slide the window
           // — but RE-ARM the timeout at the original admission anchor:
           // Spark clears a group's timeout on every function invocation,

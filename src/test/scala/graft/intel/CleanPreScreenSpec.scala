@@ -77,6 +77,20 @@ class CleanPreScreenSpec extends AnyFunSuite {
     assert(hits(s, "some random token"))
   }
 
+  test("CI text with non-ASCII bytes passes (toLowerCase can fold INTO ascii)") {
+    // U+212A KELVIN SIGN lowercases to ascii 'k': the literal index would
+    // match 'Kelvin.com'.toLowerCase == 'kelvin.com', so the byte
+    // screen must never reject a CI turn containing non-ASCII bytes
+    val s = CleanPreScreen.build(Seq(dbCi("kelvin.com")))
+    assert(hits(s, "see Kelvin.com today"))
+    // ...including mid-word occurrences while the automaton is in-state
+    assert(hits(s, "xkelviKxkelvin.comx".replace("kelvin.comx", "zzz") + " K"))
+    // case-SENSITIVE dbs keep exact-byte semantics: non-ASCII text alone
+    // does not force a pass
+    val cs = CleanPreScreen.build(Seq(db("kelvin.com")))
+    assert(!hits(cs, "nothing hére"))
+  }
+
   test("fixture soundness + selectivity at 5k turns") {
     val dbs = Seq(
       IntelDb.build("threats", graft.pipeline.Fixtures.intelThreats),

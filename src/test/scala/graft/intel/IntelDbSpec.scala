@@ -117,4 +117,11 @@ class IntelDbSpec extends AnyFunSuite {
     assert(db.lookupString("x.bad.org").nonEmpty)
     assert(db.lookupIp("192.0.2.77", isV6 = false) != null) // /24 via memo
   }
+  test("L7 ip memo: wrong-family probe cannot poison the right family") {
+    val db = IntelDb.build("t", Seq(entry("192.0.2.0/24")))
+    // a v6-dispatched probe of a v4 string misses...
+    assert(db.lookupIp("192.0.2.9", isV6 = true) == null)
+    // ...and must NOT turn the correct v4 lookup into a cached miss
+    assert(db.lookupIp("192.0.2.9", isV6 = false) != null)
+  }
 }
