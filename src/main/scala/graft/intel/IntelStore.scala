@@ -86,6 +86,110 @@ object IntelStore {
         attr_timestamp = r._11, tags = r._12, extra = r._13)), ci)
   }
 
+  /** `matchy validate` analog (validation.rs ValidationLevel semantics
+    * mapped onto this engine's store format): STANDARD checks structural
+    * integrity — readable parquet, sidecar present/consistent, required
+    * fields non-null, every entry classifiable (an unclassifiable entry is
+    * silently dropped by IntelDb.build, so it is surfaced HERE as an
+    * error), ThreatDB-v1 schema conformance; STRICT adds the deep-analysis
+    * analogs — duplicate keys (redundancy), globs with no literal core
+    * (AC-prefilter hazard, the PARAGLOB-consistency analog), out-of-range
+    * confidence. Offset/cycle/UTF-8 checks of the reference's mmap format
+    * have no analog: parquet integrity is the storage layer's job.
+    */
+  final case class ValidationReport(
+      errors: Seq[String],
+      warnings: Seq[String],
+      info: Seq[String],
+      entries: Int,
+      schemaChecked: Int,
+      schemaFailures: Int
+  ) {
+    def ok: Boolean = errors.isEmpty
+  }
+
+  def validate(spark: SparkSession, path: String,
+      strict: Boolean = true): ValidationReport = {
+    import scala.collection.mutable.ArrayBuffer
+    val errors = ArrayBuffer[String]()
+    val warnings = ArrayBuffer[String]()
+    val info = ArrayBuffer[String]()
+    val df =
+      try spark.read.parquet(path)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          return ValidationReport(
+            Seq(s"unreadable store: ${e.getMessage}"), Nil, Nil, 0, 0, 0)
+      }
+    val required = Seq("database_id", "entry", "entry_type", "threat_level",
+      "category", "source", "confidence", "case_insensitive")
+    val missing = required.filterNot(df.columns.contains)
+    if (missing.nonEmpty)
+      return ValidationReport(
+        Seq(s"missing required columns: ${missing.mkString(", ")}"),
+        Nil, Nil, 0, 0, 0)
+    val rows = df.select(required.head, required.tail: _*).collect()
+    // sidecar consistency (the analog of the header/metadata checks)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/_graft_meta.json")
+    if (!fs.exists(metaPath)) {
+      if (rows.isEmpty)
+        errors += "empty store without _graft_meta.json sidecar (corrupt)"
+      else warnings += "missing _graft_meta.json sidecar (pre-round-2 store?)"
+    } else {
+      val in = fs.open(metaPath)
+      val txt = new String(in.readAllBytes(), "UTF-8")
+      in.close()
+      val sidecarId = "\"database_id\":\"([^\"]*)\"".r
+        .findFirstMatchIn(txt).map(_.group(1))
+      if (sidecarId.isEmpty) errors += "sidecar missing database_id"
+      else if (rows.nonEmpty && !rows.forall(_.getString(0) == sidecarId.get))
+        errors += s"database_id mismatch: sidecar=${sidecarId.get} vs rows"
+    }
+    var schemaFailures = 0
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val entry = r.getString(1)
+      if (entry == null || entry.isEmpty)
+        errors += s"row $i: null/empty entry key"
+      else {
+        if (IntelDb.classify(entry).isEmpty)
+          errors += s"row $i: unclassifiable entry '$entry' " +
+            "(invalid forced glob/ip — IntelDb.build would drop it)"
+        val viols = ThreatDbSchema.violations(graft.model.IntelEntry(
+          entry, r.getString(3), r.getString(4), r.getString(5), r.getInt(6)))
+        if (viols.nonEmpty) {
+          schemaFailures += 1
+          viols.foreach(v => errors += s"row $i: $v")
+        }
+      }
+    }
+    if (strict && rows.nonEmpty) {
+      val keys = rows.map(_.getString(1)).filter(_ != null)
+      keys.groupBy(identity).filter(_._2.length > 1).keys.foreach(k =>
+        warnings += s"duplicate entry key '$k' (redundant rows)")
+      keys.foreach { k =>
+        IntelDb.classify(k) match {
+          case Some(IntelDb.GlobEntry(p)) =>
+            Glob.parse(p, caseInsensitive = false) match {
+              case Right(g) if g.prefilter.isEmpty =>
+                warnings += s"glob '$p' has no literal core: every string " +
+                  "candidate must run the matcher (AC prefilter cannot help)"
+              case _ => ()
+            }
+          case _ => ()
+        }
+      }
+      val ciVals = rows.map(_.getBoolean(7)).distinct
+      if (ciVals.length > 1)
+        errors += "inconsistent case_insensitive flag across rows"
+    }
+    info += s"entries=${rows.length}"
+    info += "database_type=ThreatDB-v1"
+    ValidationReport(errors.toSeq, warnings.toSeq, info.toSeq,
+      rows.length, rows.length, schemaFailures)
+  }
+
   /** `matchy inspect` analog: database statistics — entry counts by type
     * (the reference's per-section counts), capability flags, metadata
     * cardinalities and the dynamic-metadata footprint.

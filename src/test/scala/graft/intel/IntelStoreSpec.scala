@@ -206,4 +206,38 @@ class IntelStoreSpec extends AnyFunSuite {
       .drop("cidr").collect().toSet
     assert(base == pre)
   }
+
+  test("validate (the `matchy validate` analog): clean store, corruption, " +
+    "strict-level findings") {
+    import graft.model.IntelEntry
+    import java.nio.file.Files
+    // clean store: no errors, stats populated
+    val db = IntelDb.build("threats", Fixtures.intelThreats)
+    val good = Files.createTempDirectory("vstore").toString + "/db"
+    IntelStore.save(spark, db, good)
+    val r = IntelStore.validate(spark, good)
+    assert(r.ok, s"unexpected errors: ${r.errors}")
+    assert(r.entries == db.entries.length && r.schemaFailures == 0)
+    // strict finds the pure-wildcard glob + duplicate-key redundancy
+    val hazards = IntelDb.build("hz", Seq(
+      IntelEntry("glob:*", "high", "c2", "s", 50),
+      IntelEntry("dup.example.com", "high", "c2", "s", 50),
+      IntelEntry("dup.example.com", "low", "other", "s", 10)))
+    val hzPath = Files.createTempDirectory("vstore").toString + "/db"
+    IntelStore.save(spark, hazards, hzPath)
+    val rh = IntelStore.validate(spark, hzPath)
+    assert(rh.ok)
+    assert(rh.warnings.exists(_.contains("no literal core")))
+    assert(rh.warnings.exists(_.contains("duplicate entry key")))
+    assert(IntelStore.validate(spark, hzPath, strict = false).warnings.isEmpty)
+    // schema violation = error + counted failure
+    val bad = IntelDb.build("bad",
+      Seq(IntelEntry("evil.com", "catastrophic", "c2", "s", 50)))
+    val badPath = Files.createTempDirectory("vstore").toString + "/db"
+    IntelStore.save(spark, bad, badPath)
+    val rb = IntelStore.validate(spark, badPath)
+    assert(!rb.ok && rb.schemaFailures == 1)
+    // unreadable path = structural error, not an exception
+    assert(!IntelStore.validate(spark, "/nonexistent/store").ok)
+  }
 }
