@@ -320,11 +320,23 @@ object ScanJob {
       graft.io.Sinks.ndjsonMatched(matchedBack, cfg.ndjsonSource, tsSec,
         s"$outDir/ndjson")
     }
-    val gold = goldCounts(matchedBack)
+    // gold counts, global line counts and lineage metrics all aggregate the
+    // routed output — share ONE column-pruned read across the three actions
+    // instead of three full parquet scans. The cache holds only the eight
+    // narrow key/partition columns (never `text`, which dominates the clean
+    // sink — at 100 TB the clean sink is input-sized, the projection isn't),
+    // spilling to disk if it outgrows memory. The NDJSON sink above stays a
+    // separate read: partition pruning on sink=matched means it never
+    // touches the clean partitions at all.
+    val aggBack = routedBack
+      .select("sink", "conv_id", "turn_idx", "partition_id", "bucket",
+        "database_id", "indicator_type", "role")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gold = goldCounts(aggBack.where(col("sink") === "matched"))
     gold.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$outDir/gold_counts")
 
-    val Seq(totalMatches, linesWithMatches, cleanTurns) = routedBack
+    val Seq(totalMatches, linesWithMatches, cleanTurns) = aggBack
       .agg(count(when(col("sink") === "matched", 1)),
         countDistinct(when(col("sink") === "matched",
           struct(col("conv_id"), col("turn_idx")))),
@@ -350,7 +362,7 @@ object ScanJob {
     // --- per-partition lineage metrics (R1/A7 analog): what each input
     // partition contributed to each sink, aggregated from the routed output
     // (output-sized, no input rescan)
-    routedBack
+    aggBack
       .groupBy("partition_id", "bucket")
       .agg(count(when(col("sink") === "matched", 1)).as("matched_rows"),
         count(when(col("sink") === "clean", 1)).as("clean_turns"),
@@ -361,6 +373,7 @@ object ScanJob {
       .write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("run_id").parquet(s"$outDir/metrics")
+    aggBack.unpersist()
 
     // --- completion markers (resume unit = bucket; only the buckets THIS
     // run covered get marked — a sharded backfill's other ranges are owned
