@@ -69,8 +69,12 @@ object ScanMain {
     val dbs = Seq(loadIntel(spark, "threats", intelPath, caseInsensitive)) ++
       opts.get("intel2").map(p =>
         loadIntel(spark, "allowlist", p, caseInsensitive))
+    // S3: `--turns -` reads stdin line-per-turn (the reference's `-` path)
+    val turns =
+      if (turnsPath == "-") graft.sources.StdinSource.readTurns(spark)
+      else spark.read.parquet(turnsPath)
     val stats = ScanJob.run(spark,
-      spark.read.parquet(turnsPath), dbs,
+      turns, dbs,
       opts.getOrElse("out", sys.error("--out <dir> is required")),
       ScanJob.RunConfig(
         buckets = opts.getOrElse("buckets", "256").toInt,

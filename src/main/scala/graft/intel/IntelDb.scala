@@ -440,31 +440,74 @@ final class IntelDb(
   // handles there is one db instance per executor, and hot reload swaps
   // instances so a stale memo cannot survive a feed update. Results are
   // immutable by contract (callers never mutate the id arrays).
-  @transient private lazy val stringMemo
-      : ThreadLocal[java.util.HashMap[String, Array[Int]]] =
-    ThreadLocal.withInitial(() => new java.util.HashMap[String, Array[Int]]())
-  // one map per IP family: the caller-supplied itype is not guaranteed to
-  // agree with the value's grammar (the public lookup expressions accept
-  // arbitrary (value, indicator_type) pairs), and a wrong-family probe
-  // memoized under a family-less key would poison later correct-family
-  // lookups into order-dependent wrong results
-  @transient private lazy val ipMemo
-      : ThreadLocal[Array[java.util.HashMap[String, (Int, Int)]]] =
-    ThreadLocal.withInitial(() =>
-      Array.fill(2)(new java.util.HashMap[String, (Int, Int)]()))
+  //
+  // A8: the same per-thread state carries plain-long lookup/memo-hit/match
+  // counters (the reference's DatabaseStats atomics, database.rs:54-125,
+  // hits/misses/match rates). Plain fields, not atomics: each state object
+  // is single-writer (its owning thread); `stats` folds racy-read
+  // snapshots, which is the same eventually-consistent contract the
+  // reference's Relaxed atomics give. Process-local by design, exactly
+  // like the reference's — cluster-wide A1-A6 rates ride `observe()`
+  // metrics in ScanJob, not this API.
+  private final class ThreadState {
+    val stringMemo = new java.util.HashMap[String, Array[Int]]()
+    // one map per IP family: the caller-supplied itype is not guaranteed
+    // to agree with the value's grammar (the public lookup expressions
+    // accept arbitrary (value, indicator_type) pairs), and a wrong-family
+    // probe memoized under a family-less key would poison later
+    // correct-family lookups into order-dependent wrong results
+    val ipMemo: Array[java.util.HashMap[String, (Int, Int)]] =
+      Array.fill(2)(new java.util.HashMap[String, (Int, Int)]())
+    var ipLookups = 0L
+    var ipMemoHits = 0L
+    var ipMatches = 0L
+    var strLookups = 0L
+    var strMemoHits = 0L
+    var strMatches = 0L
+  }
+  @transient private lazy val allStates =
+    new java.util.concurrent.ConcurrentLinkedQueue[ThreadState]()
+  @transient private lazy val threadState: ThreadLocal[ThreadState] =
+    ThreadLocal.withInitial { () =>
+      val s = new ThreadState; allStates.add(s); s
+    }
   private val MemoMax = 8192
+
+  /** A8 snapshot: fold all threads' counters (this JVM, this db instance).
+    * Misses = lookups - memoHits; rates derived. Racy long reads — counts
+    * can lag in-flight threads by a few, never corrupt (single-writer
+    * fields).
+    */
+  def stats: IntelDb.LookupStats = {
+    var ipL = 0L; var ipH = 0L; var ipM = 0L
+    var stL = 0L; var stH = 0L; var stM = 0L
+    val it = allStates.iterator()
+    while (it.hasNext) {
+      val s = it.next()
+      ipL += s.ipLookups; ipH += s.ipMemoHits; ipM += s.ipMatches
+      stL += s.strLookups; stH += s.strMemoHits; stM += s.strMatches
+    }
+    IntelDb.LookupStats(ipL, ipH, ipM, stL, stH, stM)
+  }
 
   /** IP-path lookup (L2): canonical string + family. Returns
     * (entryIdx, familyPrefixLen) or null.
     */
   def lookupIp(value: String, isV6: Boolean): (Int, Int) = {
-    val memo = ipMemo.get()(if (isV6) 1 else 0)
+    val st = threadState.get()
+    st.ipLookups += 1
+    val memo = st.ipMemo(if (isV6) 1 else 0)
     val hit = memo.get(value)
-    if (hit != null)
-      return if (hit eq IntelDb.IpNotFound) null else hit
+    if (hit != null) {
+      st.ipMemoHits += 1
+      if (hit eq IntelDb.IpNotFound) return null
+      st.ipMatches += 1
+      return hit
+    }
     val r = if (isV6) lpm.lookupV6(value) else lpm.lookupV4(value)
     if (memo.size >= MemoMax) memo.clear()
     memo.put(value, if (r == null) IntelDb.IpNotFound else r)
+    if (r != null) st.ipMatches += 1
     r
   }
 
@@ -472,9 +515,15 @@ final class IntelDb(
     * first, then sorted glob ids; database.rs:911-981). Memoized (L7).
     */
   def lookupString(value: String): Array[Int] = {
-    val memo = stringMemo.get()
+    val st = threadState.get()
+    st.strLookups += 1
+    val memo = st.stringMemo
     val hit = memo.get(value)
-    if (hit != null) return hit
+    if (hit != null) {
+      st.strMemoHits += 1
+      if (hit.length > 0) st.strMatches += 1
+      return hit
+    }
     val lit = literals.lookup(value)
     val glob = globs.findAll(value)
     val r =
@@ -483,6 +532,7 @@ final class IntelDb(
       else lit ++ glob
     if (memo.size >= MemoMax) memo.clear()
     memo.put(value, r)
+    if (r.length > 0) st.strMatches += 1
     r
   }
 
@@ -495,6 +545,23 @@ object IntelDb {
   /** lookupIp miss sentinel for the L7 memo (a HashMap can't distinguish
     * "cached null" from "absent" without a second probe). */
   private val IpNotFound: (Int, Int) = (-1, -1)
+
+  /** A8: per-process lookup statistics (the reference's DatabaseStats,
+    * database.rs:54-125 — cache hits/misses, match rates). Memo misses =
+    * `xLookups - xMemoHits`.
+    */
+  final case class LookupStats(
+      ipLookups: Long, ipMemoHits: Long, ipMatches: Long,
+      stringLookups: Long, stringMemoHits: Long, stringMatches: Long) {
+    def ipMemoHitRate: Double =
+      if (ipLookups == 0) 0.0 else ipMemoHits.toDouble / ipLookups
+    def stringMemoHitRate: Double =
+      if (stringLookups == 0) 0.0 else stringMemoHits.toDouble / stringLookups
+    def ipMatchRate: Double =
+      if (ipLookups == 0) 0.0 else ipMatches.toDouble / ipLookups
+    def stringMatchRate: Double =
+      if (stringLookups == 0) 0.0 else stringMatches.toDouble / stringLookups
+  }
 
   sealed trait EntryType
   final case class IpEntry(cidr: Cidr) extends EntryType
