@@ -154,4 +154,87 @@ object StreamingDedup {
       }
       .start()
   }
+
+  /** One doc's vote from one LSH band bucket (internal to startNearDup). */
+  final case class BandVote(doc_id: Long, text: String, dup: Boolean)
+
+  /** Streaming NEAR-dup dedup: MinHash-LSH band buckets as keyed state.
+    *
+    * Semantics — the streaming analog of batch
+    * `nearDupClusters(keep canonical)`: each doc claims its `bands` LSH
+    * buckets (`Dedup.minhashSignature` banding, identical to the batch
+    * `minhashLshPairs` keys, so the two agree on what "near" means); a doc
+    * is KEPT iff every one of its buckets was unclaimed at arrival
+    * (within a batch, the smallest doc_id in a fresh bucket wins it).
+    * Claims made by docs that are themselves dropped still stand — that is
+    * deliberate, not a leak: if X shares a bucket with dropped Y, then
+    * X~Y is a band-collision edge and Y~(its dropper) another, so X is in
+    * the same connected component and batch CC would drop it too. Keep set
+    * = one representative (first-arrival) per component of the
+    * band-collision graph, built incrementally with O(1) state per bucket.
+    *
+    * 100 TB shape: state is one boolean per DISTINCT band bucket — the
+    * streaming twin of the batch band join's left side, sharded by Spark's
+    * state-store partitioning; no signature matrix is ever held. A
+    * duplicate flood lands in already-claimed buckets and costs one state
+    * probe per band, the streaming equivalent of the batch `maxBandDf`
+    * cap. Unbounded by design like `start` (the claim set IS the dedup
+    * product); a TTL variant follows the `startTtl` pattern verbatim.
+    *
+    * The per-doc "all bands clean" fold is BATCH-LOCAL (a doc's band rows
+    * all come from the same input row, hence the same micro-batch), so it
+    * runs inside foreachBatch rather than as a second stateful operator.
+    */
+  def startNearDup(spark: SparkSession, inDir: String, outDir: String,
+      k: Int = 5, numHashes: Int = 8, bands: Int = 4,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import spark.implicits._
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val stream = spark.readStream.schema(docSchema).json(inDir)
+    val banded = stream
+      .select(col("doc_id"), col("text"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => concat_ws("#", slice(
+            graft.ops.Dedup.minhashSignature(col("text"), k, numHashes),
+            b * rowsPerBand + 1, lit(rowsPerBand)))))
+          .as(Seq("band_idx", "band_key")))
+      .select(col("doc_id"), col("text"),
+        concat_ws("|", col("band_idx"), col("band_key")).as("bucket"))
+      .as[(Long, String, String)]
+    val votes = banded.groupByKey(_._3)
+      .flatMapGroupsWithState[Boolean, BandVote](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[Boolean]) =>
+          // one bucket's docs within this batch; buffered to find the
+          // winner before emitting (bounded by batch x bucket, and floods
+          // concentrate in ALREADY-claimed buckets where no buffer forms
+          // beyond the rows Spark already grouped)
+          val ds = rows.toArray
+          val claimed = state.exists
+          state.update(true)
+          if (claimed) ds.iterator.map(d => BandVote(d._1, d._2, dup = true))
+          else {
+            var minId = Long.MaxValue
+            ds.foreach(d => if (d._1 < minId) minId = d._1)
+            ds.iterator.map(d => BandVote(d._1, d._2, dup = d._1 != minId))
+          }
+      }
+    votes.writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint_neardup")
+      .trigger(trigger)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[BandVote], batchId: Long) =>
+        batch.groupBy(col("doc_id"))
+          .agg(first(col("text")).as("text"),
+            max(col("dup").cast("int")).as("any_dup"))
+          .where(col("any_dup") === 0)
+          .select(col("doc_id"), col("text"))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$outDir/deduped/batch=$batchId")
+        ()
+      }
+      .start()
+  }
 }

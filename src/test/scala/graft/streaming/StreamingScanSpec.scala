@@ -227,6 +227,34 @@ class StreamingScanSpec extends AnyFunSuite {
       s"fingerprint not re-admitted after TTL: ${ids()}")
   }
 
+  test("streaming near-dup: LSH bucket claims drop near-duplicates " +
+    "within and across micro-batches") {
+    val inDir = Files.createTempDirectory("stream-nd-in").toString
+    val outDir = Files.createTempDirectory("stream-nd-out").toString
+    def doc(id: Long, text: String): String =
+      s"""{"doc_id":$id,"text":"$text"}"""
+    val textA = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    val textB = "completely different content about winter mountains here"
+    val textC = "a third corpus entry that resembles neither of the others"
+    def drain(): Unit =
+      awaitOrFail(StreamingDedup.startNearDup(spark, inDir, outDir))
+    def ids(): Seq[Long] = spark.read.parquet(s"$outDir/deduped")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // batch 1: docs 5 and 2 identical (full band collision — every bucket
+    // shared): smallest id 2 wins; doc 7 distinct
+    Files.writeString(java.nio.file.Paths.get(inDir, "b1.json"),
+      doc(5, textA) + "\n" + doc(2, textA) + "\n" + doc(7, textB) + "\n")
+    drain()
+    assert(ids() == Seq(2L, 7L), s"in-batch near-dup not collapsed: ${ids()}")
+    // batch 2: doc 9 repeats A (cross-batch: all its buckets are claimed),
+    // doc 12 repeats B, doc 11 is new
+    Files.writeString(java.nio.file.Paths.get(inDir, "b2.json"),
+      doc(9, textA) + "\n" + doc(11, textC) + "\n" + doc(12, textB) + "\n")
+    drain()
+    assert(ids() == Seq(2L, 7L, 11L),
+      s"cross-batch near-dup not dropped: ${ids()}")
+  }
+
   test("watermarked windowed match counts (streaming A10 analog)") {
     val inDir = Files.createTempDirectory("stream-w-in").toString
     val outDir = Files.createTempDirectory("stream-w-out").toString
