@@ -66,5 +66,13 @@ object ScanFnBench {
     }
     if (mode != "screen") run("noscreen", null)
     if (mode != "noscreen") run("screen", screen)
+    // A8 stats as bench evidence: memo hit rates on this corpus
+    dbs.foreach { db =>
+      val s = db.stats
+      println(f"stats ${db.databaseId}%-10s ip=${s.ipLookups} " +
+        f"(hit ${s.ipMemoHitRate * 100}%.1f%%, match ${s.ipMatchRate * 100}%.1f%%) " +
+        f"str=${s.stringLookups} (hit ${s.stringMemoHitRate * 100}%.1f%%, " +
+        f"match ${s.stringMatchRate * 100}%.1f%%)")
+    }
   }
 }

@@ -435,8 +435,9 @@ final class IntelDb(
   // cache, database.rs query cache). Transcript indicator values repeat
   // heavily (feed-bounded distinct set, see ExtractIoCs.internSpan), so a
   // content-keyed memo short-circuits the glob probe — the one lookup with
-  // real per-call cost. Flush-on-full instead of true LRU: no per-hit
-  // bookkeeping, same bound. Per (db instance, thread): with broadcast
+  // real per-call cost. Direct-mapped overwrite-on-collision instead of
+  // true LRU: no per-hit bookkeeping, same bound. Per (db instance,
+  // thread): with broadcast
   // handles there is one db instance per executor, and hot reload swaps
   // instances so a stale memo cannot survive a feed update. Results are
   // immutable by contract (callers never mutate the id arrays).
@@ -449,15 +450,24 @@ final class IntelDb(
   // reference's Relaxed atomics give. Process-local by design, exactly
   // like the reference's — cluster-wide A1-A6 rates ride `observe()`
   // metrics in ScanJob, not this API.
+  // Direct-mapped (not chained-HashMap) memo: slot = spread(hashCode) &
+  // mask, overwrite on collision. A cache may evict, so collisions cost a
+  // recompute, never correctness — and the structure has no resizes, no
+  // treeified bins (JFR showed patterned feed values treeifying
+  // java.util.HashMap bins at ~4% of pipeline samples), no flush
+  // bookkeeping, and O(1) worst-case probes.
   private final class ThreadState {
-    val stringMemo = new java.util.HashMap[String, Array[Int]]()
-    // one map per IP family: the caller-supplied itype is not guaranteed
+    val strKeys = new Array[String](IntelDb.MemoSlots)
+    val strVals = new Array[Array[Int]](IntelDb.MemoSlots)
+    // one cache per IP family: the caller-supplied itype is not guaranteed
     // to agree with the value's grammar (the public lookup expressions
     // accept arbitrary (value, indicator_type) pairs), and a wrong-family
     // probe memoized under a family-less key would poison later
     // correct-family lookups into order-dependent wrong results
-    val ipMemo: Array[java.util.HashMap[String, (Int, Int)]] =
-      Array.fill(2)(new java.util.HashMap[String, (Int, Int)]())
+    val ipKeys: Array[Array[String]] =
+      Array.fill(2)(new Array[String](IntelDb.MemoSlots))
+    val ipVals: Array[Array[(Int, Int)]] =
+      Array.fill(2)(new Array[(Int, Int)](IntelDb.MemoSlots))
     var ipLookups = 0L
     var ipMemoHits = 0L
     var ipMatches = 0L
@@ -471,7 +481,6 @@ final class IntelDb(
     ThreadLocal.withInitial { () =>
       val s = new ThreadState; allStates.add(s); s
     }
-  private val MemoMax = 8192
 
   /** A8 snapshot: fold all threads' counters (this JVM, this db instance).
     * Misses = lookups - memoHits; rates derived. Racy long reads — counts
@@ -496,17 +505,19 @@ final class IntelDb(
   def lookupIp(value: String, isV6: Boolean): (Int, Int) = {
     val st = threadState.get()
     st.ipLookups += 1
-    val memo = st.ipMemo(if (isV6) 1 else 0)
-    val hit = memo.get(value)
-    if (hit != null) {
+    val fam = if (isV6) 1 else 0
+    val slot = IntelDb.memoSlot(value)
+    val keys = st.ipKeys(fam)
+    if (value == keys(slot)) {
       st.ipMemoHits += 1
+      val hit = st.ipVals(fam)(slot)
       if (hit eq IntelDb.IpNotFound) return null
       st.ipMatches += 1
       return hit
     }
     val r = if (isV6) lpm.lookupV6(value) else lpm.lookupV4(value)
-    if (memo.size >= MemoMax) memo.clear()
-    memo.put(value, if (r == null) IntelDb.IpNotFound else r)
+    keys(slot) = value
+    st.ipVals(fam)(slot) = if (r == null) IntelDb.IpNotFound else r
     if (r != null) st.ipMatches += 1
     r
   }
@@ -517,10 +528,10 @@ final class IntelDb(
   def lookupString(value: String): Array[Int] = {
     val st = threadState.get()
     st.strLookups += 1
-    val memo = st.stringMemo
-    val hit = memo.get(value)
-    if (hit != null) {
+    val slot = IntelDb.memoSlot(value)
+    if (value == st.strKeys(slot)) {
       st.strMemoHits += 1
+      val hit = st.strVals(slot)
       if (hit.length > 0) st.strMatches += 1
       return hit
     }
@@ -530,8 +541,8 @@ final class IntelDb(
       if (glob.isEmpty) lit
       else if (lit.isEmpty) glob
       else lit ++ glob
-    if (memo.size >= MemoMax) memo.clear()
-    memo.put(value, r)
+    st.strKeys(slot) = value
+    st.strVals(slot) = r
     if (r.length > 0) st.strMatches += 1
     r
   }
@@ -542,9 +553,18 @@ final class IntelDb(
 
 object IntelDb {
 
-  /** lookupIp miss sentinel for the L7 memo (a HashMap can't distinguish
-    * "cached null" from "absent" without a second probe). */
+  /** lookupIp miss sentinel for the L7 memo (a slot can't distinguish
+    * "cached null" from "absent" without a second flag). */
   private val IpNotFound: (Int, Int) = (-1, -1)
+
+  /** L7 memo geometry: 16k direct-mapped slots per thread per path. */
+  private val MemoSlots = 16384
+  private def memoSlot(value: String): Int = {
+    // String.hashCode is cached in the String; spread the high bits like
+    // java.util.HashMap does so patterned feed values don't cluster slots
+    val h = value.hashCode
+    (h ^ (h >>> 16)) & (MemoSlots - 1)
+  }
 
   /** A8: per-process lookup statistics (the reference's DatabaseStats,
     * database.rs:54-125 — cache hits/misses, match rates). Memo misses =
