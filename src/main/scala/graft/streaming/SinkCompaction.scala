@@ -1,0 +1,176 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Maintenance compaction for streaming `batch=N` parquet sink layouts
+  * (StreamingDedup `deduped/`, StreamingScan `conv_state_final/`, …).
+  *
+  * A long-running foreachBatch sink accumulates one directory per
+  * micro-batch — after a month of 10-second triggers that is ~260k
+  * directories of tiny files, which kills both listing time and scan
+  * parallelism on the consumer side. `compact` folds the committed batch
+  * directories into one right-sized directory, preserving the row set
+  * exactly.
+  *
+  * MUST run while the producing query is stopped (the usual maintenance
+  * window); the newest batch directory is additionally left untouched as a
+  * replay guard — after a crash between a sink write and its checkpoint
+  * commit, Spark re-runs only that LAST batch id, whose idempotent
+  * overwrite must land in its own directory, not a compacted one.
+  *
+  * Crash-recoverable swap protocol (object-store friendly — only renames
+  * and deletes after a fully committed temp write):
+  *  1. write compacted data to `<dir>/_compact_tmp` (hidden from Spark's
+  *     partition discovery), then a `_MANIFEST` naming the target
+  *     directory and the source directories — the commit point;
+  *  2. move each source directory into `<dir>/_compact_trash/`;
+  *  3. rename `_compact_tmp` to `batch=<smallest compacted id>`;
+  *  4. delete the trash.
+  * A crash anywhere leaves a state `recover()` finishes deterministically:
+  * tmp without manifest is discarded (data still in the sources); tmp with
+  * manifest re-drives steps 2-4 (the temp write already committed); trash
+  * without tmp is deleted (swap already completed). Rows are therefore
+  * never lost and never duplicated.
+  *
+  * After compaction the partition-discovery `batch` value of compacted
+  * rows is the smallest compacted id — consumers treating `batch` as an
+  * arrival-order hint keep monotonicity; the row contents are unchanged.
+  */
+object SinkCompaction {
+
+  final case class CompactStats(batchesCompacted: Int, rowsCompacted: Long,
+      filesBefore: Int, filesAfter: Int, recovered: Boolean)
+
+  private val TmpName = "_compact_tmp"
+  private val TrashName = "_compact_trash"
+  private val ManifestName = "_MANIFEST"
+
+  /** Compact all committed batch directories under `dir` except the newest
+    * (replay guard) into one directory sized at ~`targetFileBytes` per
+    * file. No-op (after any pending recovery) unless at least two
+    * directories are eligible.
+    */
+  def compact(spark: SparkSession, dir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): CompactStats = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val recovered = recover(fs, root)
+    val sources = committedBatches(fs, root).dropRight(1) // replay guard
+    if (sources.length < 2)
+      return CompactStats(0, 0L, 0, 0, recovered)
+
+    val srcPaths = sources.map(_._2)
+    val filesBefore = srcPaths.map(dataFiles(fs, _).length).sum
+    val totalBytes = srcPaths.map(p => dataFiles(fs, p).map(_.getLen).sum).sum
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+
+    val tmp = new Path(root, TmpName)
+    fs.delete(tmp, true)
+    val df = spark.read.parquet(srcPaths.map(_.toString): _*)
+    val rows = df.count()
+    // coalesce, not repartition: compaction is a read+write, no shuffle
+    df.coalesce(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val target = sources.head._1 // smallest compacted batch id keeps its name
+    writeManifest(fs, tmp, target, sources.map(_._1))
+
+    swap(fs, root, tmp, target, sources.map(_._1))
+    val filesAfter = dataFiles(fs, new Path(root, target)).length
+    CompactStats(sources.length, rows, filesBefore, filesAfter, recovered)
+  }
+
+  /** Finish (or discard) an interrupted compaction. Returns true if there
+    * was anything to recover. Also called from `compact`.
+    */
+  def recover(spark: SparkSession, dir: String): Boolean = {
+    val root = new Path(dir)
+    recover(root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+  }
+
+  private def recover(fs: FileSystem, root: Path): Boolean = {
+    val tmp = new Path(root, TmpName)
+    val trash = new Path(root, TrashName)
+    val manifest = new Path(tmp, ManifestName)
+    if (fs.exists(tmp)) {
+      if (fs.exists(manifest)) {
+        // temp write committed: re-drive the swap (idempotent — moves of
+        // already-trashed sources are skipped)
+        val (target, srcs) = readManifest(fs, manifest)
+        swap(fs, root, tmp, target, srcs)
+        true
+      } else {
+        // crashed mid-write: sources are intact, the temp data is garbage
+        fs.delete(tmp, true)
+        true
+      }
+    } else if (fs.exists(trash)) {
+      // swap completed, cleanup didn't: the trash holds superseded copies
+      fs.delete(trash, true)
+      true
+    } else false
+  }
+
+  /** Steps 2-4 of the protocol; idempotent, callable from recovery. */
+  private def swap(fs: FileSystem, root: Path, tmp: Path, target: String,
+      sources: Seq[String]): Unit = {
+    val trash = new Path(root, TrashName)
+    fs.mkdirs(trash)
+    sources.foreach { name =>
+      val src = new Path(root, name)
+      if (fs.exists(src)) {
+        fs.delete(new Path(trash, name), true) // re-driven move after crash
+        require(fs.rename(src, new Path(trash, name)),
+          s"compaction: failed to move $src to trash")
+      }
+    }
+    val targetPath = new Path(root, target)
+    if (fs.exists(tmp)) {
+      fs.delete(new Path(tmp, ManifestName), false)
+      require(fs.rename(tmp, targetPath),
+        s"compaction: failed to install $targetPath")
+    }
+    fs.delete(trash, true)
+  }
+
+  /** Committed (`_SUCCESS`-marked) `batch=N` children, sorted by id. */
+  private def committedBatches(fs: FileSystem, root: Path): Seq[(String, Path)] = {
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .flatMap { st =>
+        val name = st.getPath.getName
+        if (!name.startsWith("batch=")) None
+        else name.stripPrefix("batch=").toLongOption.map(id => (id, name, st.getPath))
+      }
+      .filter { case (_, _, p) => fs.exists(new Path(p, "_SUCCESS")) }
+      .sortBy(_._1)
+      .map { case (_, name, p) => (name, p) }
+  }
+
+  private def dataFiles(fs: FileSystem, dir: Path) =
+    fs.listStatus(dir).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+
+  private def writeManifest(fs: FileSystem, tmp: Path, target: String,
+      sources: Seq[String]): Unit = {
+    val out = fs.create(new Path(tmp, ManifestName), true)
+    try out.write((target +: sources).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readManifest(fs: FileSystem, manifest: Path): (String, Seq[String]) = {
+    val in = fs.open(manifest)
+    val text =
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](8192)
+        var n = in.read(chunk)
+        while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+        buf.toString("UTF-8")
+      } finally in.close()
+    val lines = text.split("\n").toSeq
+    (lines.head, lines.tail)
+  }
+}

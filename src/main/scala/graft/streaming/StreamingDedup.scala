@@ -24,9 +24,10 @@ import org.apache.spark.sql.types._
   * tolerate slow re-admission).
   *
   * The per-batch output directories (deduped/batch=N) also accumulate over
-  * a long-running deployment; a periodic compaction job (read deduped/,
-  * rewrite into date-partitioned files, swap) keeps file counts bounded —
-  * same pattern as any streaming parquet sink.
+  * a long-running deployment; [[SinkCompaction.compact]] folds the
+  * committed directories into one right-sized directory (crash-recoverable
+  * swap, newest batch spared as the replay guard) — run it periodically
+  * while the query is stopped.
   */
 object StreamingDedup {
 
@@ -179,7 +180,7 @@ object StreamingDedup {
     * duplicate flood lands in already-claimed buckets and costs one state
     * probe per band, the streaming equivalent of the batch `maxBandDf`
     * cap. Unbounded by design like `start` (the claim set IS the dedup
-    * product); a TTL variant follows the `startTtl` pattern verbatim.
+    * product); `startNearDupTtl` is the bounded-state variant.
     *
     * The per-doc "all bands clean" fold is BATCH-LOCAL (a doc's band rows
     * all come from the same input row, hence the same micro-batch), so it
@@ -225,16 +226,98 @@ object StreamingDedup {
       .option("checkpointLocation", s"$outDir/_checkpoint_neardup")
       .trigger(trigger)
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: Dataset[BandVote], batchId: Long) =>
-        batch.groupBy(col("doc_id"))
-          .agg(first(col("text")).as("text"),
-            max(col("dup").cast("int")).as("any_dup"))
-          .where(col("any_dup") === 0)
-          .select(col("doc_id"), col("text"))
-          .write.mode(SaveMode.Overwrite)
-          .parquet(s"$outDir/deduped/batch=$batchId")
-        ()
-      }
+      .foreachBatch(writeKeptVotes(outDir) _)
       .start()
+  }
+
+  /** Bounded-state streaming near-dup: `startNearDup` with `startTtl`'s
+    * expiry semantics applied per LSH band bucket. A bucket's claim
+    * expires `ttlMs` after its ADMISSION event time (fixed anchor — later
+    * collisions do not slide the window, so a near-duplicate flood cannot
+    * pin a bucket forever); once the watermark passes admission + TTL the
+    * claim is dropped and the next document landing in that bucket
+    * re-claims it (slow re-admission, the continuous-feed trade).
+    *
+    * State size = DISTINCT band buckets claimed within the trailing TTL
+    * window — the bounded form of `startNearDup`'s claim set. A document
+    * whose buckets are PARTLY expired still re-claims the expired ones
+    * even when an unexpired bucket drops the document itself — claims by
+    * dropped documents are transitive edges of the band-collision graph,
+    * exactly as in the unbounded variant. Rows with null ts are dropped.
+    */
+  def startNearDupTtl(spark: SparkSession, inDir: String, outDir: String,
+      k: Int = 5, numHashes: Int = 8, bands: Int = 4,
+      ttlMs: Long = 60000L, watermarkDelay: String = "10 seconds",
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import spark.implicits._
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val stream = spark.readStream.schema(docTsSchema).json(inDir)
+    val banded = stream
+      .where(col("ts").isNotNull)
+      .withWatermark("ts", watermarkDelay)
+      .select(col("doc_id"), col("text"), col("ts"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => concat_ws("#", slice(
+            graft.ops.Dedup.minhashSignature(col("text"), k, numHashes),
+            b * rowsPerBand + 1, lit(rowsPerBand)))))
+          .as(Seq("band_idx", "band_key")))
+      .select(col("doc_id"), col("text"), col("ts"),
+        concat_ws("|", col("band_idx"), col("band_key")).as("bucket"))
+      .as[(Long, String, java.sql.Timestamp, String)]
+    // state = the bucket claim's admission event-time millis
+    val votes = banded.groupByKey(_._4)
+      .flatMapGroupsWithState[Long, BandVote](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state: GroupState[Long]) =>
+          // same watermark-vs-anchor subtleties as startTtl: an expiry the
+          // watermark has passed counts even if the timeout hasn't fired,
+          // and every invocation must re-arm the timeout at the ORIGINAL
+          // admission anchor (Spark clears it per invocation)
+          val expired = state.exists &&
+            state.get + ttlMs <= state.getCurrentWatermarkMs()
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (state.exists && !expired) {
+            state.setTimeoutTimestamp(
+              math.max(state.get + ttlMs, state.getCurrentWatermarkMs() + 1))
+            rows.map(d => BandVote(d._1, d._2, dup = true))
+          } else {
+            val ds = rows.toArray
+            var minId = Long.MaxValue
+            var admitTs = Long.MaxValue
+            ds.foreach { d =>
+              if (d._1 < minId) minId = d._1
+              if (d._3.getTime < admitTs) admitTs = d._3.getTime
+            }
+            state.update(admitTs)
+            state.setTimeoutTimestamp(
+              math.max(admitTs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            ds.iterator.map(d => BandVote(d._1, d._2, dup = d._1 != minId))
+          }
+      }
+    votes.writeStream
+      .option("checkpointLocation", s"$outDir/_checkpoint_neardup_ttl")
+      .trigger(trigger)
+      .outputMode(OutputMode.Append())
+      .foreachBatch(writeKeptVotes(outDir) _)
+      .start()
+  }
+
+  /** Shared near-dup sink: batch-local "all bands clean" fold, idempotent
+    * per-batch overwrite (see `start`'s replay note).
+    */
+  private def writeKeptVotes(outDir: String)(
+      batch: Dataset[BandVote], batchId: Long): Unit = {
+    batch.groupBy(col("doc_id"))
+      .agg(first(col("text")).as("text"),
+        max(col("dup").cast("int")).as("any_dup"))
+      .where(col("any_dup") === 0)
+      .select(col("doc_id"), col("text"))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/deduped/batch=$batchId")
+    ()
   }
 }

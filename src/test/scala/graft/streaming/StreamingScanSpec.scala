@@ -255,6 +255,49 @@ class StreamingScanSpec extends AnyFunSuite {
       s"cross-batch near-dup not dropped: ${ids()}")
   }
 
+  test("streaming near-dup TTL: bucket claims drop near-dups inside the " +
+    "window, buckets re-claimable after TTL passes the watermark") {
+    val inDir = Files.createTempDirectory("stream-ndttl-in").toString
+    val outDir = Files.createTempDirectory("stream-ndttl-out").toString
+    def doc(id: Long, text: String, ts: String): String =
+      s"""{"doc_id":$id,"text":"$text","ts":"$ts"}"""
+    val textA = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    val mover1 = "completely different content about winter mountains here"
+    val mover2 = "a third corpus entry that resembles neither of the others"
+    def drain(): Unit = awaitOrFail(
+      StreamingDedup.startNearDupTtl(spark, inDir, outDir, ttlMs = 60000L,
+        watermarkDelay = "10 seconds"))
+    def ids(): Seq[Long] = spark.read.parquet(s"$outDir/deduped")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // drain 1: identical docs 5 and 2 (full band collision) at 00:00:00 —
+    // smallest id 2 claims every bucket (TTL expires 00:01:00)
+    Files.writeString(java.nio.file.Paths.get(inDir, "b1.json"),
+      doc(5, textA, "2024-01-01T00:00:00.000Z") + "\n" +
+        doc(2, textA, "2024-01-01T00:00:00.000Z") + "\n")
+    drain()
+    assert(ids() == Seq(2L), s"in-batch near-dup not collapsed: ${ids()}")
+    // drain 2: doc 9 repeats textA 30s later — inside the TTL, dropped
+    Files.writeString(java.nio.file.Paths.get(inDir, "b2.json"),
+      doc(9, textA, "2024-01-01T00:00:30.000Z") + "\n")
+    drain()
+    assert(ids() == Seq(2L), s"near-dup inside TTL not dropped: ${ids()}")
+    // drains 3-4: dissimilar movers advance the watermark past 00:01:00
+    // (timeouts check the PREVIOUS batch's watermark)
+    Files.writeString(java.nio.file.Paths.get(inDir, "b3.json"),
+      doc(11, mover1, "2024-01-01T00:05:00.000Z") + "\n")
+    drain()
+    Files.writeString(java.nio.file.Paths.get(inDir, "b4.json"),
+      doc(12, mover2, "2024-01-01T00:05:10.000Z") + "\n")
+    drain()
+    assert(ids() == Seq(2L, 11L, 12L))
+    // drain 5: textA again AFTER its buckets expired — re-admitted
+    Files.writeString(java.nio.file.Paths.get(inDir, "b5.json"),
+      doc(19, textA, "2024-01-01T00:05:20.000Z") + "\n")
+    drain()
+    assert(ids() == Seq(2L, 11L, 12L, 19L),
+      s"bucket claims not released after TTL: ${ids()}")
+  }
+
   test("watermarked windowed match counts (streaming A10 analog)") {
     val inDir = Files.createTempDirectory("stream-w-in").toString
     val outDir = Files.createTempDirectory("stream-w-out").toString
