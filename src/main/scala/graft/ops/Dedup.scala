@@ -47,6 +47,20 @@ object Dedup {
     }: _*)
   }
 
+  /** Per-band LSH bucket keys: element i = the "#"-joined minhash slice of
+    * band i. THE definition of "near" for banding — shared by the batch
+    * pair generator and both streaming claim variants
+    * ([[graft.streaming.StreamingDedup.startNearDup]] / `startNearDupTtl`)
+    * so the three can never drift apart.
+    */
+  def lshBandKeys(text: Column, k: Int, numHashes: Int, bands: Int): Column = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sig = minhashSignature(text, k, numHashes)
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => concat_ws("#", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
+  }
+
   /** Cap one side of a band-bucket self-join to its first `cap` doc_ids per
     * (band_idx, band_key) — the skew guard shared by the minhash and simhash
     * pair generators. A flood of identical documents (all in one band
@@ -76,14 +90,8 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, k: Int = 5, numHashes: Int = 8,
       bands: Int = 4, maxBandDf: Int = 0): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val sig = docs.select(col("doc_id"),
-      minhashSignature(col("text"), k, numHashes).as("sig"))
-    val banded = sig.select(col("doc_id"),
-      posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => concat_ws("#",
-          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+    val banded = docs.select(col("doc_id"),
+      posexplode(lshBandKeys(col("text"), k, numHashes, bands))
         .as(Seq("band_idx", "band_key")))
     // cap the LEFT (smaller-id) side: pairs are (a, b) with a < b, so the
     // capped side must be the one holding the bucket's smallest ids — every

@@ -23,15 +23,21 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * and deletes after a fully committed temp write):
   *  1. write compacted data to `<dir>/_compact_tmp` (hidden from Spark's
   *     partition discovery), then a `_MANIFEST` naming the target
-  *     directory and the source directories — the commit point;
+  *     directory and the source directories — written to a dotted temp
+  *     name and renamed into place, so a torn write can never parse as a
+  *     committed manifest; the rename is the commit point;
   *  2. move each source directory into `<dir>/_compact_trash/`;
-  *  3. rename `_compact_tmp` to `batch=<smallest compacted id>`;
-  *  4. delete the trash.
+  *  3. rename `_compact_tmp` to `batch=<smallest compacted id>` — the
+  *     manifest travels WITH the rename (a tmp stripped of its manifest
+  *     before install would be indistinguishable from a mid-write crash
+  *     and get discarded while the sources sit in the trash);
+  *  4. delete the trash, then the installed `_MANIFEST` (cosmetic — Spark
+  *     ignores underscore-prefixed files either way).
   * A crash anywhere leaves a state `recover()` finishes deterministically:
   * tmp without manifest is discarded (data still in the sources); tmp with
   * manifest re-drives steps 2-4 (the temp write already committed); trash
-  * without tmp is deleted (swap already completed). Rows are therefore
-  * never lost and never duplicated.
+  * without tmp is deleted and manifest residue swept (swap already
+  * completed). Rows are therefore never lost and never duplicated.
   *
   * After compaction the partition-discovery `batch` value of compacted
   * rows is the smallest compacted id — consumers treating `batch` as an
@@ -61,8 +67,9 @@ object SinkCompaction {
       return CompactStats(0, 0L, 0, 0, recovered)
 
     val srcPaths = sources.map(_._2)
-    val filesBefore = srcPaths.map(dataFiles(fs, _).length).sum
-    val totalBytes = srcPaths.map(p => dataFiles(fs, p).map(_.getLen).sum).sum
+    val srcFiles = srcPaths.map(dataFiles(fs, _)) // one listing per dir
+    val filesBefore = srcFiles.map(_.length).sum
+    val totalBytes = srcFiles.flatten.map(_.getLen).sum
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
 
     val tmp = new Path(root, TmpName)
@@ -91,23 +98,33 @@ object SinkCompaction {
     val tmp = new Path(root, TmpName)
     val trash = new Path(root, TrashName)
     val manifest = new Path(tmp, ManifestName)
+    if (fs.exists(tmp) && fs.exists(manifest)) {
+      // temp write committed: re-drive the swap (idempotent — moves of
+      // already-trashed sources are skipped; swap deletes the trash)
+      val (target, srcs) = readManifest(fs, manifest)
+      swap(fs, root, tmp, target, srcs)
+      return true
+    }
+    var acted = false
     if (fs.exists(tmp)) {
-      if (fs.exists(manifest)) {
-        // temp write committed: re-drive the swap (idempotent — moves of
-        // already-trashed sources are skipped)
-        val (target, srcs) = readManifest(fs, manifest)
-        swap(fs, root, tmp, target, srcs)
-        true
-      } else {
-        // crashed mid-write: sources are intact, the temp data is garbage
-        fs.delete(tmp, true)
-        true
-      }
-    } else if (fs.exists(trash)) {
-      // swap completed, cleanup didn't: the trash holds superseded copies
+      // crashed mid-write: sources are intact, the temp data is garbage
+      fs.delete(tmp, true)
+      acted = true
+    }
+    // a stale trash can coexist with an UNcommitted tmp (completed swap
+    // whose trash-delete crashed, then a new compact crashed mid-write) —
+    // handle it independently, not as an else-branch
+    if (fs.exists(trash)) {
+      // swap completed, cleanup didn't: the trash holds superseded copies;
+      // the installed target may still carry its (harmless, Spark-hidden)
+      // manifest — sweep it to restore the clean-state invariant
       fs.delete(trash, true)
-      true
-    } else false
+      committedBatches(fs, root).foreach { case (_, p) =>
+        fs.delete(new Path(p, ManifestName), false)
+      }
+      acted = true
+    }
+    acted
   }
 
   /** Steps 2-4 of the protocol; idempotent, callable from recovery. */
@@ -125,11 +142,14 @@ object SinkCompaction {
     }
     val targetPath = new Path(root, target)
     if (fs.exists(tmp)) {
-      fs.delete(new Path(tmp, ManifestName), false)
+      // the manifest rides along: stripping it first would open a crash
+      // window where recover() reads tmp-without-manifest as a mid-write
+      // crash and discards the only copy of the compacted rows
       require(fs.rename(tmp, targetPath),
         s"compaction: failed to install $targetPath")
     }
     fs.delete(trash, true)
+    fs.delete(new Path(targetPath, ManifestName), false)
   }
 
   /** Committed (`_SUCCESS`-marked) `batch=N` children, sorted by id. */
@@ -155,9 +175,16 @@ object SinkCompaction {
 
   private def writeManifest(fs: FileSystem, tmp: Path, target: String,
       sources: Seq[String]): Unit = {
-    val out = fs.create(new Path(tmp, ManifestName), true)
+    // dotted temp name + rename: a crash mid-write must leave NO file at
+    // the manifest path — a torn manifest would be read back as a
+    // committed one with a truncated source list (duplicated rows) or a
+    // garbage target name (rows hidden from consumers)
+    val inProgress = new Path(tmp, "." + ManifestName + ".inprogress")
+    val out = fs.create(inProgress, true)
     try out.write((target +: sources).mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    require(fs.rename(inProgress, new Path(tmp, ManifestName)),
+      "compaction: failed to commit manifest")
   }
 
   private def readManifest(fs: FileSystem, manifest: Path): (String, Seq[String]) = {

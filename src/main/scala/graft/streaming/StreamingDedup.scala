@@ -190,16 +190,10 @@ object StreamingDedup {
       k: Int = 5, numHashes: Int = 8, bands: Int = 4,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     import spark.implicits._
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
     val stream = spark.readStream.schema(docSchema).json(inDir)
     val banded = stream
       .select(col("doc_id"), col("text"),
-        posexplode(transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => concat_ws("#", slice(
-            graft.ops.Dedup.minhashSignature(col("text"), k, numHashes),
-            b * rowsPerBand + 1, lit(rowsPerBand)))))
+        posexplode(graft.ops.Dedup.lshBandKeys(col("text"), k, numHashes, bands))
           .as(Seq("band_idx", "band_key")))
       .select(col("doc_id"), col("text"),
         concat_ws("|", col("band_idx"), col("band_key")).as("bucket"))
@@ -250,18 +244,12 @@ object StreamingDedup {
       ttlMs: Long = 60000L, watermarkDelay: String = "10 seconds",
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     import spark.implicits._
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
     val stream = spark.readStream.schema(docTsSchema).json(inDir)
     val banded = stream
       .where(col("ts").isNotNull)
       .withWatermark("ts", watermarkDelay)
       .select(col("doc_id"), col("text"), col("ts"),
-        posexplode(transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => concat_ws("#", slice(
-            graft.ops.Dedup.minhashSignature(col("text"), k, numHashes),
-            b * rowsPerBand + 1, lit(rowsPerBand)))))
+        posexplode(graft.ops.Dedup.lshBandKeys(col("text"), k, numHashes, bands))
           .as(Seq("band_idx", "band_key")))
       .select(col("doc_id"), col("text"), col("ts"),
         concat_ws("|", col("band_idx"), col("band_key")).as("bucket"))

@@ -116,9 +116,23 @@ class SinkCompactionSpec extends AnyFunSuite {
     assert(SinkCompaction.recover(spark, dir))
     assert(!new java.io.File(s"$dir/_compact_tmp").exists())
     assert(ids(dir) == Seq(1L))
-    // crash after install, before cleanup: trash exists, tmp gone
+    // crash after install, before cleanup: trash exists, tmp gone, and the
+    // installed target still carries its manifest (it rides the rename)
     new java.io.File(s"$dir/_compact_trash/batch=9").mkdirs()
+    Files.writeString(
+      java.nio.file.Paths.get(s"$dir/batch=0/_MANIFEST"), "batch=0\nbatch=0")
     assert(SinkCompaction.recover(spark, dir))
+    assert(!new java.io.File(s"$dir/_compact_trash").exists())
+    assert(!new java.io.File(s"$dir/batch=0/_MANIFEST").exists(),
+      "recovery must sweep installed-manifest residue")
+    assert(ids(dir) == Seq(1L))
+    // stale trash AND an uncommitted tmp together (completed swap whose
+    // trash-delete crashed, then a new compact crashed mid-write): one
+    // recover call must clear both
+    new java.io.File(s"$dir/_compact_trash/batch=9").mkdirs()
+    new java.io.File(s"$dir/_compact_tmp").mkdirs()
+    assert(SinkCompaction.recover(spark, dir))
+    assert(!new java.io.File(s"$dir/_compact_tmp").exists())
     assert(!new java.io.File(s"$dir/_compact_trash").exists())
     // clean state: nothing to recover
     assert(!SinkCompaction.recover(spark, dir))
