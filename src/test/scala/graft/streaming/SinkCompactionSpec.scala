@@ -137,4 +137,61 @@ class SinkCompactionSpec extends AnyFunSuite {
     // clean state: nothing to recover
     assert(!SinkCompaction.recover(spark, dir))
   }
+
+  test("crash-injection sweep: compact killed after EVERY Nth mutating fs " +
+    "op, then recovered — rows never lost, never duplicated") {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.faulty.impl", classOf[FaultyLocalFs].getName)
+    // template layout built once, copied per sweep step (no Spark re-write)
+    val template = Files.createTempDirectory("compact-crash-tpl").toString
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$template/batch=0")
+    Seq((3L, "c")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$template/batch=1")
+    Seq((4L, "d")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$template/batch=2")
+    val expected = Seq(1L, 2L, 3L, 4L)
+
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      Files.walk(from).forEach { p =>
+        val dst = to.resolve(from.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(dst)
+        else Files.copy(p, dst)
+      }
+    }
+
+    var n = 0
+    var cleanRun = false
+    val maxOps = 200 // far above the protocol's op count — the sweep must
+    // reach an unfaulted run long before this (else the loop is broken)
+    while (!cleanRun && n < maxOps) {
+      val dir = Files.createTempDirectory(s"compact-crash-$n")
+      Files.delete(dir)
+      copyTree(java.nio.file.Paths.get(template), dir)
+      var crashed = false
+      FaultyLocalFs.armAfter(n)
+      try {
+        val stats = SinkCompaction.compact(spark, s"faulty://$dir")
+        cleanRun = stats.batchesCompacted == 2
+      } catch { case _: Throwable => crashed = true }
+      finally FaultyLocalFs.disarm()
+      assert(crashed || cleanRun, s"op budget $n: neither crashed nor compacted")
+      // recover over the plain scheme (recovery itself ran unfaulted in
+      // the happy-path tests; here it faces every possible crash state)
+      SinkCompaction.recover(spark, dir.toString)
+      val got = spark.read.parquet(dir.toString).select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == expected,
+        s"crash after $n mutating ops lost/duplicated rows: got $got")
+      assert(!new java.io.File(s"$dir/_compact_tmp").exists(),
+        s"tmp residue after recovery (budget $n)")
+      assert(!new java.io.File(s"$dir/_compact_trash").exists(),
+        s"trash residue after recovery (budget $n)")
+      n += 1
+    }
+    assert(cleanRun, s"sweep never reached an unfaulted compact in $maxOps ops")
+    // the sweep covered every crash point: 0..n-2 faulted, n-1 ran clean
+    assert(n >= 5, s"suspiciously few mutating ops in the protocol: $n")
+  }
 }
