@@ -190,4 +190,63 @@ class ScanJobSpec extends AnyFunSuite {
     // extraction/lookup subtree is NOT duplicated
     assert("scan_turn".r.findAllIn(plan.toLowerCase).size >= 1, plan.take(2000))
   }
+
+  test("crash-injection: run() killed mid-flight at sampled fs-op budgets, " +
+    "resumed — output equals a clean run (north-rule resumability)") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.faulty.impl", classOf[graft.streaming.FaultyLocalFs].getName)
+    // clean reference run
+    val refOut = Files.createTempDirectory("graft-crash-ref").toString
+    ScanJob.run(spark, turnsDf, dbs, refOut,
+      ScanJob.RunConfig(buckets = 8, runId = "ref"))
+    def goldOf(out: String): Map[(String, String, String), Long] =
+      spark.read.parquet(s"$out/gold_counts")
+        .as[(String, String, String, Long)].collect()
+        .map { case (d, t, r, c) => (d, t, r) -> c }.toMap
+    def matchedOf(out: String): Set[(String, Int, String, String)] =
+      spark.read.parquet(s"$out/routed").where(col("sink") === "matched")
+        .select("conv_id", "turn_idx", "indicator_type", "value")
+        .as[(String, Int, String, String)].collect().toSet
+    def cleanOf(out: String): Long =
+      spark.read.parquet(s"$out/routed").where(col("sink") === "clean").count()
+    val refGold = goldOf(refOut)
+    val refMatched = matchedOf(refOut)
+    val refClean = cleanOf(refOut)
+
+    // geometric budget sweep (a full run is hundreds of mutating ops —
+    // sampling doubles covers every phase: initial cleanup, the routed
+    // write, gold/stats/metrics, completion markers) until one run
+    // completes unfaulted
+    var budget = 1
+    var cleanRun = false
+    while (!cleanRun && budget < 100000) {
+      val out = Files.createTempDirectory(s"graft-crash-$budget").toString
+      var crashed = false
+      graft.streaming.FaultyLocalFs.armAfter(budget)
+      try {
+        ScanJob.run(spark, turnsDf, dbs, s"faulty://$out",
+          ScanJob.RunConfig(buckets = 8, runId = s"crash-$budget"))
+        cleanRun = true
+      } catch { case _: Throwable => crashed = true }
+      finally graft.streaming.FaultyLocalFs.disarm()
+      assert(crashed || cleanRun)
+      if (crashed) {
+        // resume over the plain scheme: markers are written LAST, so any
+        // crash point leaves either unmarked buckets (reprocessed, dynamic
+        // overwrite idempotent) or marked buckets with committed data;
+        // gold/stats/metrics are always recomputed from the routed output
+        ScanJob.run(spark, turnsDf, dbs, out,
+          ScanJob.RunConfig(buckets = 8, resume = true,
+            runId = s"resume-$budget"))
+      }
+      assert(goldOf(out) == refGold, s"gold mismatch after crash at $budget ops")
+      assert(matchedOf(out) == refMatched,
+        s"matched set mismatch after crash at $budget ops")
+      assert(cleanOf(out) == refClean,
+        s"clean count mismatch after crash at $budget ops")
+      budget *= 2
+    }
+    assert(cleanRun, "sweep never reached an unfaulted run")
+    assert(budget >= 16, s"suspiciously few mutating ops in run(): $budget")
+  }
 }
