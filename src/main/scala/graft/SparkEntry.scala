@@ -83,7 +83,9 @@ object SparkEntry {
     // dynamic per-entry metadata passthrough (round 4)
     "q43_lookup_extras" -> (QueryDefs.qLookupExtras _),
     // IVF with seeded Lloyd centroid refinement (round 4)
-    "q44_sim_ivf_lloyd" -> (QueryDefs.qSimIvfLloyd _)
+    "q44_sim_ivf_lloyd" -> (QueryDefs.qSimIvfLloyd _),
+    // IoC/PII redaction expression (round 4)
+    "q45_redact" -> (QueryDefs.qRedact _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -130,6 +132,7 @@ object SparkEntry {
     "q41_dedup_clusters" -> OracleDefs.dedupClusters,
     "q42_text_quality_filter" -> OracleDefs.textQualityFilter,
     "q43_lookup_extras" -> OracleDefs.lookupExtras,
-    "q44_sim_ivf_lloyd" -> OracleDefs.simIvfLloyd
+    "q44_sim_ivf_lloyd" -> OracleDefs.simIvfLloyd,
+    "q45_redact" -> OracleDefs.redactIocs
   )
 }

@@ -245,11 +245,23 @@ object GraftFunctions {
     ExpressionUtils.column(
       ExtractIoCs(ExpressionUtils.expression(text), config))
 
+  def redact_iocs(text: Column): Column =
+    ExpressionUtils.column(
+      RedactIoCs(ExpressionUtils.expression(text), ScanConfig()))
+
+  def redact_iocs(text: Column, config: ScanConfig): Column =
+    ExpressionUtils.column(
+      RedactIoCs(ExpressionUtils.expression(text), config))
+
   /** Register SQL-callable functions on a session (used by tests/jobs). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "extract_iocs",
       exprs => ExtractIoCs(exprs.head, ScanConfig()),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "redact_iocs",
+      exprs => RedactIoCs(exprs.head, ScanConfig()),
       "built-in")
   }
 }

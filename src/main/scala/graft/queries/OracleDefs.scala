@@ -799,4 +799,17 @@ object OracleDefs {
       |     i(entry, category, campaign, actor, ttl)
       |  ON c.value = i.entry
       |GROUP BY 1,2,3,4,5 ORDER BY 1""".stripMargin
+
+  /** q45: closed-form prediction of the redacted text — the four planted
+    * families collapse to typed placeholders, the strict-grammar rejects
+    * (999.1.2.3, 192.168.01.7) and surrounding prose survive verbatim, and
+    * the email/email-domain overlap yields ONE [REDACTED:email].
+    */
+  val redactIocs: String =
+    """SELECT 'sess'||(event_id%7)
+      |       ||' from [REDACTED:ipv4] to 999.1.2.3 mail [REDACTED:email] hash '
+      |       ||'[REDACTED:md5] visit [REDACTED:domain] end 192.168.01.7 port '
+      |       ||(event_id%100) AS red,
+      |       count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -562,4 +562,22 @@ object QueryDefs {
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100, 0).cast("bigint")).as("cents"))
       .orderBy("hour", "event_type")
+
+  /** q45: `redact_iocs` — planted positives of four families (varying
+    * lengths, so the splice arithmetic differs per row) plus planted
+    * NEGATIVES (strict-grammar rejects) that must survive verbatim, plus
+    * the email/email-domain overlap that must collapse to ONE placeholder.
+    * The oracle predicts the redacted string in closed form.
+    */
+  def qRedact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(GraftFunctions.redact_iocs(concat(
+        lit("sess"), e % 7,
+        lit(" from 10."), u % 200, lit("."), e % 250, lit("."), e % 100,
+        lit(" to 999.1.2.3 mail user"), e % 20, lit("@mail"), u % 5,
+        lit(".org hash "), md5((e % 13).cast("string")),
+        lit(" visit host"), e % 50,
+        lit(".example.com end 192.168.01.7 port "), e % 100)).as("red"))
+      .groupBy("red").agg(count(lit(1)).as("n"))
+      .orderBy("red")
 }
