@@ -85,7 +85,9 @@ object SparkEntry {
     // IVF with seeded Lloyd centroid refinement (round 4)
     "q44_sim_ivf_lloyd" -> (QueryDefs.qSimIvfLloyd _),
     // IoC/PII redaction expression (round 4)
-    "q45_redact" -> (QueryDefs.qRedact _)
+    "q45_redact" -> (QueryDefs.qRedact _),
+    // defang normalization + extraction (round 4)
+    "q46_extract_defanged" -> (QueryDefs.qExtractDefanged _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -133,6 +135,7 @@ object SparkEntry {
     "q42_text_quality_filter" -> OracleDefs.textQualityFilter,
     "q43_lookup_extras" -> OracleDefs.lookupExtras,
     "q44_sim_ivf_lloyd" -> OracleDefs.simIvfLloyd,
-    "q45_redact" -> OracleDefs.redactIocs
+    "q45_redact" -> OracleDefs.redactIocs,
+    "q46_extract_defanged" -> OracleDefs.extractDefanged
   )
 }

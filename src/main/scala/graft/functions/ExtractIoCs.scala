@@ -253,6 +253,9 @@ object GraftFunctions {
     ExpressionUtils.column(
       RedactIoCs(ExpressionUtils.expression(text), config))
 
+  def refang_text(text: Column): Column =
+    ExpressionUtils.column(RefangText(ExpressionUtils.expression(text)))
+
   /** Register SQL-callable functions on a session (used by tests/jobs). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -262,6 +265,10 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "redact_iocs",
       exprs => RedactIoCs(exprs.head, ScanConfig()),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "refang_text",
+      exprs => RefangText(exprs.head),
       "built-in")
   }
 }

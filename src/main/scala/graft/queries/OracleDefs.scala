@@ -812,4 +812,27 @@ object OracleDefs {
       |       ||(event_id%100) AS red,
       |       count(*) AS n
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q46: the defanged plants refang to live indicators whose extraction
+    * is already closed-form (q01/q03/q04-proven behaviors: URL-context
+    * domain, strict ipv4, email + contained-domain double extraction).
+    */
+  val extractDefanged: String =
+    """SELECT * FROM (
+      |  SELECT 'domain' AS indicator_type,
+      |         'mal'||(event_id%50)||'.example.com' AS value, count(*) AS n
+      |  FROM events GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'domain', 'mail'||(user_id%5)||'.org', count(*)
+      |  FROM events GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'ipv4',
+      |         '10.'||(user_id%200)||'.'||(event_id%250)||'.'||(event_id%9),
+      |         count(*)
+      |  FROM events GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'email', 'bob'||(event_id%20)||'@mail'||(user_id%5)||'.org',
+      |         count(*)
+      |  FROM events GROUP BY 2
+      |) ORDER BY indicator_type, value""".stripMargin
 }

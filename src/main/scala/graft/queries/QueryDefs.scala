@@ -580,4 +580,19 @@ object QueryDefs {
         lit(".example.com end 192.168.01.7 port "), e % 100)).as("red"))
       .groupBy("red").agg(count(lit(1)).as("n"))
       .orderBy("red")
+
+  /** q46: `refang_text` ∘ `extract_iocs` — defanged indicators (the
+    * threat-intel `[.]`/`(at)`/`[dot]`/`hxxp` forms) normalize back to
+    * live form in one byte pass and then extract exactly like their
+    * never-defanged equivalents (incl. the email/email-domain double
+    * extraction and URL-context domains).
+    */
+  def qExtractDefanged(s: SparkSession, dir: String): DataFrame =
+    extract(t(s, dir, "events"), GraftFunctions.refang_text(concat(
+      lit("alert hxxp://mal"), e % 50, lit("[.]example[.]com from 10[.]"),
+      u % 200, lit("[.]"), e % 250, lit("[.]"), e % 9,
+      lit(" mailto bob"), e % 20, lit("(at)mail"), u % 5, lit("[dot]org end"))))
+      .where(col("indicator_type").isin("domain", "ipv4", "email"))
+      .groupBy("indicator_type", "value").agg(count(lit(1)).as("n"))
+      .orderBy("indicator_type", "value")
 }
