@@ -87,7 +87,9 @@ object SparkEntry {
     // IoC/PII redaction expression (round 4)
     "q45_redact" -> (QueryDefs.qRedact _),
     // defang normalization + extraction (round 4)
-    "q46_extract_defanged" -> (QueryDefs.qExtractDefanged _)
+    "q46_extract_defanged" -> (QueryDefs.qExtractDefanged _),
+    // benchmark decontamination by shared word n-grams (round 4)
+    "q47_decontaminate" -> (QueryDefs.qDecontaminate _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -136,6 +138,7 @@ object SparkEntry {
     "q43_lookup_extras" -> OracleDefs.lookupExtras,
     "q44_sim_ivf_lloyd" -> OracleDefs.simIvfLloyd,
     "q45_redact" -> OracleDefs.redactIocs,
-    "q46_extract_defanged" -> OracleDefs.extractDefanged
+    "q46_extract_defanged" -> OracleDefs.extractDefanged,
+    "q47_decontaminate" -> OracleDefs.decontaminate
   )
 }

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: find (and drop) training documents that
+  * overlap an evaluation set by shared word n-grams — the GPT-3/Pile-style
+  * "13-gram decontamination" a training corpus runs before release, so
+  * eval answers don't leak into the training set.
+  *
+  * 100 TB shape: the eval side of the join is a BENCHMARK (MBs, not TBs) —
+  * its deduplicated gram set is broadcast, so the train side is one
+  * map-side explode + broadcast semi-probe; the only shuffle is the
+  * per-doc count over the (tiny) matched rows. Nothing ever shuffles the
+  * corpus itself.
+  */
+object Decontaminate {
+
+  /** Distinct word n-grams of whitespace-split lowercased text, as an
+    * array column (the normalization mirrors `TextStats`/simhash
+    * tokenization so "overlap" means the same thing across ops).
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val w = split(trim(lower(text)), "\\s+")
+    array_distinct(
+      transform(
+        filter(
+          transform(sequence(lit(1), greatest(size(w) - lit(n - 1), lit(1))),
+            i => slice(w, i, lit(n))),
+          a => size(a) === lit(n)),
+        a => concat_ws(" ", a)))
+  }
+
+  /** Per-document count of distinct word n-grams shared with ANY eval
+    * document: `(idCol, shared_ngrams)`, only documents with >= 1 shared
+    * gram appear.
+    */
+  def contaminationScores(docs: DataFrame, evalDocs: DataFrame, n: Int = 13,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val evalGrams = evalDocs
+      .select(explode(wordNgrams(col(textCol), n)).as("gram")).distinct()
+    docs
+      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(idCol).agg(count(lit(1)).as("shared_ngrams"))
+  }
+
+  /** The keep set: docs minus those sharing >= `minShared` distinct
+    * n-grams with the eval set (anti-join on the score table).
+    */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, n: Int = 13,
+      minShared: Int = 1, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.join(
+      contaminationScores(docs, evalDocs, n, textCol, idCol)
+        .where(col("shared_ngrams") >= minShared)
+        .select(idCol),
+      Seq(idCol), "left_anti")
+}

@@ -835,4 +835,24 @@ object OracleDefs {
       |         count(*)
       |  FROM events GROUP BY 2
       |) ORDER BY indicator_type, value""".stripMargin
+
+  /** q47: word-4-gram decontamination counts, closed form in DuckDB (list
+    * comprehension over generate_series; normalization mirrors the
+    * simhash/tokenizer whitespace split).
+    */
+  val decontaminate: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |         [array_to_string(list_slice(w, i, i+3), ' ')
+      |          for i in generate_series(1, greatest(len(w)-3, 0))] AS grams
+      |  FROM (SELECT doc_id,
+      |               string_split_regex(lower(trim(text)), '\s+') AS w
+      |        FROM documents)
+      |),
+      |eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id%11=0),
+      |tg AS (SELECT doc_id, unnest(list_distinct(grams)) AS gram
+      |       FROM g WHERE doc_id%11<>0)
+      |SELECT doc_id, count(*) AS shared_ngrams
+      |FROM tg JOIN eg USING (gram)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

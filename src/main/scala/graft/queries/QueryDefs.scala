@@ -595,4 +595,17 @@ object QueryDefs {
       .where(col("indicator_type").isin("domain", "ipv4", "email"))
       .groupBy("indicator_type", "value").agg(count(lit(1)).as("n"))
       .orderBy("indicator_type", "value")
+
+  /** q47: benchmark decontamination — documents split into a deterministic
+    * "eval set" (doc_id % 11 == 0) and a train set; per-train-doc count of
+    * distinct shared word 4-grams (the corpus's planted near-dup groups
+    * guarantee real cross-split overlap).
+    */
+  def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.ops.Decontaminate.contaminationScores(
+      docs.where(col("doc_id") % 11 =!= 0),
+      docs.where(col("doc_id") % 11 === 0), n = 4)
+      .orderBy("doc_id")
+  }
 }
