@@ -1,0 +1,54 @@
+package graft
+
+import graft.extract.ScanConfig
+import graft.functions.{ExtractIoCs, RedactIoCs, RefangText}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** `spark.sql.extensions`-injectable registration of the engine's SQL
+  * functions — the zero-code spark-submit path:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * spark.sql("SELECT extract_iocs(text) FROM turns")
+  * }}}
+  *
+  * Registers the broadcast-free scalar expressions (`extract_iocs`,
+  * `redact_iocs`, `refang_text`) as permanent built-ins on every session
+  * built with the extension. The broadcast-backed expressions
+  * (`scan_turn`, `intel_lookup`) need a compiled `IntelDb` handle and so
+  * stay Column-API / `GraftFunctions.register`-only by design.
+  *
+  * Complements [[graft.functions.GraftFunctions.register]], which installs
+  * the same functions as session temp functions from code.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage,
+      "", "", "", "string_funcs", "", "", "built-in")
+
+  /** (identifier, info, builder) triples shared by the extension. */
+  val descriptions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("extract_iocs"),
+      info("extract_iocs",
+        "_FUNC_(text) - single-pass IoC extraction; returns array<struct<indicator_type,value,matched_text,span_start,span_end>>."),
+      (exprs: Seq[Expression]) => ExtractIoCs(exprs.head, ScanConfig())),
+    (FunctionIdentifier("redact_iocs"),
+      info("redact_iocs",
+        "_FUNC_(text) - replace extracted IoCs/PII with typed placeholders."),
+      (exprs: Seq[Expression]) => RedactIoCs(exprs.head, ScanConfig())),
+    (FunctionIdentifier("refang_text"),
+      info("refang_text",
+        "_FUNC_(text) - normalize defanged indicator forms (hxxp, [.], (at), ...)."),
+      (exprs: Seq[Expression]) => RefangText(exprs.head))
+  )
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL-surface registration: the `spark.sql.extensions=graft.GraftExtensions`
+  * path. Spark's extension machinery calls `injectFunction` per description
+  * and later replays each into the session's FunctionRegistry; the suite
+  * applies the same descriptions to a fresh `newSession` registry (one
+  * shared SparkContext per test JVM, so a second extension-built session
+  * can't be constructed here) and then exercises every function through
+  * `spark.sql`, which is the part the extension exists to enable.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("extension class applies cleanly to SparkSessionExtensions") {
+    new GraftExtensions().apply(new SparkSessionExtensions)
+  }
+
+  test("descriptions register and run through spark.sql") {
+    val spark = SparkTestBase.spark.newSession()
+    GraftExtensions.descriptions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+
+    val iocs = spark.sql(
+      """SELECT x.indicator_type, x.value
+        |FROM (SELECT explode(extract_iocs('conn from 10.1.2.3 to evil.com')) x)
+        |ORDER BY 1""".stripMargin).collect()
+    assert(iocs.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("domain", "evil.com"), ("ipv4", "10.1.2.3")))
+
+    val red = spark.sql(
+      "SELECT redact_iocs('peer 10.1.2.3 called evil.com now')")
+      .collect().head.getString(0)
+    assert(red == "peer [REDACTED:ipv4] called [REDACTED:domain] now")
+
+    val ref = spark.sql(
+      "SELECT refang_text('see hxxp://bad[.]example[.]com')")
+      .collect().head.getString(0)
+    assert(ref == "see http://bad.example.com")
+
+    // a fresh newSession must NOT see the temp registrations (isolation)
+    val other = SparkTestBase.spark.newSession()
+    intercept[Exception] {
+      other.sql("SELECT refang_text('x')").collect()
+    }
+  }
+}
