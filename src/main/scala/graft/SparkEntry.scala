@@ -89,7 +89,12 @@ object SparkEntry {
     // defang normalization + extraction (round 4)
     "q46_extract_defanged" -> (QueryDefs.qExtractDefanged _),
     // benchmark decontamination by shared word n-grams (round 4)
-    "q47_decontaminate" -> (QueryDefs.qDecontaminate _)
+    "q47_decontaminate" -> (QueryDefs.qDecontaminate _),
+    // Gopher repetition rules: dup-line fractions + top word-2-gram (round 4)
+    "q48_text_repetition" -> (QueryDefs.qTextRepetition _),
+    // conversation-level rollups over the transcript table (round 4)
+    "q49_conv_stats" -> (QueryDefs.qConvStats _),
+    "q50_conv_dedup" -> (QueryDefs.qConvDedup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -139,6 +144,9 @@ object SparkEntry {
     "q44_sim_ivf_lloyd" -> OracleDefs.simIvfLloyd,
     "q45_redact" -> OracleDefs.redactIocs,
     "q46_extract_defanged" -> OracleDefs.extractDefanged,
-    "q47_decontaminate" -> OracleDefs.decontaminate
+    "q47_decontaminate" -> OracleDefs.decontaminate,
+    "q48_text_repetition" -> OracleDefs.textRepetition,
+    "q49_conv_stats" -> OracleDefs.convStats,
+    "q50_conv_dedup" -> OracleDefs.convDedup
   )
 }

@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Conversation-level operators over the transcript table
+  * (conv_id, turn_idx, role, text, tool, ts) — the rollups a training-data
+  * pipeline runs ABOVE the per-turn scan: per-conversation stats, ordered
+  * transcript reconstruction, and whole-conversation exact dedup.
+  *
+  * 100 TB shape: everything here is ONE shuffle keyed on conv_id — the
+  * same key the flagship scan routes and buckets by, so at cluster scale
+  * these rollups co-partition with the routed sinks (a bucketed/sorted
+  * sink table makes the shuffle disappear entirely). Per-group state is
+  * bounded by conversation length (turns per conv), never corpus size;
+  * the in-row sort/concat work is array HOFs after the single aggregation.
+  * All outputs are exact integer/string arithmetic, so the DuckDB oracle
+  * reproduces them bit-exactly.
+  */
+object Conversations {
+
+  private def turnStruct: Column =
+    struct(col("turn_idx"), col("role"), col("text"))
+
+  /** One ordered "role: text" line per turn, '\n'-joined — the canonical
+    * serialized transcript (turn order = turn_idx, the north rule's stable
+    * ordering).
+    */
+  private def serialized(arr: Column): Column =
+    concat_ws("\n",
+      transform(arr, x =>
+        concat(x.getField("role"), lit(": "), x.getField("text"))))
+
+  /** Per-conversation rollup: turn count, distinct-role count, total text
+    * chars, wall-clock span in microseconds, and the whole-conversation
+    * fingerprint (md5 of the ordered serialized transcript).
+    */
+  def stats(turns: DataFrame): DataFrame =
+    turns.groupBy("conv_id")
+      .agg(
+        count(lit(1)).as("n_turns"),
+        size(array_distinct(collect_list(col("role")))).as("n_roles"),
+        sum(length(col("text"))).as("n_chars"),
+        // cast: the table may carry TIMESTAMP_NTZ; with the session tz
+        // pinned to UTC the NTZ->LTZ cast is instant-preserving
+        (max(unix_micros(col("ts").cast("timestamp"))) -
+          min(unix_micros(col("ts").cast("timestamp")))).as("span_us"),
+        array_sort(collect_list(turnStruct)).as("arr"))
+      .withColumn("fp", md5(serialized(col("arr"))))
+      .drop("arr")
+      .withColumn("n_roles", col("n_roles").cast("long"))
+
+  /** Ordered transcript reconstruction: (conv_id, transcript) with turns
+    * serialized as "role: text" lines — the bridge from the turn table to
+    * the document-level curation family (quality, dedup, decontamination
+    * all run on the reconstructed text).
+    */
+  def transcriptText(turns: DataFrame): DataFrame =
+    turns.groupBy("conv_id")
+      .agg(array_sort(collect_list(turnStruct)).as("arr"))
+      .select(col("conv_id"), serialized(col("arr")).as("transcript"))
+
+  /** (conv_id, fp) only — the dedup key without the stats columns. */
+  def fingerprints(turns: DataFrame): DataFrame =
+    turns.groupBy("conv_id")
+      .agg(array_sort(collect_list(turnStruct)).as("arr"))
+      .select(col("conv_id"), md5(serialized(col("arr"))).as("fp"))
+
+  /** Whole-conversation exact dedup groups: fingerprint, group size, and
+    * the canonical keep (min conv_id) — the conversation-level analog of
+    * [[Dedup.exact]], for corpora where entire sessions are re-ingested.
+    * Second shuffle carries only (conv_id, fp) pairs, one row per
+    * conversation.
+    */
+  def dedupExact(turns: DataFrame): DataFrame =
+    fingerprints(turns)
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_convs"),
+        min(col("conv_id")).as("canonical_conv_id"))
+}

@@ -160,4 +160,85 @@ object TextStats {
           .when(col("alnum_ratio") < minAlnumRatio, "low_alnum_ratio")
           .when(col("stopword_hits") < minStopwordHits, "no_stopwords"))
       .withColumn("keep", col("fail_reason").isNull)
+
+  /** Gopher repetition signals (Rae et al. 2021, appendix A — the
+    * repetition-rule half of the published family, complementing
+    * [[qualityFilter]]'s content rules): per-document duplicate-line
+    * fractions plus the bullet-start / ellipsis-end formatting fractions.
+    *
+    * Computed entirely with array higher-order functions over the in-row
+    * line array — NO shuffle; at 100 TB these ride the same single map
+    * pass as the rest of the per-doc feature family. The duplicate scan is
+    * O(distinct_lines * lines) per document, bounded by document size, not
+    * corpus size. All arithmetic is exact-integer counts divided once at
+    * the end, so the DuckDB oracle reproduces every double bit-exactly.
+    *
+    * Columns added: `n_lines`, `dup_line_frac` (fraction of lines that are
+    * repeats beyond their first occurrence), `dup_line_char_frac` (fraction
+    * of line characters inside those repeats), `bullet_line_frac`,
+    * `ellipsis_line_frac`.
+    */
+  def repetitionSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val nLines = size(lines)
+    val nDistinct = size(array_distinct(lines))
+    def occ(l: Column): Column = size(filter(lines, x => x === l))
+    // chars in occurrences beyond each line's first = sum over DISTINCT
+    // lines of (occurrences - 1) * length
+    val dupChars = aggregate(array_distinct(lines), lit(0L),
+      (acc, l) => acc + ((occ(l) - lit(1)) * length(l)).cast("long"))
+    val totChars = aggregate(lines, lit(0L),
+      (acc, l) => acc + length(l).cast("long"))
+    val bulletLines =
+      size(filter(lines, l => l.rlike("^\\s*([-*•]|\\d+[.)])\\s")))
+    val ellipsisLines =
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$")))
+    def frac(num: Column, den: Column): Column =
+      num.cast("double") / greatest(den, lit(1)).cast("double")
+    docs
+      .withColumn("n_lines", nLines)
+      .withColumn("dup_line_frac", frac(nLines - nDistinct, nLines))
+      .withColumn("dup_line_char_frac", frac(dupChars, totChars))
+      .withColumn("bullet_line_frac", frac(bulletLines, nLines))
+      .withColumn("ellipsis_line_frac", frac(ellipsisLines, nLines))
+  }
+
+  /** Most frequent word n-gram per document and the fraction of the
+    * document's characters its occurrences cover — Gopher's "top n-gram
+    * character fraction" rule (drop when one phrase dominates the text).
+    *
+    * Unlike [[repetitionSignals]] this one counts gram MULTIPLICITY, so it
+    * explodes grams and aggregates per (doc, gram): one shuffle keyed by
+    * the doc id with map-side partial aggregation, then a per-doc top-1.
+    * The tie-break (max count, then lexicographically smallest gram) is
+    * total, so the result is deterministic and oracle-exact.
+    *
+    * Output: `idCol`, `top_gram`, `top_gram_n`, `top_gram_char_frac`
+    * (occurrences * gram length / document length). Documents with fewer
+    * than `n` tokens produce no grams and are absent from the output.
+    */
+  def topNgramCharFrac(docs: DataFrame, n: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = split(trim(lower(col(textCol))), "\\s+")
+    val grams = transform(
+      filter(
+        transform(sequence(lit(1), greatest(size(w) - lit(n - 1), lit(1))),
+          i => slice(w, i, lit(n))),
+        a => size(a) === lit(n)),
+      a => concat_ws(" ", a))
+    val win = Window.partitionBy(idCol)
+      .orderBy(col("top_gram_n").desc, col("top_gram"))
+    docs
+      .select(col(idCol), length(col(textCol)).as("doc_len"),
+        explode(grams).as("top_gram"))
+      .groupBy(idCol, "doc_len", "top_gram")
+      .agg(count(lit(1)).as("top_gram_n"))
+      .withColumn("rn", row_number().over(win))
+      .where(col("rn") === 1)
+      .select(col(idCol), col("top_gram"), col("top_gram_n"),
+        ((col("top_gram_n") * length(col("top_gram"))).cast("double") /
+          greatest(col("doc_len"), lit(1)).cast("double"))
+          .as("top_gram_char_frac"))
+  }
 }

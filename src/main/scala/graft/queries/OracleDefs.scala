@@ -855,4 +855,119 @@ object OracleDefs {
       |SELECT doc_id, count(*) AS shared_ngrams
       |FROM tg JOIN eg USING (gram)
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q48 mirror: derived multi-line corpus (40 groups, docs 0..59 appended
+    * once more), Gopher duplicate-line fractions via unnest+group, top
+    * word-2-gram by multiplicity with the (count DESC, gram ASC) tie-break,
+    * and the two-rule keep/drop. All fractions are exact-integer divisions,
+    * so the doubles hash-match Spark's.
+    */
+  val textRepetition: String =
+    """WITH c AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id, text FROM documents WHERE doc_id < 60
+      |),
+      |corpus AS (
+      |  SELECT doc_id % 40 AS g,
+      |         string_agg(text, chr(10) ORDER BY doc_id, text) AS txt
+      |  FROM c GROUP BY 1
+      |),
+      |lines AS (
+      |  SELECT g, unnest(string_split(txt, chr(10))) AS line FROM corpus
+      |),
+      |per_line AS (
+      |  SELECT g, line, count(*) AS c, length(line) AS len
+      |  FROM lines GROUP BY 1, 2
+      |),
+      |rep AS (
+      |  SELECT g,
+      |    CAST(sum(c) AS BIGINT) AS n_lines,
+      |    CAST(sum(c) - count(*) AS DOUBLE) / CAST(greatest(sum(c), 1) AS DOUBLE)
+      |      AS dup_line_frac,
+      |    CAST(sum((c - 1) * len) AS DOUBLE) /
+      |      CAST(greatest(sum(c * len), 1) AS DOUBLE) AS dup_line_char_frac
+      |  FROM per_line GROUP BY 1
+      |),
+      |tok AS (
+      |  SELECT g, length(txt) AS doc_len,
+      |         string_split_regex(lower(trim(txt)), '\s+') AS w
+      |  FROM corpus
+      |),
+      |grams AS (
+      |  SELECT g, doc_len,
+      |         unnest([array_to_string(list_slice(w, i, i+1), ' ')
+      |                 for i in generate_series(1, greatest(len(w)-1, 0))])
+      |           AS gram
+      |  FROM tok
+      |),
+      |gc AS (
+      |  SELECT g, doc_len, gram, count(*) AS c FROM grams GROUP BY 1, 2, 3
+      |),
+      |top AS (
+      |  SELECT g, gram AS top_gram, CAST(c AS BIGINT) AS top_gram_n,
+      |    CAST(c * length(gram) AS DOUBLE) /
+      |      CAST(greatest(doc_len, 1) AS DOUBLE) AS top_gram_char_frac,
+      |    row_number() OVER (PARTITION BY g ORDER BY c DESC, gram) AS rn
+      |  FROM gc
+      |),
+      |joined AS (
+      |  SELECT rep.g, n_lines, dup_line_frac, dup_line_char_frac,
+      |         top_gram, top_gram_n, top_gram_char_frac,
+      |    CASE WHEN dup_line_frac > 0.1 THEN 'dup_lines'
+      |         WHEN top_gram_char_frac > 0.016 THEN 'top_2gram'
+      |         END AS fail_reason
+      |  FROM rep JOIN top ON rep.g = top.g AND top.rn = 1
+      |)
+      |SELECT g, n_lines, dup_line_frac, dup_line_char_frac, top_gram,
+      |       top_gram_n, top_gram_char_frac, fail_reason,
+      |       (fail_reason IS NULL) AS keep
+      |FROM joined ORDER BY g""".stripMargin
+
+  // goldTurns mirror shared by the conversation-rollup oracles (same
+  // synthesized text as scanStats/matchGold, plus the transcript columns)
+  private val goldTurnsSql: String =
+    """SELECT 'conv-'||(user_id%50) AS conv_id,
+      |       event_id AS turn_idx,
+      |       event_type AS role,
+      |       CASE event_id%5
+      |         WHEN 0 THEN 'saw 10.'||(event_id%20)||'.2.3 in log'
+      |         WHEN 1 THEN 'ping evil'||(event_id%3)||'.example.com now'
+      |         WHEN 2 THEN 'hash '||md5((event_id%4)::VARCHAR)||' seen'
+      |         WHEN 3 THEN 'visit clean'||(event_id%5)||'.org today'
+      |         ELSE 'all quiet here' END AS text,
+      |       ts
+      |FROM events""".stripMargin
+
+  /** q49 mirror: per-conversation rollup — exact integer arithmetic
+    * (epoch_us spans match Spark's unix_micros) and the ordered-transcript
+    * md5 fingerprint.
+    */
+  val convStats: String =
+    s"""WITH t AS ($goldTurnsSql)
+       |SELECT conv_id,
+       |  count(*) AS n_turns,
+       |  CAST(len(list_distinct(list(role))) AS BIGINT) AS n_roles,
+       |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       |  CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS span_us,
+       |  md5(string_agg(role||': '||text, chr(10) ORDER BY turn_idx)) AS fp
+       |FROM t GROUP BY 1 ORDER BY conv_id""".stripMargin
+
+  /** q50 mirror: whole-conversation exact dedup with conversations 0..9
+    * re-ingested under a "dup-" prefix.
+    */
+  val convDedup: String =
+    s"""WITH t AS ($goldTurnsSql),
+       |all_t AS (
+       |  SELECT * FROM t
+       |  UNION ALL
+       |  SELECT 'dup-'||conv_id, turn_idx, role, text, ts FROM t
+       |  WHERE conv_id IN (${(0 until 10).map(i => s"'conv-$i'").mkString(", ")})
+       |),
+       |fp AS (
+       |  SELECT conv_id,
+       |    md5(string_agg(role||': '||text, chr(10) ORDER BY turn_idx)) AS fp
+       |  FROM all_t GROUP BY 1
+       |)
+       |SELECT fp, count(*) AS n_convs, min(conv_id) AS canonical_conv_id
+       |FROM fp GROUP BY 1 ORDER BY fp""".stripMargin
 }

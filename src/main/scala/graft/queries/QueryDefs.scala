@@ -608,4 +608,57 @@ object QueryDefs {
       docs.where(col("doc_id") % 11 === 0), n = 4)
       .orderBy("doc_id")
   }
+
+  /** q48: Gopher repetition rules (the other half of the published quality
+    * family next to q42's content rules) over a derived MULTI-LINE corpus:
+    * documents grouped 40-ways on doc_id, ordered-concatenated with \n,
+    * with docs 0..59 appended once more so groups 0..19 carry two
+    * duplicated lines and 20..39 one — dup_line_frac then splits the
+    * groups across the keep threshold, exercising both verdicts. The top
+    * word-2-gram rule runs on the same corpus (multiplicity-counted,
+    * deterministic tie-break).
+    */
+  def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.unionAll(docs.where(col("doc_id") < 60))
+      .withColumn("g", pmod(col("doc_id"), lit(40)))
+      .groupBy("g")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("text"))))
+        .as("arr"))
+      .withColumn("txt",
+        concat_ws("\n", transform(col("arr"), x => x.getField("text"))))
+      .select(col("g"), col("txt"))
+    val rep = TextStats.repetitionSignals(corpus, "txt")
+      .select(col("g"), col("n_lines").cast("long").as("n_lines"),
+        col("dup_line_frac"), col("dup_line_char_frac"))
+    val top = TextStats.topNgramCharFrac(corpus, n = 2,
+      textCol = "txt", idCol = "g")
+    rep.join(top, Seq("g"))
+      .withColumn("fail_reason",
+        when(col("dup_line_frac") > 0.1, "dup_lines")
+          .when(col("top_gram_char_frac") > 0.016, "top_2gram"))
+      .withColumn("keep", col("fail_reason").isNull)
+      .orderBy("g")
+  }
+
+  /** q49: per-conversation rollup over the gold transcript table — turn
+    * count, distinct roles, text chars, wall-clock span (exact micros),
+    * and the whole-conversation fingerprint under stable turn order.
+    */
+  def qConvStats(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Conversations.stats(goldTurns(s, dir))
+      .orderBy("conv_id")
+
+  /** q50: whole-conversation exact dedup — conversations 0..9 re-ingested
+    * under a "dup-" prefix must collapse onto their originals (n_convs=2,
+    * canonical = the original id); the other 40 stay singletons.
+    */
+  def qConvDedup(s: SparkSession, dir: String): DataFrame = {
+    val turns = goldTurns(s, dir)
+    val dups = turns
+      .where(col("conv_id").isin((0 until 10).map("conv-" + _): _*))
+      .withColumn("conv_id", concat(lit("dup-"), col("conv_id")))
+    graft.ops.Conversations.dedupExact(turns.unionByName(dups))
+      .orderBy("fp")
+  }
 }

@@ -1,0 +1,59 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Conversation-level rollups: stats, ordered reconstruction, exact dedup. */
+class ConversationsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def ts(ms: Long) = new Timestamp(ms)
+
+  // out-of-order turn rows on purpose: ordering must come from turn_idx
+  private lazy val turns = Seq(
+    ("c1", 1, "assistant", "hi there", "", ts(2000)),
+    ("c1", 0, "user", "hello", "", ts(1000)),
+    ("c1", 2, "user", "bye", "", ts(3500)),
+    ("c2", 0, "user", "hello", "", ts(5000))
+  ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+  test("stats: counts, span in exact micros, order-stable fingerprint") {
+    val r = Conversations.stats(turns).orderBy("conv_id").collect()
+    val c1 = r(0)
+    assert(c1.getAs[String]("conv_id") == "c1")
+    assert(c1.getAs[Long]("n_turns") == 3L)
+    assert(c1.getAs[Long]("n_roles") == 2L)
+    assert(c1.getAs[Long]("n_chars") == ("hello" + "hi there" + "bye").length)
+    assert(c1.getAs[Long]("span_us") == 2500L * 1000)
+    // fingerprint is over turn_idx order, not row order
+    val shuffled = turns.orderBy(rand(7))
+    assert(Conversations.stats(shuffled).orderBy("conv_id").collect()
+      .map(_.getAs[String]("fp")).toSeq ==
+      r.map(_.getAs[String]("fp")).toSeq)
+  }
+
+  test("transcriptText reconstructs role-prefixed lines in turn order") {
+    val m = Conversations.transcriptText(turns).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("c1") == "user: hello\nassistant: hi there\nuser: bye")
+    assert(m("c2") == "user: hello")
+  }
+
+  test("dedupExact collapses identical conversations onto min conv_id") {
+    val dup = turns.where($"conv_id" === "c1")
+      .withColumn("conv_id", lit("z-copy"))
+      // different timestamps must NOT defeat text-identity dedup
+      .withColumn("ts", col("ts") + expr("INTERVAL 1 HOUR"))
+    val out = Conversations.dedupExact(turns.unionByName(dup))
+      .orderBy("canonical_conv_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("canonical_conv_id") == "c1")
+    assert(out(0).getAs[Long]("n_convs") == 2L)
+    assert(out(1).getAs[String]("canonical_conv_id") == "c2")
+    assert(out(1).getAs[Long]("n_convs") == 1L)
+  }
+}
