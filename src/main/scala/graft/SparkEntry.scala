@@ -94,7 +94,9 @@ object SparkEntry {
     "q48_text_repetition" -> (QueryDefs.qTextRepetition _),
     // conversation-level rollups over the transcript table (round 4)
     "q49_conv_stats" -> (QueryDefs.qConvStats _),
-    "q50_conv_dedup" -> (QueryDefs.qConvDedup _)
+    "q50_conv_dedup" -> (QueryDefs.qConvDedup _),
+    // SemDeDup: semantic near-dup pruning inside k-means clusters (round 4)
+    "q51_sem_dedup" -> (QueryDefs.qSemDedup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -147,6 +149,7 @@ object SparkEntry {
     "q47_decontaminate" -> OracleDefs.decontaminate,
     "q48_text_repetition" -> OracleDefs.textRepetition,
     "q49_conv_stats" -> OracleDefs.convStats,
-    "q50_conv_dedup" -> OracleDefs.convDedup
+    "q50_conv_dedup" -> OracleDefs.convDedup,
+    "q51_sem_dedup" -> OracleDefs.semDedup
   )
 }

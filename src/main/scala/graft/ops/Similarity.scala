@@ -271,4 +271,57 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "rank", "corpus_id", "cosine")
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup
+    * pruning via k-means clustering — candidate pairs are generated only
+    * WITHIN a cluster, so the quadratic pair cost is bounded by cluster
+    * size, never corpus size (at 100 TB, nlist scales with the corpus and
+    * `maxClusterSize` is the hard skew cap, the same guard family as
+    * lshTopK/ivfTopK).
+    *
+    * Coarse quantizer = [[ivfCentroids]] (deterministic init + optional
+    * seeded Lloyd rounds — both oracle-reproducible). Drop rule
+    * (keep-first, consistent with the rest of the dedup family): a vector
+    * is dropped iff its cluster holds a LOWER-id vector with cosine >=
+    * `threshold`; `dup_of` is the smallest such id. The cap bounds only
+    * PAIR GENERATION (by vec_id order): capped-out vectors still appear in
+    * the output as keepers, so the cap degrades recall, never coverage.
+    *
+    * Output: one row per corpus vector —
+    * (vec_id, centroid_id, dup_of, keep).
+    */
+  def semDedup(corpus: DataFrame, threshold: Double, nlist: Int = 8,
+      lloydRounds: Int = 0, maxClusterSize: Int = 0): DataFrame = {
+    val q = corpus.select(col("vec_id"), quantize(col("embedding")).as("qv"))
+    val cents = ivfCentroids(corpus, nlist, lloydRounds)
+    val cw = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("centroid_id").asc)
+    val assigned = q.join(broadcast(cents))
+      .select(col("vec_id"), col("qv"), col("centroid_id"),
+        cosineQ(col("qv"), col("cv")).as("ccos"))
+      .withColumn("crank", row_number().over(cw))
+      .where(col("crank") === 1)
+      .select("centroid_id", "vec_id", "qv")
+    val participants =
+      if (maxClusterSize <= 0) assigned
+      else {
+        val bw = Window.partitionBy("centroid_id")
+          .orderBy(col("vec_id").asc)
+        assigned.withColumn("bpos", row_number().over(bw))
+          .where(col("bpos") <= maxClusterSize).drop("bpos")
+      }
+    val px = participants.select(col("centroid_id"),
+      col("vec_id"), col("qv"))
+    val py = participants.select(col("centroid_id"),
+      col("vec_id").as("cand"), col("qv").as("qv2"))
+    val dups = px.join(py,
+        px("centroid_id") === py("centroid_id") && col("vec_id") > col("cand"))
+      .select(col("vec_id"), col("cand"),
+        cosineQ(col("qv"), col("qv2")).as("cosine"))
+      .where(col("cosine") >= threshold)
+      .groupBy("vec_id").agg(min(col("cand")).as("dup_of"))
+    assigned.select("vec_id", "centroid_id")
+      .join(dups, Seq("vec_id"), "left")
+      .withColumn("keep", col("dup_of").isNull)
+  }
 }

@@ -970,4 +970,34 @@ object OracleDefs {
        |)
        |SELECT fp, count(*) AS n_convs, min(conv_id) AS canonical_conv_id
        |FROM fp GROUP BY 1 ORDER BY fp""".stripMargin
+
+  /** q51 mirror: SemDeDup — init-only centroid assignment, within-cluster
+    * pairs capped at 40 participants per cluster, keep-first drop rule.
+    */
+  val semDedup: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, $qv AS v FROM embeddings WHERE vec_id < 300),
+       |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM base
+       |          ORDER BY vec_id LIMIT 8),
+       |ranked AS (
+       |  SELECT vec_id, v, centroid_id,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY ${cosine("v", "cv")} DESC, centroid_id ASC) AS crank
+       |  FROM base CROSS JOIN cents),
+       |a AS (SELECT centroid_id, vec_id, v FROM ranked WHERE crank = 1),
+       |capped AS (
+       |  SELECT centroid_id, vec_id, v FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY centroid_id
+       |      ORDER BY vec_id ASC) AS bpos FROM a)
+       |  WHERE bpos <= 40),
+       |dups AS (
+       |  SELECT x.vec_id, min(y.vec_id) AS dup_of
+       |  FROM capped x JOIN capped y
+       |    ON x.centroid_id = y.centroid_id AND x.vec_id > y.vec_id
+       |  WHERE ${cosine("x.v", "y.v")} >= 0.35
+       |  GROUP BY 1)
+       |SELECT a.vec_id, a.centroid_id, dups.dup_of,
+       |       (dups.dup_of IS NULL) AS keep
+       |FROM a LEFT JOIN dups ON a.vec_id = dups.vec_id
+       |ORDER BY a.vec_id""".stripMargin
 }

@@ -661,4 +661,15 @@ object QueryDefs {
     graft.ops.Conversations.dedupExact(turns.unionByName(dups))
       .orderBy("fp")
   }
+
+  /** q51: SemDeDup — semantic near-dup pruning inside k-means clusters.
+    * Thresholds chosen so the sf0.01 fixture drops 28 of 300 vectors and
+    * the cluster cap actually bites (largest cluster 44 > cap 40), so the
+    * cap's coverage guarantee (capped-out vectors keep, never vanish) is
+    * oracle-checked too.
+    */
+  def qSemDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(t(s, dir, "embeddings").where(col("vec_id") < 300),
+      threshold = 0.35, nlist = 8, maxClusterSize = 40)
+      .orderBy("vec_id")
 }
