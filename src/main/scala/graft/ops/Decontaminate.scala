@@ -16,20 +16,34 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  /** Distinct word n-grams of whitespace-split lowercased text, as an
-    * array column (the normalization mirrors `TextStats`/simhash
-    * tokenization so "overlap" means the same thing across ops).
+  /** Distinct word n-grams built from an ALREADY-MATERIALIZED token-array
+    * column. The tokens must be a plain attribute reference: higher-order
+    * -function lambdas re-evaluate non-lambda subexpressions per element,
+    * so inlining the `split()` here would re-split the document once per
+    * token — O(tokens^2) in the document length (the q48 lesson).
     */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val w = split(trim(lower(text)), "\\s+")
+  def ngramsOfTokens(toks: Column, n: Int): Column =
     array_distinct(
       transform(
         filter(
-          transform(sequence(lit(1), greatest(size(w) - lit(n - 1), lit(1))),
-            i => slice(w, i, lit(n))),
+          transform(
+            sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(1))),
+            i => slice(toks, i, lit(n))),
           a => size(a) === lit(n)),
         a => concat_ws(" ", a)))
-  }
+
+  /** Whitespace-split lowercased tokens (the normalization mirrors
+    * `TextStats`/simhash tokenization so "overlap" means the same thing
+    * across ops). Materialize this as a column BEFORE feeding it to
+    * [[ngramsOfTokens]].
+    */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  private def explodedGrams(df: DataFrame, textCol: String, n: Int,
+      keep: Column*): DataFrame =
+    df.select(keep :+ tokens(col(textCol)).as("__graft_toks"): _*)
+      .select(keep :+ explode(ngramsOfTokens(col("__graft_toks"), n))
+        .as("gram"): _*)
 
   /** Per-document count of distinct word n-grams shared with ANY eval
     * document: `(idCol, shared_ngrams)`, only documents with >= 1 shared
@@ -37,10 +51,8 @@ object Decontaminate {
     */
   def contaminationScores(docs: DataFrame, evalDocs: DataFrame, n: Int = 13,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val evalGrams = evalDocs
-      .select(explode(wordNgrams(col(textCol), n)).as("gram")).distinct()
-    docs
-      .select(col(idCol), explode(wordNgrams(col(textCol), n)).as("gram"))
+    val evalGrams = explodedGrams(evalDocs, textCol, n).distinct()
+    explodedGrams(docs, textCol, n, col(idCol))
       .join(broadcast(evalGrams), Seq("gram"))
       .groupBy(idCol).agg(count(lit(1)).as("shared_ngrams"))
   }

@@ -36,29 +36,54 @@ object Dedup {
       .agg(min("doc_id").as("canonical_doc_id"),
         count(lit(1)).as("n_docs"))
 
-  /** MinHash signature: h_i(doc) = min over shingles of md5(i || '|' ||
-    * shingle) — string-min over hex digests is a valid exchangeable hash
-    * family and is reproducible in any engine with md5.
+  /** MinHash signature terms over an ALREADY-MATERIALIZED shingle-array
+    * column: h_i(doc) = min over shingles of md5(i || '|' || shingle) —
+    * string-min over hex digests is a valid exchangeable hash family and
+    * is reproducible in any engine with md5. `sh` must be a plain
+    * attribute reference: each term's `transform` would otherwise
+    * re-evaluate the whole shingle computation once per term.
     */
-  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
-    val sh = shingles(text, k)
-    array((0 until numHashes).map { i =>
+  private def minhashSigTerms(sh: Column, numHashes: Int): Seq[Column] =
+    (0 until numHashes).map { i =>
       array_min(transform(sh, s => md5(concat(lit(i.toString), lit("|"), s))))
-    }: _*)
-  }
+    }
 
-  /** Per-band LSH bucket keys: element i = the "#"-joined minhash slice of
-    * band i. THE definition of "near" for banding — shared by the batch
-    * pair generator and both streaming claim variants
+  /** Per-band LSH bucket keys of a signature column: element b = the
+    * "#"-joined minhash slice of band b, as a STATIC array (no lambda, so
+    * `sig` is never re-evaluated per band). THE definition of "near" for
+    * banding — single-sourced through [[bandedMinhash]] for the batch pair
+    * generator and both streaming claim variants
     * ([[graft.streaming.StreamingDedup.startNearDup]] / `startNearDupTtl`)
     * so the three can never drift apart.
     */
-  def lshBandKeys(text: Column, k: Int, numHashes: Int, bands: Int): Column = {
+  private def bandKeyCols(sig: Column, numHashes: Int, bands: Int): Column = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sig = minhashSignature(text, k, numHashes)
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => concat_ws("#", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
+    array((0 until bands).map { b =>
+      concat_ws("#", slice(sig, b * rowsPerBand + 1, rowsPerBand))
+    }: _*)
+  }
+
+  /** One banded row per (input row, band): `keep..., band_idx, band_key`.
+    *
+    * The shingle array and the signature array are STAGED as materialized
+    * columns (each referenced several times downstream, so CollapseProject
+    * keeps the projections): shingling runs ONCE per doc and the md5 sweep
+    * once per hash — the naive single-expression form re-computed the full
+    * signature (shingles + numHashes md5 sweeps) once per band because
+    * higher-order-function lambdas re-evaluate non-lambda subexpressions
+    * per element.
+    */
+  def bandedMinhash(df: DataFrame, textCol: String, k: Int, numHashes: Int,
+      bands: Int, keep: Seq[String]): DataFrame = {
+    val keepCols = keep.map(col)
+    df.select(keepCols :+ shingles(col(textCol), k).as("__graft_sh"): _*)
+      .select(keepCols :+
+        array(minhashSigTerms(col("__graft_sh"), numHashes): _*)
+          .as("__graft_sig"): _*)
+      .select(keepCols :+
+        posexplode(bandKeyCols(col("__graft_sig"), numHashes, bands))
+          .as(Seq("band_idx", "band_key")): _*)
   }
 
   /** Cap one side of a band-bucket self-join to its first `cap` doc_ids per
@@ -90,9 +115,8 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, k: Int = 5, numHashes: Int = 8,
       bands: Int = 4, maxBandDf: Int = 0): DataFrame = {
-    val banded = docs.select(col("doc_id"),
-      posexplode(lshBandKeys(col("text"), k, numHashes, bands))
-        .as(Seq("band_idx", "band_key")))
+    val banded = bandedMinhash(docs, "text", k, numHashes, bands,
+      keep = Seq("doc_id"))
     // cap the LEFT (smaller-id) side: pairs are (a, b) with a < b, so the
     // capped side must be the one holding the bucket's smallest ids — every
     // beyond-cap doc still pairs (as doc_b) with the first maxBandDf members
@@ -303,9 +327,14 @@ object Dedup {
     */
   def embeddingCosinePairs(embeddings: DataFrame, minCosine: Double,
       planes: Int = 6): DataFrame = {
-    val q = embeddings.select(col("vec_id"),
-      Similarity.quantize(col("embedding")).as("qv"),
-      Similarity.lshBucket(col("embedding"), planes).as("bucket"))
+    // stage the quantized vector, then bucket from the attribute (the
+    // bucket expression references it 2 x planes times — see
+    // Similarity.quantizeChecked)
+    val q = embeddings
+      .select(col("vec_id"),
+        Similarity.quantizeChecked(col("embedding")).as("qv"))
+      .select(col("vec_id"), col("qv"),
+        Similarity.lshBucketOfQ(col("qv"), planes).as("bucket"))
     q.as("a").join(q.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))

@@ -87,20 +87,33 @@ object Similarity {
     * collapse every oversized vector into bucket 0 — one hot bucket and
     * quadratic blowup instead of an error.
     */
-  def lshBucket(v: Column, planes: Int, table: Int = 0): Column = {
+  def lshBucket(v: Column, planes: Int, table: Int = 0): Column =
+    lshBucketOfQ(quantizeChecked(v), planes, table)
+
+  /** [[quantize]] plus the MaxDim loud-failure guard. DataFrame-level ops
+    * should materialize THIS as a column and feed the attribute to
+    * [[lshBucketOfQ]]: bucket expressions reference the quantized vector
+    * 2 x planes times, so an inlined quantize would be re-evaluated that
+    * many times per row (x tables) — attribute references are O(1).
+    */
+  def quantizeChecked(v: Column): Column = {
     val checked = when(
       assert_true(size(v) <= MaxDim,
         lit(s"embedding dimensionality exceeds Similarity.MaxDim=$MaxDim"))
         .isNull, v)
-    val q = quantize(checked)
+    quantize(checked)
+  }
+
+  /** LSH bucket id over an ALREADY-MATERIALIZED quantized-vector column
+    * (see [[quantizeChecked]]). */
+  def lshBucketOfQ(qv: Column, planes: Int, table: Int = 0): Column =
     (0 until planes).map { p =>
       val signs = typedlit(signTable(table, p))
       val proj = aggregate(
-        zip_with(q, slice(signs, lit(1), size(q)), (x, s) => x * s),
+        zip_with(qv, slice(signs, lit(1), size(qv)), (x, s) => x * s),
         lit(0L), (acc, x) => acc + x)
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
-  }
 
   /** Deterministic k-means centroids for the IVF coarse quantizer.
     *
@@ -236,11 +249,16 @@ object Similarity {
     */
   def lshTopK(corpus: DataFrame, k: Int, planes: Int = 6, tables: Int = 1,
       maxBucketSize: Int = 0): DataFrame = {
-    val withBucket = corpus.select(col("vec_id"),
-      quantize(col("embedding")).as("qv"),
-      posexplode(array((0 until tables).map(t =>
-        lshBucket(col("embedding"), planes, t)): _*))
-        .as(Seq("table_idx", "bucket")))
+    // quantize ONCE into a materialized column; the per-table bucket
+    // expressions then only reference the attribute (the quantize would
+    // otherwise re-run 2 x planes x tables times per row — HOF arg
+    // positions re-evaluate their subexpression at every use site)
+    val withBucket = corpus
+      .select(col("vec_id"), quantizeChecked(col("embedding")).as("qv"))
+      .select(col("vec_id"), col("qv"),
+        posexplode(array((0 until tables).map(t =>
+          lshBucketOfQ(col("qv"), planes, t)): _*))
+          .as(Seq("table_idx", "bucket")))
     val corpusSide = {
       val base = withBucket.select(col("table_idx"), col("bucket"),
         col("vec_id").as("corpus_id"), col("qv").as("cq"))

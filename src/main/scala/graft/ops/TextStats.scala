@@ -168,10 +168,12 @@ object TextStats {
     *
     * Computed entirely with array higher-order functions over the in-row
     * line array — NO shuffle; at 100 TB these ride the same single map
-    * pass as the rest of the per-doc feature family. The duplicate scan is
-    * O(distinct_lines * lines) per document, bounded by document size, not
-    * corpus size. All arithmetic is exact-integer counts divided once at
-    * the end, so the DuckDB oracle reproduces every double bit-exactly.
+    * pass as the rest of the per-doc feature family. The duplicate scan
+    * sorts the line array once and counts adjacent repeats in a single
+    * linear pass, so cost is O(lines log lines) per document, bounded by
+    * document size, not corpus size. All arithmetic is exact-integer
+    * counts divided once at the end, so the DuckDB oracle reproduces
+    * every double bit-exactly.
     *
     * Columns added: `n_lines`, `dup_line_frac` (fraction of lines that are
     * repeats beyond their first occurrence), `dup_line_char_frac` (fraction
@@ -179,14 +181,26 @@ object TextStats {
     * `ellipsis_line_frac`.
     */
   def repetitionSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val lines = split(col(textCol), "\n")
+    // split ONCE into a staged column — the five stats below reference the
+    // line array eight times, and each reference would otherwise re-split
+    // the full text (same single-pass discipline as topNgramCharFrac)
+    val lines = col("__graft_lines")
     val nLines = size(lines)
     val nDistinct = size(array_distinct(lines))
-    def occ(l: Column): Column = size(filter(lines, x => x === l))
-    // chars in occurrences beyond each line's first = sum over DISTINCT
-    // lines of (occurrences - 1) * length
-    val dupChars = aggregate(array_distinct(lines), lit(0L),
-      (acc, l) => acc + ((occ(l) - lit(1)) * length(l)).cast("long"))
+    // chars in occurrences beyond each line's first = sum over each line
+    // value with k occurrences of (k - 1) * length. Equal lines are
+    // adjacent after a sort, so one linear pass with a (prev, sum)
+    // accumulator counts exactly the occurrences beyond the first.
+    val dupChars = aggregate(
+      array_sort(lines),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("dup")),
+      (acc, x) => struct(
+        x.as("prev"),
+        (acc.getField("dup") +
+          when(acc.getField("prev").isNotNull &&
+            x === acc.getField("prev"), length(x).cast("long"))
+            .otherwise(lit(0L))).as("dup")),
+      acc => acc.getField("dup"))
     val totChars = aggregate(lines, lit(0L),
       (acc, l) => acc + length(l).cast("long"))
     val bulletLines =
@@ -196,11 +210,13 @@ object TextStats {
     def frac(num: Column, den: Column): Column =
       num.cast("double") / greatest(den, lit(1)).cast("double")
     docs
+      .withColumn("__graft_lines", split(col(textCol), "\n"))
       .withColumn("n_lines", nLines)
       .withColumn("dup_line_frac", frac(nLines - nDistinct, nLines))
       .withColumn("dup_line_char_frac", frac(dupChars, totChars))
       .withColumn("bullet_line_frac", frac(bulletLines, nLines))
       .withColumn("ellipsis_line_frac", frac(ellipsisLines, nLines))
+      .drop("__graft_lines")
   }
 
   /** Most frequent word n-gram per document and the fraction of the
@@ -220,18 +236,26 @@ object TextStats {
   def topNgramCharFrac(docs: DataFrame, n: Int = 2,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = split(trim(lower(col(textCol))), "\\s+")
-    val grams = transform(
-      filter(
-        transform(sequence(lit(1), greatest(size(w) - lit(n - 1), lit(1))),
-          i => slice(w, i, lit(n))),
-        a => size(a) === lit(n)),
-      a => concat_ws(" ", a))
+    // Tokenize ONCE into a materialized column. Higher-order-function
+    // lambdas re-evaluate every non-lambda subexpression per element (no
+    // CSE, no codegen), so putting the split() inside the slice lambda
+    // re-splits the whole document once per token — O(tokens^2) in the
+    // document length. An attribute reference is an O(1) row-slot read.
+    val toks = col("__graft_toks")
+    // Gram construction as a zip_with CHAIN over n shifted views of the
+    // token array (n-1 linear passes, lambdas touch only lambda vars) —
+    // no per-gram slice mini-arrays, no filter pass. All n shifted slices
+    // have length max(T-n+1, 0), so short docs yield zero grams.
+    val gramLen = greatest(size(toks) - lit(n - 1), lit(0))
+    val grams = (0 until n)
+      .map(j => slice(toks, lit(j + 1), gramLen))
+      .reduce((acc, s) => zip_with(acc, s, (a, b) => concat_ws(" ", a, b)))
     val win = Window.partitionBy(idCol)
       .orderBy(col("top_gram_n").desc, col("top_gram"))
     docs
       .select(col(idCol), length(col(textCol)).as("doc_len"),
-        explode(grams).as("top_gram"))
+        split(trim(lower(col(textCol))), "\\s+").as("__graft_toks"))
+      .select(col(idCol), col("doc_len"), explode(grams).as("top_gram"))
       .groupBy(idCol, "doc_len", "top_gram")
       .agg(count(lit(1)).as("top_gram_n"))
       .withColumn("rn", row_number().over(win))

@@ -163,7 +163,7 @@ object StreamingDedup {
     *
     * Semantics — the streaming analog of batch
     * `nearDupClusters(keep canonical)`: each doc claims its `bands` LSH
-    * buckets (`Dedup.minhashSignature` banding, identical to the batch
+    * buckets (`Dedup.bandedMinhash` banding, identical to the batch
     * `minhashLshPairs` keys, so the two agree on what "near" means); a doc
     * is KEPT iff every one of its buckets was unclaimed at arrival
     * (within a batch, the smallest doc_id in a fresh bucket wins it).
@@ -191,10 +191,9 @@ object StreamingDedup {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     import spark.implicits._
     val stream = spark.readStream.schema(docSchema).json(inDir)
-    val banded = stream
-      .select(col("doc_id"), col("text"),
-        posexplode(graft.ops.Dedup.lshBandKeys(col("text"), k, numHashes, bands))
-          .as(Seq("band_idx", "band_key")))
+    val banded = graft.ops.Dedup
+      .bandedMinhash(stream, "text", k, numHashes, bands,
+        keep = Seq("doc_id", "text"))
       .select(col("doc_id"), col("text"),
         concat_ws("|", col("band_idx"), col("band_key")).as("bucket"))
       .as[(Long, String, String)]
@@ -245,12 +244,10 @@ object StreamingDedup {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     import spark.implicits._
     val stream = spark.readStream.schema(docTsSchema).json(inDir)
-    val banded = stream
-      .where(col("ts").isNotNull)
-      .withWatermark("ts", watermarkDelay)
-      .select(col("doc_id"), col("text"), col("ts"),
-        posexplode(graft.ops.Dedup.lshBandKeys(col("text"), k, numHashes, bands))
-          .as(Seq("band_idx", "band_key")))
+    val banded = graft.ops.Dedup
+      .bandedMinhash(
+        stream.where(col("ts").isNotNull).withWatermark("ts", watermarkDelay),
+        "text", k, numHashes, bands, keep = Seq("doc_id", "text", "ts"))
       .select(col("doc_id"), col("text"), col("ts"),
         concat_ws("|", col("band_idx"), col("band_key")).as("bucket"))
       .as[(Long, String, java.sql.Timestamp, String)]

@@ -74,5 +74,58 @@ class TextRepetitionSpec extends AnyFunSuite {
     val plan = TextStats.repetitionSignals(df)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    // the staged line array must survive optimization: one split, not one
+    // per derived stat (the five stats reference the array eight times);
+    // range source so ConvertToLocalRelation can't fold the plan away
+    val opt = TextStats.repetitionSignals(rangeDocs("a\nb\na\n"))
+      .queryExecution.optimizedPlan.toString
+    val splits = "split\\(".r.findAllIn(opt).length
+    assert(splits == 1, s"expected 1 split, found $splits:\n$opt")
+  }
+
+  test("topNgramCharFrac: trigrams (n=3) via the zip_with chain") {
+    // "x y x y x y" -> trigrams: "x y x" x2, "y x y" x1 (doc_len = 11)
+    val df = Seq((1L, "x y x y x y")).toDF("doc_id", "text")
+    val r = TextStats.topNgramCharFrac(df, n = 3).collect().head
+    assert(r.getAs[String]("top_gram") == "x y x")
+    assert(r.getAs[Long]("top_gram_n") == 2L)
+    assert(r.getAs[Double]("top_gram_char_frac") == 2.0 * 5.0 / 11.0)
+  }
+
+  // The q48 lesson, pinned: higher-order-function lambdas re-evaluate
+  // non-lambda subexpressions per ELEMENT (no CSE, no codegen), so the
+  // tokenizing split() must be materialized as its own projection and only
+  // referenced (O(1)) from the gram lambdas. If a future optimizer change
+  // (CollapseProject heuristics) inlined it back, the plan would carry the
+  // split inside a lambda again and gram construction would be O(tokens^2)
+  // in the document length (observed: 407 s for 40 multi-MB docs).
+  // spark.range sources (NOT Seq.toDF): a LocalRelation gets its projections
+  // constant-folded away by ConvertToLocalRelation, hiding the plan shape.
+  private def rangeDocs(text: String) =
+    spark.range(2).select(col("id").as("doc_id"),
+      concat(lit(text), col("id")).as("text"))
+
+  test("topNgramCharFrac: exactly one split() in the optimized plan") {
+    val plan = TextStats.topNgramCharFrac(rangeDocs("a b c a b "), n = 2)
+      .queryExecution.optimizedPlan.toString
+    val splits = "split\\(".r.findAllIn(plan).length
+    assert(splits == 1, s"expected 1 split, found $splits:\n$plan")
+  }
+
+  test("bandedMinhash: exactly one shingle pass in the optimized plan") {
+    val plan = Dedup
+      .bandedMinhash(rangeDocs("abcdefghij "), "text", k = 5, numHashes = 8,
+        bands = 4, keep = Seq("doc_id"))
+      .queryExecution.optimizedPlan.toString
+    val substrs = "substr\\(".r.findAllIn(plan).length
+    assert(substrs == 1, s"expected 1 shingle substring, found $substrs:\n$plan")
+  }
+
+  test("contaminationScores: one split per side in the optimized plan") {
+    val plan = Decontaminate
+      .contaminationScores(rangeDocs("a b c d "), rangeDocs("c d e f "), n = 2)
+      .queryExecution.optimizedPlan.toString
+    val splits = "split\\(".r.findAllIn(plan).length
+    assert(splits == 2, s"expected 2 splits (train+eval), found $splits:\n$plan")
   }
 }
