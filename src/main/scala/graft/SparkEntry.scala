@@ -96,7 +96,8 @@ object SparkEntry {
     "q49_conv_stats" -> (QueryDefs.qConvStats _),
     "q50_conv_dedup" -> (QueryDefs.qConvDedup _),
     // SemDeDup: semantic near-dup pruning inside k-means clusters (round 4)
-    "q51_sem_dedup" -> (QueryDefs.qSemDedup _)
+    "q51_sem_dedup" -> (QueryDefs.qSemDedup _),
+    "q52_curate" -> (QueryDefs.qCurate _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -150,6 +151,7 @@ object SparkEntry {
     "q48_text_repetition" -> OracleDefs.textRepetition,
     "q49_conv_stats" -> OracleDefs.convStats,
     "q50_conv_dedup" -> OracleDefs.convDedup,
-    "q51_sem_dedup" -> OracleDefs.semDedup
+    "q51_sem_dedup" -> OracleDefs.semDedup,
+    "q52_curate" -> OracleDefs.curate
   )
 }

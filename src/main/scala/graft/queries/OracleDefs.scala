@@ -1000,4 +1000,104 @@ object OracleDefs {
        |       (dups.dup_of IS NULL) AS keep
        |FROM a LEFT JOIN dups ON a.vec_id = dups.vec_id
        |ORDER BY a.vec_id""".stripMargin
+
+  /** q52: the composed curation audit — quality CTEs (q42 thresholds),
+    * capped-minhash CC (q41's recursive closure) and 4-gram contamination
+    * (q47), joined per train doc with the same stage precedence as
+    * `Curation.curate`.
+    */
+  val curate: String = {
+    val numHashes = 8
+    val bands = 4
+    val r = numHashes / bands
+    val sig = (0 until numHashes)
+      .map(i => s"list_min(list_transform(sh, s -> md5('$i'||'|'||s)))")
+      .mkString("[", ", ", "]")
+    val bandRows = (0 until bands).map { b =>
+      s"SELECT doc_id, $b AS band_idx, " +
+        s"array_to_string(list_slice(sig, ${b * r + 1}, ${b * r + r}), '#') AS band_key FROM sigs"
+    }.mkString("\n  UNION ALL ")
+    val stop = Seq(" the ", " and ", " a ", " of ")
+      .map(w => occ("(' '||lower(text)||' ')", w)).mkString(" + ")
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id%11<>0),
+       |f AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE length(string_split_regex(trim(text), '\\s+')) END
+       |      AS n_tokens,
+       |    CAST(length(text) AS DOUBLE) /
+       |      CAST(greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+       |        ELSE length(string_split_regex(trim(text), '\\s+')) END, 1)
+       |        AS DOUBLE) AS mean_token_len,
+       |    CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))
+       |      AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)
+       |      AS alnum_ratio,
+       |    $stop AS stopword_hits
+       |  FROM d),
+       |v AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n_tokens < 25 THEN 'too_few_tokens'
+       |         WHEN n_tokens > 90 THEN 'too_many_tokens'
+       |         WHEN mean_token_len < 4.8 OR mean_token_len > 6.0
+       |           THEN 'mean_token_len'
+       |         WHEN alnum_ratio < 0.81 THEN 'low_alnum_ratio'
+       |         WHEN stopword_hits < 1 THEN 'no_stopwords'
+       |         END AS quality_fail
+       |  FROM f),
+       |sh_t AS (SELECT doc_id, ${duckShingles("text")} AS sh FROM d),
+       |sigs AS (SELECT doc_id, $sig AS sig FROM sh_t),
+       |banded AS (
+       |  $bandRows
+       |),
+       |capped AS (
+       |  SELECT doc_id, band_idx, band_key FROM (
+       |    SELECT doc_id, band_idx, band_key,
+       |      row_number() OVER (PARTITION BY band_idx, band_key
+       |                         ORDER BY doc_id ASC) AS bpos
+       |    FROM banded)
+       |  WHERE bpos <= 10),
+       |prs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM capped a JOIN banded b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |  WHERE a.doc_id < b.doc_id),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM prs
+       |      UNION ALL SELECT doc_b, doc_a FROM prs),
+       |reach AS (
+       |  SELECT doc_id AS doc, doc_id AS root FROM d
+       |  UNION
+       |  SELECT e.b, reach.root FROM reach JOIN e ON reach.doc = e.a
+       |),
+       |cc AS (SELECT doc AS doc_id, min(root) AS cluster_id
+       |       FROM reach GROUP BY doc),
+       |g AS (
+       |  SELECT doc_id,
+       |         [array_to_string(list_slice(w, i, i+3), ' ')
+       |          for i in generate_series(1, greatest(len(w)-3, 0))] AS grams
+       |  FROM (SELECT doc_id,
+       |               string_split_regex(lower(trim(text)), '\\s+') AS w
+       |        FROM documents)
+       |),
+       |eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id%11=0),
+       |tg AS (SELECT doc_id, unnest(list_distinct(grams)) AS gram
+       |       FROM g WHERE doc_id%11<>0),
+       |s AS (SELECT doc_id, count(*) AS shared FROM tg JOIN eg USING (gram)
+       |      GROUP BY 1),
+       |j AS (
+       |  SELECT d.doc_id, v.quality_fail, cc.cluster_id,
+       |         CAST(coalesce(s.shared, 0) AS BIGINT) AS shared_ngrams
+       |  FROM d JOIN v USING (doc_id) JOIN cc USING (doc_id)
+       |  LEFT JOIN s ON s.doc_id = d.doc_id),
+       |verdict AS (
+       |  SELECT doc_id, cluster_id, shared_ngrams,
+       |    CASE WHEN quality_fail IS NOT NULL THEN 'quality:'||quality_fail
+       |         WHEN doc_id <> cluster_id THEN 'near_dup'
+       |         WHEN shared_ngrams >= 1 THEN 'contaminated'
+       |         END AS drop_stage
+       |  FROM j)
+       |SELECT doc_id, cluster_id, shared_ngrams, drop_stage,
+       |       (drop_stage IS NULL) AS keep
+       |FROM verdict ORDER BY doc_id""".stripMargin
+  }
 }

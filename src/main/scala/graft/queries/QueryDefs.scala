@@ -672,4 +672,26 @@ object QueryDefs {
     Similarity.semDedup(t(s, dir, "embeddings").where(col("vec_id") < 300),
       threshold = 0.35, nlist = 8, maxClusterSize = 40)
       .orderBy("vec_id")
+
+  /** q52: the COMPOSED curation audit — quality rules (q42 thresholds) +
+    * near-dup clustering (capped minhash bands -> CC, as q41) + benchmark
+    * decontamination (4-grams vs the doc_id%11==0 eval split, as q47) over
+    * the train split, one verdict row per document with the first failing
+    * stage named. `minShared=1` (the aggressive GPT-3-style "any shared
+    * gram drops" form) — with stage precedence the earlier stages absorb
+    * most overlapping docs, and at threshold 1 the sf0.01 fixture still
+    * exercises every quality rule, near_dup, contaminated AND keep.
+    */
+  def qCurate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.ops.Curation.curate(
+      docs.where(col("doc_id") % 11 =!= 0),
+      docs.where(col("doc_id") % 11 === 0),
+      minTokens = 25, maxTokens = 90,
+      minMeanTokenLen = 4.8, maxMeanTokenLen = 6.0,
+      minAlnumRatio = 0.81, minStopwordHits = 1,
+      k = 5, numHashes = 8, bands = 4, maxBandDf = 10,
+      contamN = 4, minShared = 1)
+      .orderBy("doc_id")
+  }
 }
