@@ -77,7 +77,7 @@ object Bench {
     * input prep is not scan work; the benchmarked job is the real shape:
     * table scan -> extract -> enrich -> count (S1..A5).
     */
-  private def materializeTurns(nTurns: Long, cores: Int): String = {
+  private[graft] def materializeTurns(nTurns: Long, cores: Int): String = {
     val dir = s"/tmp/graft-bench-turns-$nTurns"
     if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
       val spark = newSession(cores)
@@ -98,7 +98,7 @@ object Bench {
     * rebuilds the plan per call; re-collecting a cached Dataset reuses the
     * materialized stage under AQE and measures nothing).
     */
-  private def scanRunner(spark: SparkSession, turnsDir: String)
+  private[graft] def scanRunner(spark: SparkSession, turnsDir: String)
       : (org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow], () => Long) = {
     val dbs = Seq(
       IntelDb.build("threats", Fixtures.intelThreats),
@@ -119,7 +119,7 @@ object Bench {
     * compile timing. Cross-session the codegen cache usually re-serves the
     * same classes, so this is cheap after the global pre-warm.
     */
-  private def warmSession(spark: SparkSession,
+  private[graft] def warmSession(spark: SparkSession,
       rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]): Unit = {
     val nParts = rdd.getNumPartitions
     val counter = (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
@@ -134,7 +134,7 @@ object Bench {
 
   /** One sample: run full passes until >= minWindowSec elapsed; return
     * (throughput turns/sec over the whole window, passes, windowSec). */
-  private def measureWindow(run: () => Long, nTurns: Long,
+  private[graft] def measureWindow(run: () => Long, nTurns: Long,
       minWindowSec: Double): (Double, Int, Double) = {
     var passes = 0
     val t0 = System.nanoTime()
@@ -148,7 +148,7 @@ object Bench {
     (passes * nTurns / elapsed, passes, elapsed)
   }
 
-  private def median(xs: Seq[Double]): Double = {
+  private[graft] def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     val n = s.length
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import scala.collection.mutable.ArrayBuffer
+
+/** MULTI-PROCESS scaling evidence: the flagship IoC scan at N and 4N real
+  * executor JVMs via Spark's `local-cluster[n, cores, mem]` master — the
+  * closest in-sandbox approximation of the north rule's "spark-submit at N
+  * and 4N executors" that still exercises everything a real cluster does
+  * and `local[k]` threads do not: separate executor processes with their
+  * own heaps/JITs, actual task/result serialization, broadcast transfer of
+  * the compiled intel dbs over the block manager, and executor
+  * registration/scheduling.
+  *
+  * Pair: 1 executor x 2 cores -> 4 executors x 2 cores (per-executor
+  * resources constant, executor COUNT x4 — the criterion's own shape; the
+  * thread-based Bench pair scales cores within one JVM instead). The
+  * interleave/warm-up/window/stall-guard methodology is Bench's (shared
+  * helpers): discarded warm-up round, alternating A/B order, >=
+  * minWindowSec full-pass windows, >3x-below-median stall discard, and the
+  * headline = median of per-round efficiencies over stall-surviving
+  * rounds. Each window gets a FRESH cluster (sessions cannot change
+  * master), so executor JIT warm-up runs per window — warmSession plus one
+  * full pass before measurement, exactly as Bench does per session.
+  *
+  * Prereqs (the executor launcher reads these from the environment):
+  *   SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13
+  * Run: ... sbt -batch "runMain graft.BenchCluster"
+  *
+  * Output: full detail to BENCH_CLUSTER.json + a "BENCH_CLUSTER_DETAIL "
+  * line; the LAST stdout line is a compact bare-JSON summary (same output
+  * contract as Bench).
+  */
+object BenchCluster {
+
+  private def classesDir: String =
+    getClass.getProtectionDomain.getCodeSource.getLocation.getPath
+
+  private def newClusterSession(executors: Int, coresPerExec: Int)
+      : SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local-cluster[$executors,$coresPerExec,3072]")
+      .appName(s"graft-bench-cluster-$executors")
+      // generous young gen: the scan's allocation rate in a small heap
+      // costs the multi-process levels GC time the in-JVM bench never pays
+      .config("spark.executor.memory", "2800m")
+      // match the driver's GC discipline (build.sbt): ParallelGC +
+      // pinned Xms — unpinned heaps grow mid-window on this shared host
+      // and the growth stalls land inside measurement windows
+      .config("spark.executor.extraJavaOptions",
+        "-XX:+UseParallelGC -Xms2800m")
+      .config("spark.executor.extraClassPath", classesDir)
+      .config("spark.sql.shuffle.partitions", executors * coresPerExec)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // same waves-per-core sizing as Bench.newSession
+      .config("spark.sql.files.maxPartitionBytes", "32m")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(sys.env.contains("SPARK_HOME") &&
+      sys.env.contains("SPARK_SCALA_VERSION"),
+      "local-cluster executors need SPARK_HOME (=/opt/spark) and " +
+        "SPARK_SCALA_VERSION (=2.13) in the environment")
+    val nTurns =
+      sys.env.getOrElse("SPARK_GRAFT_CLUSTER_TURNS", "3000000").toLong
+    val rounds =
+      sys.env.getOrElse("SPARK_GRAFT_CLUSTER_ROUNDS", "5").toInt
+    val minWindow =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_WINDOW_SEC", "10.0").toDouble
+    val coresPerExec = 2
+    val execLow = 1
+    val execHigh = 4
+
+    val turnsDir = Bench.materializeTurns(nTurns, 16)
+
+    val lowSamples = ArrayBuffer[Double]()
+    val highSamples = ArrayBuffer[Double]()
+    var r = -1 // round -1 = discarded warm-up (cold page cache, cold JITs)
+    while (r < rounds) {
+      val order =
+        if (r % 2 == 0) Seq(execLow -> lowSamples, execHigh -> highSamples)
+        else Seq(execHigh -> highSamples, execLow -> lowSamples)
+      for ((execs, sink) <- order) {
+        val s = newClusterSession(execs, coresPerExec)
+        val (rdd, run) = Bench.scanRunner(s, turnsDir)
+        Bench.warmSession(s, rdd)
+        run(); run() // TWO full warm passes: executor JVMs are fresh per
+        // window (a cluster session cannot change master), so unlike the
+        // in-JVM bench the generated code is C2-cold every time
+        val (thr, _, _) = Bench.measureWindow(run, nTurns, minWindow)
+        if (r >= 0) sink += thr
+        s.stop()
+        System.gc()
+      }
+      r += 1
+    }
+
+    val factor = execHigh.toDouble / execLow
+    def discardStalls(xs: Seq[Double]): (Seq[Double], Int) = {
+      val m = Bench.median(xs)
+      val kept = xs.filter(_ >= m / 3.0)
+      (kept, xs.length - kept.length)
+    }
+    val (lowK, lowDrop) = discardStalls(lowSamples.toSeq)
+    val (highK, highDrop) = discardStalls(highSamples.toSeq)
+    val thrLow = Bench.median(lowK)
+    val thrHigh = Bench.median(highK)
+    val effLevelMedian = (thrHigh / thrLow) / factor
+    val effBest = (highSamples.max / lowSamples.max) / factor
+    val roundEffs = lowSamples.zip(highSamples)
+      .map { case (lo, hi) => (hi / lo) / factor }
+    val keptRoundEffs = lowSamples.zip(highSamples).collect {
+      case (lo, hi) if lo >= Bench.median(lowSamples.toSeq) / 3.0 &&
+        hi >= Bench.median(highSamples.toSeq) / 3.0 => (hi / lo) / factor
+    }
+    val eff = Bench.median(
+      if (keptRoundEffs.nonEmpty) keptRoundEffs.toSeq else roundEffs.toSeq)
+
+    def arr(xs: Seq[Double]): String =
+      xs.map(x => f"$x%.0f").mkString("[", ",", "]")
+    val detail =
+      s"""{"mode":"local-cluster","n_turns":$nTurns,""" +
+        s""""executors_low":$execLow,"executors_high":$execHigh,""" +
+        s""""cores_per_executor":$coresPerExec,"rounds":$rounds,""" +
+        s""""min_window_sec":$minWindow,""" +
+        f""""turns_per_sec_low":$thrLow%.0f,"turns_per_sec_high":$thrHigh%.0f,""" +
+        s""""samples_low":${arr(lowSamples.toSeq)},""" +
+        s""""samples_high":${arr(highSamples.toSeq)},""" +
+        s""""discarded_low":$lowDrop,"discarded_high":$highDrop,""" +
+        s""""rounds_dropped":${roundEffs.length - keptRoundEffs.length},""" +
+        f""""scaling_efficiency":$eff%.3f,""" +
+        f""""scaling_efficiency_level_median":$effLevelMedian%.3f,""" +
+        f""""scaling_efficiency_best":$effBest%.3f}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_CLUSTER.json"),
+      (detail + "\n").getBytes("UTF-8"))
+    println("BENCH_CLUSTER_DETAIL " + detail)
+    val compact =
+      f"""{"mode":"local-cluster","pair":"${execLow}x$coresPerExec->""" +
+        f"""${execHigh}x$coresPerExec","eff":$eff%.3f,""" +
+        f""""eff_level_median":$effLevelMedian%.3f,""" +
+        f""""low":$thrLow%.0f,"high":$thrHigh%.0f}"""
+    println(compact)
+  }
+}
