@@ -97,7 +97,9 @@ object SparkEntry {
     "q50_conv_dedup" -> (QueryDefs.qConvDedup _),
     // SemDeDup: semantic near-dup pruning inside k-means clusters (round 4)
     "q51_sem_dedup" -> (QueryDefs.qSemDedup _),
-    "q52_curate" -> (QueryDefs.qCurate _)
+    "q52_curate" -> (QueryDefs.qCurate _),
+    "q53_split" -> (QueryDefs.qSplit _),
+    "q54_sample" -> (QueryDefs.qSample _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -152,6 +154,8 @@ object SparkEntry {
     "q49_conv_stats" -> OracleDefs.convStats,
     "q50_conv_dedup" -> OracleDefs.convDedup,
     "q51_sem_dedup" -> OracleDefs.semDedup,
-    "q52_curate" -> OracleDefs.curate
+    "q52_curate" -> OracleDefs.curate,
+    "q53_split" -> OracleDefs.split,
+    "q54_sample" -> OracleDefs.sample
   )
 }

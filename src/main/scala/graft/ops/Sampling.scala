@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, hash-based corpus splitting and downsampling — the two
+  * sampling primitives a training-data pipeline needs to be REPRODUCIBLE:
+  * adding or removing documents never moves any other document's split or
+  * sample verdict (hash-based, not rank- or RNG-state-based), and two
+  * engines agree bit-exactly (md5 + pure integer arithmetic; the one
+  * float appears only in the caller-facing rate/weight API and is
+  * converted to an integer threshold ONCE, driver-side).
+  *
+  * Hash point: the first 15 hex chars of md5(salt || ':' || id) as a
+  * 60-bit integer — uniform on [0, 2^60). Thresholds are
+  * floor(weight * 2^60) longs, so assignment is a pure integer compare.
+  * Different salts give independent draws (e.g. split with one salt,
+  * downsample with another).
+  *
+  * 100 TB shape: one map-side expression per row — no shuffle, no state,
+  * trivially pushed into any scan.
+  */
+object Sampling {
+
+  private val Scale: Long = 1L << 60
+
+  /** 60-bit hash point of (salt, id) — uniform, engine-reproducible. */
+  def hashPoint(id: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), lit(":"), id.cast("string"))),
+      1, 15), 16, 10).cast("long")
+
+  /** Assign each row a named split by cumulative weight. `splits` are
+    * (name, weight) with weights summing to ~1.0; the LAST split absorbs
+    * any floating remainder (its upper bound is 2^60 exactly), so every
+    * row is assigned.
+    */
+  def assignSplits(docs: DataFrame, splits: Seq[(String, Double)],
+      salt: String = "v1", idCol: String = "doc_id"): DataFrame = {
+    require(splits.nonEmpty, "at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1.0")
+    val bounds = splitBounds(splits)
+    val h = hashPoint(col(idCol), salt)
+    val expr = bounds.init.foldRight(lit(bounds.last._1): Column) {
+      case ((name, bound), rest) => when(h < bound, name).otherwise(rest)
+    }
+    docs.withColumn("split", expr)
+  }
+
+  /** (name, exclusive upper bound) pairs in declaration order; the last
+    * bound is 2^60. Exposed so the DuckDB oracle embeds the SAME integer
+    * literals instead of re-deriving them in SQL float arithmetic.
+    */
+  def splitBounds(splits: Seq[(String, Double)]): Seq[(String, Long)] = {
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    splits.map(_._1).zip(cums).zipWithIndex.map {
+      case ((name, cum), i) =>
+        (name, if (i == splits.length - 1) Scale
+        else math.floor(cum * Scale).toLong)
+    }
+  }
+
+  /** Integer threshold for `rate` — floor(rate * 2^60). */
+  def rateBound(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0, "rate in [0,1]")
+    if (rate == 1.0) Scale else math.floor(rate * Scale).toLong
+  }
+
+  /** Deterministic Bernoulli downsample: keep rows whose hash point falls
+    * below floor(rate * 2^60). The keep set is a stable function of
+    * (salt, id) — re-running on a grown corpus keeps exactly the same
+    * survivors among the old rows.
+    */
+  def sample(docs: DataFrame, rate: Double, salt: String = "s1",
+      idCol: String = "doc_id"): DataFrame =
+    docs.where(hashPoint(col(idCol), salt) < rateBound(rate))
+}

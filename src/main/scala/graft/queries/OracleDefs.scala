@@ -1100,4 +1100,32 @@ object OracleDefs {
        |       (drop_stage IS NULL) AS keep
        |FROM verdict ORDER BY doc_id""".stripMargin
   }
+
+  /** q53: the split thresholds are the SAME integer literals the Spark op
+    * uses (Sampling.splitBounds) — no float re-derivation in SQL.
+    */
+  val split: String = {
+    val bounds = graft.ops.Sampling
+      .splitBounds(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val cases = bounds.init
+      .map { case (n, b) => s"WHEN h < $b THEN '$n'" }
+      .mkString(" ")
+    s"""SELECT doc_id,
+       |  CASE $cases ELSE '${bounds.last._1}' END AS split
+       |FROM (SELECT doc_id,
+       |        CAST('0x'||substr(md5('v1:'||doc_id),1,15) AS BIGINT) AS h
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q54: deterministic downsample keep set, same integer threshold. */
+  val sample: String = {
+    val bound = graft.ops.Sampling.rateBound(0.25)
+    s"""SELECT doc_id
+       |FROM (SELECT doc_id,
+       |        CAST('0x'||substr(md5('s1:'||doc_id),1,15) AS BIGINT) AS h
+       |      FROM documents)
+       |WHERE h < $bound
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -694,4 +694,24 @@ object QueryDefs {
       contamN = 4, minShared = 1)
       .orderBy("doc_id")
   }
+
+  /** q53: deterministic hash-based train/val/test split assignment —
+    * 80/10/10 under salt "v1"; reproducible (md5 + integer thresholds,
+    * every engine agrees bit-exactly) and growth-stable (a document's
+    * split never depends on the rest of the corpus).
+    */
+  def qSplit(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.assignSplits(t(s, dir, "documents"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "v1")
+      .select("doc_id", "split")
+      .orderBy("doc_id")
+
+  /** q54: deterministic Bernoulli downsample at rate 0.25, salt "s1" —
+    * the stable keep set (same survivors on any corpus superset).
+    */
+  def qSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.sample(t(s, dir, "documents"), rate = 0.25,
+      salt = "s1")
+      .select("doc_id")
+      .orderBy("doc_id")
 }

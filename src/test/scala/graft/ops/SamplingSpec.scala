@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic hash-based splitting/downsampling (Sampling). */
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  test("assignSplits: growth-stable — old docs keep their split exactly") {
+    val small = spark.range(0, 500).select(col("id").as("doc_id"))
+    val big = spark.range(0, 2000).select(col("id").as("doc_id"))
+    val a = Sampling.assignSplits(small, splits).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.assignSplits(big, splits).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.forall { case (id, s) => b(id) == s })
+  }
+
+  test("assignSplits: proportions near weights, every split non-empty") {
+    val docs = spark.range(0, 4000).select(col("id").as("doc_id"))
+    val counts = Sampling.assignSplits(docs, splits)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 4000L)
+    assert(math.abs(counts("train") / 4000.0 - 0.8) < 0.03)
+    assert(math.abs(counts("val") / 4000.0 - 0.1) < 0.02)
+    assert(math.abs(counts("test") / 4000.0 - 0.1) < 0.02)
+  }
+
+  test("assignSplits: rejects weights that do not sum to 1") {
+    val docs = spark.range(0, 1).select(col("id").as("doc_id"))
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(docs, Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
+  test("sample: deterministic, growth-stable, rate edges") {
+    val docs = spark.range(0, 2000).select(col("id").as("doc_id"))
+    val kept = Sampling.sample(docs, 0.25).select("doc_id")
+      .as[Long].collect().toSet
+    assert(math.abs(kept.size / 2000.0 - 0.25) < 0.04)
+    // same survivors within the smaller prefix corpus
+    val keptSmall = Sampling
+      .sample(spark.range(0, 700).select(col("id").as("doc_id")), 0.25)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptSmall == kept.filter(_ < 700))
+    assert(Sampling.sample(docs, 1.0).count() == 2000L)
+    assert(Sampling.sample(docs, 0.0).count() == 0L)
+  }
+
+  test("sample: different salts draw independently of split assignment") {
+    val docs = spark.range(0, 2000).select(col("id").as("doc_id"))
+    val trainIds = Sampling.assignSplits(docs, splits)
+      .where(col("split") === "train").select("doc_id").as[Long]
+      .collect().toSet
+    val kept = Sampling.sample(docs, 0.25, salt = "s1").select("doc_id")
+      .as[Long].collect().toSet
+    // if draws were coupled, the sampled set would concentrate inside one
+    // split; expect roughly 80% of survivors in train (loose bound)
+    val frac = kept.count(trainIds.contains).toDouble / kept.size
+    assert(frac > 0.7 && frac < 0.9, s"coupled draws? train frac $frac")
+  }
+}
