@@ -71,6 +71,7 @@ object BenchCluster {
       sys.env.getOrElse("SPARK_GRAFT_CLUSTER_TURNS", "3000000").toLong
     val rounds =
       sys.env.getOrElse("SPARK_GRAFT_CLUSTER_ROUNDS", "5").toInt
+    require(rounds >= 1, "SPARK_GRAFT_CLUSTER_ROUNDS must be >= 1")
     val minWindow =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_WINDOW_SEC", "10.0").toDouble
     val coresPerExec = 2

@@ -50,12 +50,14 @@ object Curation {
       .qualityFilter(docs, textCol, minTokens, maxTokens, minMeanTokenLen,
         maxMeanTokenLen, minAlnumRatio, minStopwordHits)
       .select(col("doc_id"), col("fail_reason").as("quality_fail"))
-    val clusters = Dedup.nearDupClusters(docs,
-      Dedup.minhashLshPairs(docs, k, numHashes, bands, maxBandDf))
+    // the dedup family hardcodes a "text" column — honor textCol for it too
+    val dedupDocs = docs.select(col("doc_id"), col(textCol).as("text"))
+    val clusters = Dedup.nearDupClusters(dedupDocs,
+      Dedup.minhashLshPairs(dedupDocs, k, numHashes, bands, maxBandDf))
     val contam = Decontaminate
       .contaminationScores(docs, evalDocs, contamN, textCol)
-    docs.select(col("doc_id"))
-      .join(quality, Seq("doc_id"))
+    // quality is exactly one row per input doc, so it anchors the chain
+    quality
       .join(clusters, Seq("doc_id"))
       .join(contam, Seq("doc_id"), "left")
       .withColumn("shared_ngrams", coalesce(col("shared_ngrams"), lit(0L)))

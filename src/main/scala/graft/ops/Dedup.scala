@@ -4,9 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Large-scale training-data deduplication operators over a `documents`
-  * table (doc_id, text, ...). All hashes are md5-hex based so the DuckDB
-  * oracle can reproduce them bit-exactly; all scores use integer arithmetic
-  * until a final single division (deterministic doubles across engines).
+  * table (doc_id, text, ...). All hashes derive from md5 (the minhash
+  * family via overflow-free integer double hashing on top of one digest
+  * per shingle) so the DuckDB oracle can reproduce them bit-exactly; all
+  * scores use integer arithmetic until a final single division
+  * (deterministic doubles across engines).
   *
   * Scale notes: exact dedup is one hash-shuffle; MinHash-LSH shuffles once
   * on band keys (bounded fanout per band); SimHash emits fingerprints
@@ -36,16 +38,36 @@ object Dedup {
       .agg(min("doc_id").as("canonical_doc_id"),
         count(lit(1)).as("n_docs"))
 
-  /** MinHash signature terms over an ALREADY-MATERIALIZED shingle-array
-    * column: h_i(doc) = min over shingles of md5(i || '|' || shingle) —
-    * string-min over hex digests is a valid exchangeable hash family and
-    * is reproducible in any engine with md5. `sh` must be a plain
-    * attribute reference: each term's `transform` would otherwise
-    * re-evaluate the whole shingle computation once per term.
+  /** Mask to 60 bits — the per-shingle draws and every derived hash stay
+    * below 2^60, so `a + 7*b < 2^63` never overflows a long, and DuckDB's
+    * CHECKED BIGINT arithmetic reproduces the exact same values (wrapping
+    * multiplication would error there; this family never wraps).
     */
-  private def minhashSigTerms(sh: Column, numHashes: Int): Seq[Column] =
+  private val Mask60 = (1L << 60) - 1
+
+  /** Per-shingle hash pair (a, b): two independent 60-bit draws from ONE
+    * md5 (hex chars 1-15 and 17-31). One digest per shingle instead of one
+    * per (hash function x shingle) — the md5 sweep dominated minhash cost
+    * (numHashes x shingles digests; 160 M at sf0.1).
+    */
+  private def shingleHashPair(sh: Column): Column =
+    transform(transform(sh, s => md5(s)), h => struct(
+      conv(substring(h, 1, 15), 16, 10).cast("long").as("a"),
+      conv(substring(h, 17, 15), 16, 10).cast("long").as("b")))
+
+  /** MinHash signature terms over an ALREADY-MATERIALIZED (a, b)
+    * hash-pair array column ([[shingleHashPair]]): h_i(doc) = min over
+    * shingles of (a + i*b) & Mask60 — Kirsch-Mitzenmacher double hashing
+    * derives the `numHashes` functions from one digest with pure
+    * (overflow-free) integer arithmetic, reproducible in any engine with
+    * md5. `ab` must be a plain attribute reference: each term's
+    * `transform` would otherwise re-evaluate the digests once per term.
+    */
+  private def minhashSigTerms(ab: Column, numHashes: Int): Seq[Column] =
     (0 until numHashes).map { i =>
-      array_min(transform(sh, s => md5(concat(lit(i.toString), lit("|"), s))))
+      array_min(transform(ab, p =>
+        (p.getField("a") + lit(i.toLong) * p.getField("b"))
+          .bitwiseAND(lit(Mask60))))
     }
 
   /** Per-band LSH bucket keys of a signature column: element b = the
@@ -60,30 +82,53 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     array((0 until bands).map { b =>
-      concat_ws("#", slice(sig, b * rowsPerBand + 1, rowsPerBand))
+      array_join(slice(sig, b * rowsPerBand + 1, rowsPerBand)
+        .cast("array<string>"), "#")
     }: _*)
   }
 
   /** One banded row per (input row, band): `keep..., band_idx, band_key`.
     *
-    * The shingle array and the signature array are STAGED as materialized
-    * columns (each referenced several times downstream, so CollapseProject
-    * keeps the projections): shingling runs ONCE per doc and the md5 sweep
-    * once per hash — the naive single-expression form re-computed the full
-    * signature (shingles + numHashes md5 sweeps) once per band because
-    * higher-order-function lambdas re-evaluate non-lambda subexpressions
-    * per element.
+    * MinHash shingles are WORD k-grams (lowercased whitespace tokens, the
+    * Lee et al. 2022 convention for training-data near-dup, shared with
+    * [[Decontaminate]] tokenization) — a document yields ~tokens shingles
+    * instead of ~chars, which is what makes the signature sweep ~30x
+    * cheaper than character shingling at the same recall on prose.
+    * Documents with fewer than k tokens have NO shingles and are dropped
+    * from banding (an all-null signature would otherwise give every such
+    * document the SAME empty band key, pairing all short docs with each
+    * other — quadratic and wrong).
+    *
+    * The hash-pair array and the signature array are STAGED as
+    * materialized columns (each referenced several times downstream, so
+    * CollapseProject keeps the projections): shingling and the md5 sweep
+    * run ONCE per doc — the naive single-expression form re-computed the
+    * full signature once per band because higher-order-function lambdas
+    * re-evaluate non-lambda subexpressions per element, and the original
+    * hash family additionally paid numHashes digests per shingle.
     */
   def bandedMinhash(df: DataFrame, textCol: String, k: Int, numHashes: Int,
       bands: Int, keep: Seq[String]): DataFrame = {
     val keepCols = keep.map(col)
-    df.select(keepCols :+ shingles(col(textCol), k).as("__graft_sh"): _*)
+    df.select(keepCols :+
+        Decontaminate.tokens(col(textCol)).as("__graft_toks"): _*)
       .select(keepCols :+
-        array(minhashSigTerms(col("__graft_sh"), numHashes): _*)
+        shingleHashPair(Decontaminate.ngramsOfTokens(col("__graft_toks"), k))
+          .as("__graft_ab"): _*)
+      .select(keepCols :+
+        array(minhashSigTerms(col("__graft_ab"), numHashes): _*)
           .as("__graft_sig"): _*)
       .select(keepCols :+
         posexplode(bandKeyCols(col("__graft_sig"), numHashes, bands))
           .as(Seq("band_idx", "band_key")): _*)
+      // < k tokens => no shingles => all-null signature => empty band key.
+      // Filter AFTER the explode, on the generator OUTPUT: a pre-explode
+      // filter on the signature gets predicate-pushed to the source with
+      // the whole tokens->grams->md5->sig pipeline INLINED into the
+      // condition (re-evaluated per row, split back inside a lambda =
+      // the O(tokens^2) pathology again); a generator-output predicate
+      // cannot be pushed and stays an O(1) attribute check.
+      .where(col("band_key") =!= "")
   }
 
   /** Cap one side of a band-bucket self-join to its first `cap` doc_ids per
@@ -105,7 +150,8 @@ object Dedup {
     }
 
   /** MinHash + LSH near-dup candidate pairs: band the signature, bucket-join
-    * on (band_idx, band_key), emit doc pairs sharing >= 1 band.
+    * on (band_idx, band_key), emit doc pairs sharing >= 1 band. `k` =
+    * WORDS per shingle (word k-grams — see [[bandedMinhash]]).
     *
     * `maxBandDf` (0 = off) is the 100 TB skew guard (same class as
     * `maxShingleDf` / `Similarity.maxBucketSize`): one side of the band

@@ -37,6 +37,7 @@ object Sampling {
   def assignSplits(docs: DataFrame, splits: Seq[(String, Double)],
       salt: String = "v1", idCol: String = "doc_id"): DataFrame = {
     require(splits.nonEmpty, "at least one split")
+    require(splits.forall(_._2 >= 0.0), "split weights must be non-negative")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       "split weights must sum to 1.0")
     val bounds = splitBounds(splits)

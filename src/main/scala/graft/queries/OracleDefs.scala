@@ -187,19 +187,52 @@ object OracleDefs {
       s"FOR i IN range(1, greatest(length($textExpr)-4, 1)+1)] " +
       "IF length(x) = 5])"
 
+  /** Distinct word n-gram shingles over a CTE exposing (doc_id, w) with
+    * w = lowercased whitespace tokens — the SQL mirror of
+    * `Decontaminate.ngramsOfTokens` (minhash shingling).
+    */
+  private def duckWordShingles(n: Int): String =
+    s"list_distinct([array_to_string(list_slice(w, i, i+${n - 1}), ' ') " +
+      s"for i in generate_series(1, greatest(len(w)-${n - 1}, 0))])"
+
+  /** Minhash signature array literal over a CTE exposing (doc_id, sh) —
+    * the single SQL mirror of `Dedup.minhashSigTerms` (used by every
+    * minhash oracle so the banding definition cannot drift per query):
+    * ONE md5 per shingle, two 60-bit draws (hex chars 1-15 / 17-31),
+    * h_i = (a + i*b) & Mask60 — overflow-free, so DuckDB's checked BIGINT
+    * arithmetic reproduces Spark's longs exactly.
+    */
+  private def duckMinhashSig(numHashes: Int): String = {
+    val mask = (1L << 60) - 1
+    def a = "CAST('0x'||substr(md5(s),1,15) AS BIGINT)"
+    def b = "CAST('0x'||substr(md5(s),17,15) AS BIGINT)"
+    (0 until numHashes)
+      .map(i => s"list_min(list_transform(sh, s -> ($a + $i * $b) & $mask))")
+      .mkString("[", ", ", "]")
+  }
+
+  /** UNION ALL band rows over a CTE `sigs(doc_id, sig)` — the SQL mirror
+    * of `Dedup.bandedMinhash`'s band-key construction.
+    */
+  private def duckBandRows(numHashes: Int, bands: Int): String = {
+    val r = numHashes / bands
+    // sig[1] IS NULL <=> the doc had fewer than k tokens (no shingles);
+    // such docs are dropped from banding (mirror of Dedup.bandedMinhash)
+    (0 until bands).map { b =>
+      s"SELECT doc_id, $b AS band_idx, " +
+        s"array_to_string(list_slice(sig, ${b * r + 1}, ${b * r + r}), '#') AS band_key " +
+        s"FROM sigs WHERE sig[1] IS NOT NULL"
+    }.mkString("\n  UNION ALL ")
+  }
+
   val dedupMinhash: String = {
     val numHashes = 8
     val bands = 4
-    val r = numHashes / bands
-    val sig = (0 until numHashes)
-      .map(i => s"list_min(list_transform(sh, s -> md5('$i'||'|'||s)))")
-      .mkString("[", ", ", "]")
-    val bandRows = (0 until bands).map { b =>
-      s"SELECT doc_id, $b AS band_idx, " +
-        s"array_to_string(list_slice(sig, ${b * r + 1}, ${b * r + r}), '#') AS band_key FROM sigs"
-    }.mkString("\n  UNION ALL ")
-    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
-       |sh_t AS (SELECT doc_id, ${duckShingles("text")} AS sh FROM d),
+    val sig = duckMinhashSig(numHashes)
+    val bandRows = duckBandRows(numHashes, bands)
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
+       |sh_t AS (SELECT doc_id, ${duckWordShingles(5)} AS sh
+       |         FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM d)),
        |sigs AS (SELECT doc_id, $sig AS sig FROM sh_t),
        |banded AS (
        |  $bandRows
@@ -537,16 +570,11 @@ object OracleDefs {
   val dedupMinhashCapped: String = {
     val numHashes = 8
     val bands = 4
-    val r = numHashes / bands
-    val sig = (0 until numHashes)
-      .map(i => s"list_min(list_transform(sh, s -> md5('$i'||'|'||s)))")
-      .mkString("[", ", ", "]")
-    val bandRows = (0 until bands).map { b =>
-      s"SELECT doc_id, $b AS band_idx, " +
-        s"array_to_string(list_slice(sig, ${b * r + 1}, ${b * r + r}), '#') AS band_key FROM sigs"
-    }.mkString("\n  UNION ALL ")
+    val sig = duckMinhashSig(numHashes)
+    val bandRows = duckBandRows(numHashes, bands)
     s"""WITH d AS ($floodDocsSql),
-       |sh_t AS (SELECT doc_id, ${duckShingles("text")} AS sh FROM d),
+       |sh_t AS (SELECT doc_id, ${duckWordShingles(5)} AS sh
+       |         FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM d)),
        |sigs AS (SELECT doc_id, $sig AS sig FROM sh_t),
        |banded AS (
        |  $bandRows
@@ -571,16 +599,11 @@ object OracleDefs {
   val dedupClusters: String = {
     val numHashes = 8
     val bands = 4
-    val r = numHashes / bands
-    val sig = (0 until numHashes)
-      .map(i => s"list_min(list_transform(sh, s -> md5('$i'||'|'||s)))")
-      .mkString("[", ", ", "]")
-    val bandRows = (0 until bands).map { b =>
-      s"SELECT doc_id, $b AS band_idx, " +
-        s"array_to_string(list_slice(sig, ${b * r + 1}, ${b * r + r}), '#') AS band_key FROM sigs"
-    }.mkString("\n  UNION ALL ")
+    val sig = duckMinhashSig(numHashes)
+    val bandRows = duckBandRows(numHashes, bands)
     s"""WITH RECURSIVE d AS ($floodDocsSql),
-       |sh_t AS (SELECT doc_id, ${duckShingles("text")} AS sh FROM d),
+       |sh_t AS (SELECT doc_id, ${duckWordShingles(5)} AS sh
+       |         FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM d)),
        |sigs AS (SELECT doc_id, $sig AS sig FROM sh_t),
        |banded AS (
        |  $bandRows
@@ -1009,14 +1032,8 @@ object OracleDefs {
   val curate: String = {
     val numHashes = 8
     val bands = 4
-    val r = numHashes / bands
-    val sig = (0 until numHashes)
-      .map(i => s"list_min(list_transform(sh, s -> md5('$i'||'|'||s)))")
-      .mkString("[", ", ", "]")
-    val bandRows = (0 until bands).map { b =>
-      s"SELECT doc_id, $b AS band_idx, " +
-        s"array_to_string(list_slice(sig, ${b * r + 1}, ${b * r + r}), '#') AS band_key FROM sigs"
-    }.mkString("\n  UNION ALL ")
+    val sig = duckMinhashSig(numHashes)
+    val bandRows = duckBandRows(numHashes, bands)
     val stop = Seq(" the ", " and ", " a ", " of ")
       .map(w => occ("(' '||lower(text)||' ')", w)).mkString(" + ")
     s"""WITH RECURSIVE d AS (
@@ -1045,7 +1062,8 @@ object OracleDefs {
        |         WHEN stopword_hits < 1 THEN 'no_stopwords'
        |         END AS quality_fail
        |  FROM f),
-       |sh_t AS (SELECT doc_id, ${duckShingles("text")} AS sh FROM d),
+       |sh_t AS (SELECT doc_id, ${duckWordShingles(5)} AS sh
+       |         FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM d)),
        |sigs AS (SELECT doc_id, $sig AS sig FROM sh_t),
        |banded AS (
        |  $bandRows

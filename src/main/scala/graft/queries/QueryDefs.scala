@@ -296,7 +296,7 @@ object QueryDefs {
     Dedup.exact(t(s, dir, "documents")).orderBy("text_hash")
 
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshPairs(t(s, dir, "documents").where(col("doc_id") < 100))
+    Dedup.minhashLshPairs(t(s, dir, "documents").where(col("doc_id") < 500))
       .orderBy("doc_a", "doc_b")
 
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame =

@@ -12,16 +12,20 @@ class CurationSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("curate: every stage fires, precedence quality > near_dup > contaminated") {
+    // word-5-gram minhash needs >= 5 tokens per doc to shingle at all, so
+    // the quality-fail docs (3, 5) carry 6 identical tokens: enough to be
+    // a real near-dup pair, but below the minTokens=7 bar — precedence
+    // must still attribute them to quality, not near_dup
     val docs = Seq(
-      (1L, "alpha beta gamma delta epsilon zeta"), // keep (canonical)
-      (2L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1 -> near_dup
-      (3L, "zz yy"),                               // quality fail (2 tokens)
-      (5L, "zz yy"),                               // ALSO a dup of 3 -> quality wins
-      (4L, "planted one two three four five six")  // shares a 4-gram with eval
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // keep
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // -> near_dup
+      (3L, "zz yy xx ww vv uu"),                   // quality fail (6 < 7)
+      (5L, "zz yy xx ww vv uu"),                   // dup of 3 -> quality wins
+      (4L, "planted one two three four five six seven") // shares eval 4-gram
     ).toDF("doc_id", "text")
     val ev = Seq((99L, "one two three four")).toDF("doc_id", "text")
     val out = Curation.curate(docs, ev,
-      minTokens = 3, maxTokens = 100, minMeanTokenLen = 1.0,
+      minTokens = 7, maxTokens = 100, minMeanTokenLen = 1.0,
       maxMeanTokenLen = 100.0, minAlnumRatio = 0.1, minStopwordHits = 0,
       contamN = 4, minShared = 1)
       .collect().map(r => r.getAs[Long]("doc_id") ->

@@ -112,13 +112,18 @@ class TextRepetitionSpec extends AnyFunSuite {
     assert(splits == 1, s"expected 1 split, found $splits:\n$plan")
   }
 
-  test("bandedMinhash: exactly one shingle pass in the optimized plan") {
+  test("bandedMinhash: one tokenize + one digest pass in the optimized plan") {
     val plan = Dedup
-      .bandedMinhash(rangeDocs("abcdefghij "), "text", k = 5, numHashes = 8,
-        bands = 4, keep = Seq("doc_id"))
+      .bandedMinhash(rangeDocs("a b c d e f g h "), "text", k = 5,
+        numHashes = 8, bands = 4, keep = Seq("doc_id"))
       .queryExecution.optimizedPlan.toString
-    val substrs = "substr\\(".r.findAllIn(plan).length
-    assert(substrs == 1, s"expected 1 shingle substring, found $substrs:\n$plan")
+    val splits = "split\\(".r.findAllIn(plan).length
+    val md5s = "md5\\(".r.findAllIn(plan).length
+    assert(splits == 1, s"expected 1 split, found $splits:\n$plan")
+    // one digest per shingle TOTAL — numHashes functions derive from it
+    // by integer double hashing; and the short-doc filter must sit above
+    // the Generate (a pushed filter would inline the whole pipeline)
+    assert(md5s == 1, s"expected 1 md5, found $md5s:\n$plan")
   }
 
   test("contaminationScores: one split per side in the optimized plan") {
