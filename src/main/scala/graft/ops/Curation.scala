@@ -38,6 +38,13 @@ object Curation {
     * parameters mirror [[Dedup.minhashLshPairs]] (including the
     * `maxBandDf` skew cap); `contamN`/`minShared` mirror
     * [[Decontaminate.contaminationScores]].
+    *
+    * Blind spot to keep configured away: documents with fewer than `k`
+    * tokens have no word-k-gram shingles and can never receive a
+    * `near_dup` verdict (even exact duplicates). With the defaults
+    * (minTokens = 25 >= k = 5) every such document already fails quality,
+    * which takes precedence; if you lower minTokens below k, pair this
+    * audit with [[Dedup.exact]] for the short tail.
     */
   def curate(docs: DataFrame, evalDocs: DataFrame,
       minTokens: Long = 25, maxTokens: Long = 100000,

@@ -38,22 +38,23 @@ object Dedup {
       .agg(min("doc_id").as("canonical_doc_id"),
         count(lit(1)).as("n_docs"))
 
-  /** Mask to 60 bits — the per-shingle draws and every derived hash stay
-    * below 2^60, so `a + 7*b < 2^63` never overflows a long, and DuckDB's
+  /** Mask to 60 bits — every derived hash stays below 2^60, and with `a`
+    * a 60-bit draw and `b` a 56-bit draw, `a + 63*b < 2^60 + 2^62 < 2^63`
+    * never overflows a long for numHashes <= 64 (enforced), so DuckDB's
     * CHECKED BIGINT arithmetic reproduces the exact same values (wrapping
-    * multiplication would error there; this family never wraps).
+    * arithmetic would error there; this family never wraps).
     */
   private val Mask60 = (1L << 60) - 1
 
-  /** Per-shingle hash pair (a, b): two independent 60-bit draws from ONE
-    * md5 (hex chars 1-15 and 17-31). One digest per shingle instead of one
-    * per (hash function x shingle) — the md5 sweep dominated minhash cost
+  /** Per-shingle hash pair (a, b): a 60-bit and a 56-bit draw from ONE md5
+    * (hex chars 1-15 and 17-30). One digest per shingle instead of one per
+    * (hash function x shingle) — the md5 sweep dominated minhash cost
     * (numHashes x shingles digests; 160 M at sf0.1).
     */
   private def shingleHashPair(sh: Column): Column =
     transform(transform(sh, s => md5(s)), h => struct(
       conv(substring(h, 1, 15), 16, 10).cast("long").as("a"),
-      conv(substring(h, 17, 15), 16, 10).cast("long").as("b")))
+      conv(substring(h, 17, 14), 16, 10).cast("long").as("b")))
 
   /** MinHash signature terms over an ALREADY-MATERIALIZED (a, b)
     * hash-pair array column ([[shingleHashPair]]): h_i(doc) = min over
@@ -63,12 +64,15 @@ object Dedup {
     * md5. `ab` must be a plain attribute reference: each term's
     * `transform` would otherwise re-evaluate the digests once per term.
     */
-  private def minhashSigTerms(ab: Column, numHashes: Int): Seq[Column] =
+  private def minhashSigTerms(ab: Column, numHashes: Int): Seq[Column] = {
+    require(numHashes <= 64,
+      "numHashes > 64 would overflow the a + i*b derivation (see Mask60)")
     (0 until numHashes).map { i =>
       array_min(transform(ab, p =>
         (p.getField("a") + lit(i.toLong) * p.getField("b"))
           .bitwiseAND(lit(Mask60))))
     }
+  }
 
   /** Per-band LSH bucket keys of a signature column: element b = the
     * "#"-joined minhash slice of band b, as a STATIC array (no lambda, so

@@ -195,21 +195,28 @@ object OracleDefs {
     s"list_distinct([array_to_string(list_slice(w, i, i+${n - 1}), ' ') " +
       s"for i in generate_series(1, greatest(len(w)-${n - 1}, 0))])"
 
-  /** Minhash signature array literal over a CTE exposing (doc_id, sh) —
-    * the single SQL mirror of `Dedup.minhashSigTerms` (used by every
-    * minhash oracle so the banding definition cannot drift per query):
-    * ONE md5 per shingle, two 60-bit draws (hex chars 1-15 / 17-31),
-    * h_i = (a + i*b) & Mask60 — overflow-free, so DuckDB's checked BIGINT
-    * arithmetic reproduces Spark's longs exactly.
+  /** Minhash signature array literal over a CTE exposing (doc_id, hs)
+    * with hs = one md5 PER SHINGLE ([[duckHsCte]]) — the single SQL mirror
+    * of `Dedup.minhashSigTerms` (used by every minhash oracle so the
+    * banding definition cannot drift per query): a 60-bit draw (hex chars
+    * 1-15) and a 56-bit draw (17-30) from that digest,
+    * h_i = (a + i*b) & Mask60 — overflow-free for numHashes <= 64, so
+    * DuckDB's checked BIGINT arithmetic reproduces Spark's longs exactly.
+    * Staging hs keeps the oracle at one digest per shingle like the Spark
+    * side (an inlined md5(s) would re-hash per hash-function term).
     */
   private def duckMinhashSig(numHashes: Int): String = {
     val mask = (1L << 60) - 1
-    def a = "CAST('0x'||substr(md5(s),1,15) AS BIGINT)"
-    def b = "CAST('0x'||substr(md5(s),17,15) AS BIGINT)"
+    def a = "CAST('0x'||substr(h,1,15) AS BIGINT)"
+    def b = "CAST('0x'||substr(h,17,14) AS BIGINT)"
     (0 until numHashes)
-      .map(i => s"list_min(list_transform(sh, s -> ($a + $i * $b) & $mask))")
+      .map(i => s"list_min(list_transform(hs, h -> ($a + $i * $b) & $mask))")
       .mkString("[", ", ", "]")
   }
+
+  /** The one-digest-per-shingle staging CTE between sh_t and sigs. */
+  private val duckHsCte: String =
+    "hs_t AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs FROM sh_t)"
 
   /** UNION ALL band rows over a CTE `sigs(doc_id, sig)` — the SQL mirror
     * of `Dedup.bandedMinhash`'s band-key construction.
@@ -233,7 +240,8 @@ object OracleDefs {
     s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
        |sh_t AS (SELECT doc_id, ${duckWordShingles(5)} AS sh
        |         FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM d)),
-       |sigs AS (SELECT doc_id, $sig AS sig FROM sh_t),
+       |$duckHsCte,
+       |sigs AS (SELECT doc_id, $sig AS sig FROM hs_t),
        |banded AS (
        |  $bandRows
        |)
@@ -575,7 +583,8 @@ object OracleDefs {
     s"""WITH d AS ($floodDocsSql),
        |sh_t AS (SELECT doc_id, ${duckWordShingles(5)} AS sh
        |         FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM d)),
-       |sigs AS (SELECT doc_id, $sig AS sig FROM sh_t),
+       |$duckHsCte,
+       |sigs AS (SELECT doc_id, $sig AS sig FROM hs_t),
        |banded AS (
        |  $bandRows
        |),
@@ -604,7 +613,8 @@ object OracleDefs {
     s"""WITH RECURSIVE d AS ($floodDocsSql),
        |sh_t AS (SELECT doc_id, ${duckWordShingles(5)} AS sh
        |         FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM d)),
-       |sigs AS (SELECT doc_id, $sig AS sig FROM sh_t),
+       |$duckHsCte,
+       |sigs AS (SELECT doc_id, $sig AS sig FROM hs_t),
        |banded AS (
        |  $bandRows
        |),
@@ -1064,7 +1074,8 @@ object OracleDefs {
        |  FROM f),
        |sh_t AS (SELECT doc_id, ${duckWordShingles(5)} AS sh
        |         FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM d)),
-       |sigs AS (SELECT doc_id, $sig AS sig FROM sh_t),
+       |$duckHsCte,
+       |sigs AS (SELECT doc_id, $sig AS sig FROM hs_t),
        |banded AS (
        |  $bandRows
        |),

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.ops.TextStats
-import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
@@ -186,14 +186,35 @@ object StreamingDedup {
     * all come from the same input row, hence the same micro-batch), so it
     * runs inside foreachBatch rather than as a second stateful operator.
     */
+  /** LSH band rows PLUS one per-doc "solo" bucket row for documents too
+    * short to shingle (< k tokens). `Dedup.bandedMinhash` drops such docs
+    * from banding (correct for batch pair generation — they cannot be
+    * near-dup candidates), but the streaming claim fold only emits docs
+    * that produced at least one band row, so without the solo row a short
+    * document would be silently ABSENT from the deduped output — neither
+    * kept nor marked dup. The solo bucket key is unique per doc_id, so a
+    * short doc always wins its own bucket and is kept (vacuously: no
+    * shingles, no near-dups); an exact replay of the same doc_id finds the
+    * bucket claimed and drops, which is the idempotency the sink wants.
+    */
+  private def bandedWithSolo(df: DataFrame, k: Int, numHashes: Int,
+      bands: Int, keep: Seq[String]): DataFrame = {
+    val banded = graft.ops.Dedup
+      .bandedMinhash(df, "text", k, numHashes, bands, keep)
+    val solo = df
+      .where(size(graft.ops.Decontaminate.tokens(col("text"))) < k)
+      .select(keep.map(col) :+ lit(-1).as("band_idx") :+
+        concat(lit("solo:"), col("doc_id")).as("band_key"): _*)
+    banded.unionByName(solo)
+  }
+
   def startNearDup(spark: SparkSession, inDir: String, outDir: String,
       k: Int = 5, numHashes: Int = 8, bands: Int = 4,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     import spark.implicits._
     val stream = spark.readStream.schema(docSchema).json(inDir)
-    val banded = graft.ops.Dedup
-      .bandedMinhash(stream, "text", k, numHashes, bands,
-        keep = Seq("doc_id", "text"))
+    val banded = bandedWithSolo(stream, k, numHashes, bands,
+      keep = Seq("doc_id", "text"))
       .select(col("doc_id"), col("text"),
         concat_ws("|", col("band_idx"), col("band_key")).as("bucket"))
       .as[(Long, String, String)]
@@ -244,10 +265,9 @@ object StreamingDedup {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     import spark.implicits._
     val stream = spark.readStream.schema(docTsSchema).json(inDir)
-    val banded = graft.ops.Dedup
-      .bandedMinhash(
-        stream.where(col("ts").isNotNull).withWatermark("ts", watermarkDelay),
-        "text", k, numHashes, bands, keep = Seq("doc_id", "text", "ts"))
+    val banded = bandedWithSolo(
+      stream.where(col("ts").isNotNull).withWatermark("ts", watermarkDelay),
+      k, numHashes, bands, keep = Seq("doc_id", "text", "ts"))
       .select(col("doc_id"), col("text"), col("ts"),
         concat_ws("|", col("band_idx"), col("band_key")).as("bucket"))
       .as[(Long, String, java.sql.Timestamp, String)]

@@ -255,6 +255,32 @@ class StreamingScanSpec extends AnyFunSuite {
       s"cross-batch near-dup not dropped: ${ids()}")
   }
 
+  test("streaming near-dup: docs too short to shingle are KEPT (solo " +
+    "bucket), and an exact doc_id replay of one is dropped") {
+    val inDir = Files.createTempDirectory("stream-ndshort-in").toString
+    val outDir = Files.createTempDirectory("stream-ndshort-out").toString
+    def doc(id: Long, text: String): String =
+      s"""{"doc_id":$id,"text":"$text"}"""
+    def drain(): Unit =
+      awaitOrFail(StreamingDedup.startNearDup(spark, inDir, outDir))
+    def ids(): Seq[Long] = spark.read.parquet(s"$outDir/deduped")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // docs 1 and 3 have < k=5 tokens (no word-5-gram shingles): both must
+    // appear in the output via their per-doc solo buckets — before the
+    // solo row they were silently absent (neither kept nor marked dup)
+    Files.writeString(java.nio.file.Paths.get(inDir, "b1.json"),
+      doc(1, "hello world") + "\n" + doc(3, "tiny doc") + "\n" +
+        doc(4, "a full length document with plenty of words to shingle") + "\n")
+    drain()
+    assert(ids() == Seq(1L, 3L, 4L), s"short docs lost: ${ids()}")
+    // replaying doc_id 1 finds its solo bucket claimed -> dropped
+    Files.writeString(java.nio.file.Paths.get(inDir, "b2.json"),
+      doc(1, "hello world") + "\n" + doc(8, "brand new") + "\n")
+    drain()
+    assert(ids() == Seq(1L, 3L, 4L, 8L),
+      s"solo-bucket replay/keep wrong: ${ids()}")
+  }
+
   test("streaming near-dup TTL: bucket claims drop near-dups inside the " +
     "window, buckets re-claimable after TTL passes the watermark") {
     val inDir = Files.createTempDirectory("stream-ndttl-in").toString
