@@ -35,20 +35,39 @@ object GraftExtensions {
     new ExpressionInfo("graft", null, name, usage,
       "", "", "", "string_funcs", "", "", "built-in")
 
+  /** Arity check at ANALYSIS time: `SELECT extract_iocs()` must be a clean
+    * analysis-phase error naming the function and expected arity, not a
+    * NoSuchElementException from `exprs.head` — and extra arguments must be
+    * rejected, not silently ignored.
+    */
+  private def one(name: String)(
+      build: Expression => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != 1)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> s"`$name`",
+            "expectedNum" -> "1",
+            "actualNum" -> exprs.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
+      build(exprs.head)
+    }
+
   /** (identifier, info, builder) triples shared by the extension. */
   val descriptions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("extract_iocs"),
       info("extract_iocs",
         "_FUNC_(text) - single-pass IoC extraction; returns array<struct<indicator_type,value,matched_text,span_start,span_end>>."),
-      (exprs: Seq[Expression]) => ExtractIoCs(exprs.head, ScanConfig())),
+      one("extract_iocs")(ExtractIoCs(_, ScanConfig()))),
     (FunctionIdentifier("redact_iocs"),
       info("redact_iocs",
         "_FUNC_(text) - replace extracted IoCs/PII with typed placeholders."),
-      (exprs: Seq[Expression]) => RedactIoCs(exprs.head, ScanConfig())),
+      one("redact_iocs")(RedactIoCs(_, ScanConfig()))),
     (FunctionIdentifier("refang_text"),
       info("refang_text",
         "_FUNC_(text) - normalize defanged indicator forms (hxxp, [.], (at), ...)."),
-      (exprs: Seq[Expression]) => RefangText(exprs.head))
+      one("refang_text")(RefangText(_)))
   )
 }

@@ -24,16 +24,33 @@ object Conversations {
 
   /** One ordered "role: text" line per turn, '\n'-joined — the canonical
     * serialized transcript (turn order = turn_idx, the north rule's stable
-    * ordering).
+    * ordering). Human-readable but NOT injective (a text containing
+    * "\nrole: " serializes like a turn boundary), so the dedup fingerprint
+    * uses [[digestSerialized]] instead.
     */
   private def serialized(arr: Column): Column =
     concat_ws("\n",
       transform(arr, x =>
         concat(x.getField("role"), lit(": "), x.getField("text"))))
 
+  /** INJECTIVE transcript serialization for fingerprinting: each turn
+    * contributes md5(role) || md5(text) — two FIXED-WIDTH digests, so no
+    * field content can fake a turn boundary or shift fields (the naive
+    * "role: text\n" join let a text containing a newline + "role: " prefix
+    * collide with two separate turns, silently dropping a non-duplicate in
+    * dedupExact). Fixed-width fields => distinct turn sequences map to
+    * distinct strings (up to md5 collisions), and the whole thing is one
+    * md5 over the '-'-free hex concat — bit-reproducible in any engine.
+    */
+  private def digestSerialized(arr: Column): Column =
+    concat_ws("",
+      transform(arr, x =>
+        concat(md5(x.getField("role")), md5(x.getField("text")))))
+
   /** Per-conversation rollup: turn count, distinct-role count, total text
     * chars, wall-clock span in microseconds, and the whole-conversation
-    * fingerprint (md5 of the ordered serialized transcript).
+    * fingerprint (md5 of the INJECTIVE per-turn-digest serialization —
+    * see [[digestSerialized]]).
     */
   def stats(turns: DataFrame): DataFrame =
     turns.groupBy("conv_id")
@@ -46,7 +63,7 @@ object Conversations {
         (max(unix_micros(col("ts").cast("timestamp"))) -
           min(unix_micros(col("ts").cast("timestamp")))).as("span_us"),
         array_sort(collect_list(turnStruct)).as("arr"))
-      .withColumn("fp", md5(serialized(col("arr"))))
+      .withColumn("fp", md5(digestSerialized(col("arr"))))
       .drop("arr")
       .withColumn("n_roles", col("n_roles").cast("long"))
 
@@ -64,7 +81,7 @@ object Conversations {
   def fingerprints(turns: DataFrame): DataFrame =
     turns.groupBy("conv_id")
       .agg(array_sort(collect_list(turnStruct)).as("arr"))
-      .select(col("conv_id"), md5(serialized(col("arr"))).as("fp"))
+      .select(col("conv_id"), md5(digestSerialized(col("arr"))).as("fp"))
 
   /** Whole-conversation exact dedup groups: fingerprint, group size, and
     * the canonical keep (min conv_id) — the conversation-level analog of

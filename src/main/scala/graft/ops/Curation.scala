@@ -19,12 +19,20 @@ import org.apache.spark.sql.functions._
   * cheapest check a cascade would run first), then near_dup, then
   * contaminated.
   *
-  * 100 TB shape: quality is map-side over the corpus scan; near-dup is the
-  * banded + `maxBandDf`-capped pair generator plus O(log diameter)
-  * pointer-jumping rounds; decontamination broadcasts the benchmark-sized
-  * eval gram set so the corpus never shuffles for it. The composition
-  * itself adds only doc_id-keyed joins of doc-sized verdict tables —
-  * co-partitioned on the same key, no new corpus-sized shuffle.
+  * 100 TB shape (round-5 single-tokenization rework): the corpus is read
+  * and tokenized EXACTLY ONCE — one pass stages (doc_id, quality verdict,
+  * token array) into a localCheckpoint (the "tokens table" a production
+  * pipeline would materialize to parquet; swap the checkpoint for a real
+  * table write at cluster scale). Everything downstream derives from the
+  * staged table: quality is already a column; minhash shingles + the md5
+  * signature sweep run once into a checkpointed band table (so the band
+  * self-join does not recompute the sweep per side); contamination grams
+  * probe a broadcast eval gram set, so the corpus never shuffles for it.
+  * Near-dup is the `maxBandDf`-capped pair generator plus O(log diameter)
+  * pointer-jumping rounds. The composition itself adds only doc_id-keyed
+  * joins of doc-sized verdict tables; the final (doc-sized, 5-column)
+  * verdict table is materialized so every staged checkpoint can be
+  * released before returning.
   */
 object Curation {
 
@@ -34,9 +42,12 @@ object Curation {
     * `drop_stage` (`quality:<rule>` | `near_dup` | `contaminated`, null
     * when kept) and `keep`.
     *
-    * Quality thresholds mirror [[TextStats.qualityFilter]]; near-dup
-    * parameters mirror [[Dedup.minhashLshPairs]] (including the
-    * `maxBandDf` skew cap); `contamN`/`minShared` mirror
+    * Quality thresholds mirror [[TextStats.qualityFilter]] (shared
+    * [[TextStats.failReasonExpr]] rule cascade; the token count comes from
+    * the staged token array — identical to `tokenCount`, lowercasing never
+    * changes whitespace splits); near-dup parameters mirror
+    * [[Dedup.minhashLshPairs]] (including the `maxBandDf` skew cap, ON by
+    * default); `contamN`/`minShared` mirror
     * [[Decontaminate.contaminationScores]].
     *
     * Blind spot to keep configured away: documents with fewer than `k`
@@ -50,21 +61,55 @@ object Curation {
       minTokens: Long = 25, maxTokens: Long = 100000,
       minMeanTokenLen: Double = 3.0, maxMeanTokenLen: Double = 10.0,
       minAlnumRatio: Double = 0.6, minStopwordHits: Long = 1,
-      k: Int = 5, numHashes: Int = 8, bands: Int = 4, maxBandDf: Int = 0,
+      k: Int = 5, numHashes: Int = 8, bands: Int = 4,
+      maxBandDf: Int = Dedup.DefaultMaxBandDf,
       contamN: Int = 13, minShared: Long = 1,
       textCol: String = "text"): DataFrame = {
-    val quality = TextStats
-      .qualityFilter(docs, textCol, minTokens, maxTokens, minMeanTokenLen,
-        maxMeanTokenLen, minAlnumRatio, minStopwordHits)
-      .select(col("doc_id"), col("fail_reason").as("quality_fail"))
-    // the dedup family hardcodes a "text" column — honor textCol for it too
-    val dedupDocs = docs.select(col("doc_id"), col(textCol).as("text"))
-    val clusters = Dedup.nearDupClusters(dedupDocs,
-      Dedup.minhashLshPairs(dedupDocs, k, numHashes, bands, maxBandDf))
-    val contam = Decontaminate
-      .contaminationScores(docs, evalDocs, contamN, textCol)
+    // --- THE single corpus pass: tokenize once, grade quality in the same
+    // projection, checkpoint (doc_id, quality_fail, toks)
+    val staged = docs
+      .select(col("doc_id"), col(textCol).as("__text"),
+        Decontaminate.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        TextStats.failReasonExpr(
+          nTokens = when(length(trim(col("__text"))) === 0, 0)
+            .otherwise(size(col("toks"))),
+          meanTokenLen = length(col("__text")).cast("double") /
+            greatest(when(length(trim(col("__text"))) === 0, 0)
+              .otherwise(size(col("toks"))), lit(1)).cast("double"),
+          alnumRatio =
+            length(regexp_replace(col("__text"), "[^a-zA-Z0-9]", ""))
+              .cast("double") /
+              greatest(length(col("__text")), lit(1)).cast("double"),
+          stopwordHits = TextStats.stopwordHits(col("__text")),
+          minTokens, maxTokens, minMeanTokenLen, maxMeanTokenLen,
+          minAlnumRatio, minStopwordHits).as("quality_fail"),
+        col("toks"))
+      .localCheckpoint()
+    // --- banding: shingles + md5 signature sweep ONCE into a small
+    // checkpointed (doc_id, band_idx, band_key) table; the pair self-join
+    // and CC then never recompute the sweep
+    val banded = Dedup
+      .bandedMinhashOfTokens(staged, "toks", k, numHashes, bands,
+        keep = Seq("doc_id"))
+      .localCheckpoint()
+    val clusters = Dedup.nearDupClusters(staged.select("doc_id"),
+      Dedup.pairsFromBanded(banded, maxBandDf))
+    // --- decontamination: eval grams BROADCAST (benchmark-sized), train
+    // grams derived from the staged tokens — the corpus never shuffles
+    val evalGrams = evalDocs
+      .select(Decontaminate.tokens(col(textCol)).as("__etoks"))
+      .select(explode(
+        Decontaminate.ngramsOfTokens(col("__etoks"), contamN)).as("gram"))
+      .distinct()
+    val contam = staged
+      .select(col("doc_id"),
+        explode(Decontaminate.ngramsOfTokens(col("toks"), contamN))
+          .as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy("doc_id").agg(count(lit(1)).as("shared_ngrams"))
     // quality is exactly one row per input doc, so it anchors the chain
-    quality
+    val out = staged.select("doc_id", "quality_fail")
       .join(clusters, Seq("doc_id"))
       .join(contam, Seq("doc_id"), "left")
       .withColumn("shared_ngrams", coalesce(col("shared_ngrams"), lit(0L)))
@@ -75,5 +120,12 @@ object Curation {
           .when(col("shared_ngrams") >= minShared, lit("contaminated")))
       .withColumn("keep", col("drop_stage").isNull)
       .select("doc_id", "cluster_id", "shared_ngrams", "drop_stage", "keep")
+      // materialize the doc-sized verdict table so the token/band staging
+      // blocks can be released NOW instead of pinning corpus-sized state
+      // until the caller's action completes
+      .localCheckpoint()
+    Checkpoints.releaseLocal(banded)
+    Checkpoints.releaseLocal(staged)
+    out
   }
 }

@@ -112,12 +112,24 @@ object Dedup {
     * hash family additionally paid numHashes digests per shingle.
     */
   def bandedMinhash(df: DataFrame, textCol: String, k: Int, numHashes: Int,
-      bands: Int, keep: Seq[String]): DataFrame = {
+      bands: Int, keep: Seq[String]): DataFrame =
+    bandedMinhashOfTokens(
+      df.select(keep.map(col) :+
+        Decontaminate.tokens(col(textCol)).as("__graft_toks"): _*),
+      "__graft_toks", k, numHashes, bands, keep)
+
+  /** [[bandedMinhash]] over an ALREADY-TOKENIZED column (the
+    * single-tokenization composition path — Curation.curate stages the
+    * token table once and derives shingles, quality counts and
+    * contamination grams from it). The tokens column must be
+    * [[Decontaminate.tokens]]-normalized for the banding definition to
+    * stay single-sourced.
+    */
+  def bandedMinhashOfTokens(df: DataFrame, toksCol: String, k: Int,
+      numHashes: Int, bands: Int, keep: Seq[String]): DataFrame = {
     val keepCols = keep.map(col)
     df.select(keepCols :+
-        Decontaminate.tokens(col(textCol)).as("__graft_toks"): _*)
-      .select(keepCols :+
-        shingleHashPair(Decontaminate.ngramsOfTokens(col("__graft_toks"), k))
+        shingleHashPair(Decontaminate.ngramsOfTokens(col(toksCol), k))
           .as("__graft_ab"): _*)
       .select(keepCols :+
         array(minhashSigTerms(col("__graft_ab"), numHashes): _*)
@@ -153,20 +165,53 @@ object Dedup {
         .where(col("bpos") <= cap).drop("bpos")
     }
 
+  /** Default band-bucket cap ([[minhashLshPairs]]/[[simhashNearDupPairs]]
+    * `maxBandDf`): ON by default (round-5 flip — a default invocation must
+    * never be the quadratic path at 100 TB; pass 0 to opt out explicitly).
+    * 256 bounds an N-identical-docs flood at N x 256 pairs — far above any
+    * legitimate bucket population at the default 8-hash/4-band settings
+    * (dedup-relevant buckets hold near-dup GROUPS, and a group larger than
+    * 256 is exactly the flood pathology the cap exists for), and still links
+    * every flood member to the bucket's first 256 docs, so connected
+    * components collapse the flood into one cluster regardless.
+    */
+  val DefaultMaxBandDf = 256
+
+  /** Default hot-shingle document-frequency cap ([[ngramJaccardPairs]]
+    * `maxShingleDf`): ON by default (round-5 flip). A shingle shared by d
+    * docs contributes d^2 candidate rows, so boilerplate shared by 10^8
+    * docs is a 10^16-pair blowup; 10^4 keeps every remotely discriminative
+    * shingle (df 10k at corpus scale is pure boilerplate) while bounding
+    * any one shingle's contribution at 10^8 rows.
+    */
+  val DefaultMaxShingleDf = 10000
+
   /** MinHash + LSH near-dup candidate pairs: band the signature, bucket-join
     * on (band_idx, band_key), emit doc pairs sharing >= 1 band. `k` =
     * WORDS per shingle (word k-grams — see [[bandedMinhash]]).
     *
-    * `maxBandDf` (0 = off) is the 100 TB skew guard (same class as
-    * `maxShingleDf` / `Similarity.maxBucketSize`): one side of the band
-    * self-join is capped to the first `maxBandDf` doc_ids per band bucket,
-    * bounding an N-identical-docs flood at N x maxBandDf pairs instead of
-    * N^2. No document is dropped — only its intra-bucket pair fanout.
+    * `maxBandDf` is the 100 TB skew guard (same class as `maxShingleDf` /
+    * `Similarity.maxBucketSize`): one side of the band self-join is capped
+    * to the first `maxBandDf` doc_ids per band bucket, bounding an
+    * N-identical-docs flood at N x maxBandDf pairs instead of N^2. No
+    * document is dropped — only its intra-bucket pair fanout. ON by
+    * default ([[DefaultMaxBandDf]]); 0 disables (explicit opt-out for
+    * exhaustive small-corpus audits).
     */
   def minhashLshPairs(docs: DataFrame, k: Int = 5, numHashes: Int = 8,
-      bands: Int = 4, maxBandDf: Int = 0): DataFrame = {
-    val banded = bandedMinhash(docs, "text", k, numHashes, bands,
-      keep = Seq("doc_id"))
+      bands: Int = 4, maxBandDf: Int = DefaultMaxBandDf): DataFrame =
+    pairsFromBanded(
+      bandedMinhash(docs, "text", k, numHashes, bands, keep = Seq("doc_id")),
+      maxBandDf)
+
+  /** The (capped) band-bucket self-join over a banded frame
+    * (doc_id, band_idx, band_key) — shared by [[minhashLshPairs]] and the
+    * staged-banding composition in Curation.curate (which checkpoints the
+    * banded table first so the md5 signature sweep runs once, not once per
+    * join side).
+    */
+  private[ops] def pairsFromBanded(banded: DataFrame,
+      maxBandDf: Int): DataFrame = {
     // cap the LEFT (smaller-id) side: pairs are (a, b) with a < b, so the
     // capped side must be the one holding the bucket's smallest ids — every
     // beyond-cap doc still pairs (as doc_b) with the first maxBandDf members
@@ -218,7 +263,7 @@ object Dedup {
     * is the 100 TB path the round-1 simhashGroups (Hamming-0 only) lacked.
     */
   def simhashNearDupPairs(docs: DataFrame, bits: Int = 32, bands: Int = 4,
-      maxHamming: Int = 3, maxBandDf: Int = 0): DataFrame = {
+      maxHamming: Int = 3, maxBandDf: Int = DefaultMaxBandDf): DataFrame = {
     require(bits % bands == 0, "bits must divide into equal bands")
     val r = bits / bands
     val fps = simhashFingerprints(docs, bits)
@@ -249,7 +294,7 @@ object Dedup {
     * shingle. |A ∩ B| / |A ∪ B| with integer set sizes; one shuffle on the
     * shingle key. `minJaccard` prunes the tail.
     *
-    * `maxShingleDf` (0 = off) is the 100 TB skew guard: a shingle present in
+    * `maxShingleDf` is the 100 TB skew guard: a shingle present in
     * d documents contributes d^2 join rows, so one boilerplate 5-gram shared
     * by 10^8 docs would alone produce 10^16 pairs. Shingles with document
     * frequency > maxShingleDf are excluded from PAIR GENERATION (set sizes
@@ -257,10 +302,12 @@ object Dedup {
     * pairs sharing hot shingles — near-dup pairs keep >=1 rare shingle in
     * practice). Excluded shingles are reported per-pair via `inter` being
     * computed over kept shingles only; callers needing the drop count can
-    * aggregate `df > maxShingleDf` themselves from `shingleDf`.
+    * aggregate `df > maxShingleDf` themselves from `shingleDf`. ON by
+    * default ([[DefaultMaxShingleDf]]); 0 disables explicitly.
     */
   def ngramJaccardPairs(docs: DataFrame, k: Int = 5,
-      minJaccard: Double = 0.5, maxShingleDf: Int = 0): DataFrame = {
+      minJaccard: Double = 0.5,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
     val sh = docs.select(col("doc_id"),
       explode(shingles(col("text"), k)).as("shingle"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
@@ -374,9 +421,15 @@ object Dedup {
     * `planes` random hyperplanes, then compare only within buckets — never
     * all-pairs. Pairs in different buckets are not compared (approximate by
     * design; raise recall with more tables via Similarity.lshTopK).
+    *
+    * `maxBucketSize` caps the smaller-id side of the bucket self-join
+    * (same guard family as `maxBandDf` / `Similarity.maxBucketSize`): an
+    * embedding flood collapsing into one bucket costs N x cap pairs, not
+    * N^2. ON by default ([[Similarity.DefaultMaxBucketSize]]); 0 disables.
     */
   def embeddingCosinePairs(embeddings: DataFrame, minCosine: Double,
-      planes: Int = 6): DataFrame = {
+      planes: Int = 6,
+      maxBucketSize: Int = Similarity.DefaultMaxBucketSize): DataFrame = {
     // stage the quantized vector, then bucket from the attribute (the
     // bucket expression references it 2 x planes times — see
     // Similarity.quantizeChecked)
@@ -385,7 +438,15 @@ object Dedup {
         Similarity.quantizeChecked(col("embedding")).as("qv"))
       .select(col("vec_id"), col("qv"),
         Similarity.lshBucketOfQ(col("qv"), planes).as("bucket"))
-    q.as("a").join(q.as("b"),
+    val a =
+      if (maxBucketSize <= 0) q
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket").orderBy(col("vec_id").asc)
+        q.withColumn("bpos", row_number().over(w))
+          .where(col("bpos") <= maxBucketSize).drop("bpos")
+      }
+    a.as("a").join(q.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

@@ -57,6 +57,25 @@ object Similarity {
     */
   val MaxDim = 2048
 
+  /** Default per-bucket / per-centroid-list corpus cap ([[lshTopK]] /
+    * [[ivfTopK]] `maxBucketSize`): ON by default (round-5 flip — the
+    * default invocation must never be the quadratic path at 100 TB; 0 is
+    * the explicit opt-out). 1024 is far above a healthy bucket population
+    * at the default planes/nlist settings, so it only bites the
+    * adversarial floods (all-zero embeddings, near-dup floods) it exists
+    * for, while bounding any one bucket's join fanout at bucketSize x 1024.
+    */
+  val DefaultMaxBucketSize = 1024
+
+  /** Default within-cluster participant cap ([[semDedup]]
+    * `maxClusterSize`): ON by default (round-5 flip; 0 = explicit opt-out).
+    * SemDeDup clusters should be ~corpus/nlist sized; 4096 only bites
+    * degenerate clusterings (nlist too small for the corpus, or an
+    * embedding flood collapsing into one cluster) and degrades recall
+    * only — capped-out vectors always remain in the output as keepers.
+    */
+  val DefaultMaxClusterSize = 4096
+
   /** Deterministic random-hyperplane sign for (table, plane, dim): +-1 from
     * one md5 hex nibble of "seed<dim>" — reproducible in any engine with
     * md5 (the DuckDB oracle recomputes the same formula). Table 0 keeps the
@@ -129,13 +148,25 @@ object Similarity {
     *    (long division truncates toward zero, so a plain s/c would differ
     *    from floor on negative sums);
     *  - empty clusters keep their previous centroid (classic Lloyd).
-    * Centroid ids stay 0..nlist-1 across rounds. Each round's centroid
-    * table is collected to the driver (nlist x dim longs — a small
-    * dimension read) so the next assignment joins against a fresh literal
-    * broadcast instead of a plan that deepens every round.
+    * Centroid ids stay 0..nlist-1 across rounds.
+    *
+    * Two centroid-table representations, BIT-IDENTICAL results either way
+    * (asserted by IvfCentroidsSpec):
+    *  - nlist <= `maxCollectCentroids`: each round's table is collected to
+    *    the driver (bounded by nlist x MaxDim = 8 MB at the default guard)
+    *    so the next assignment joins a fresh literal broadcast;
+    *  - larger nlist: the table stays a DataFrame — init renumbers via a
+    *    row_number window over the (vec_id)-only projection (single
+    *    partition, but nlist ids x 8 bytes, never the vectors), each
+    *    round's update LEFT-joins the previous centroid table (empty
+    *    clusters keep their centroid via coalesce) and is localCheckpoint'd
+    *    to truncate lineage, superseded tables' blocks released. The
+    *    driver never holds a centroid. (At nlist ~ 10^6 the n x nlist
+    *    assignment scoring is the real wall — coarse-quantize the
+    *    assignment itself before raising the guard.)
     */
   def ivfCentroids(corpus: DataFrame, nlist: Int,
-      lloydRounds: Int = 0): DataFrame = {
+      lloydRounds: Int = 0, maxCollectCentroids: Int = 512): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // materialize the quantized corpus ONCE when Lloyd rounds will loop
@@ -144,39 +175,70 @@ object Similarity {
     // iterative refinement must never leave its loop input lazy)
     val qRaw = corpus.select(col("vec_id"), quantize(col("embedding")).as("qv"))
     val q = if (lloydRounds > 0) qRaw.localCheckpoint() else qRaw
-    var cents = q.orderBy(col("vec_id").asc).limit(nlist)
-      .select(col("vec_id").as("centroid_id"), col("qv").as("cv"))
-      .as[(Long, Array[Long])].collect().toSeq
-      .sortBy(_._1).zipWithIndex
-      .map { case ((_, v), i) => (i.toLong, v) }
-    var round = 0
-    while (round < lloydRounds) {
-      val cw = Window.partitionBy("vec_id")
-        .orderBy(col("ccos").desc, col("centroid_id").asc)
-      val assigned = q.join(broadcast(cents.toDF("centroid_id", "cv")))
+    val cw = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("centroid_id").asc)
+    // one Lloyd round: assignment (argmax cosine, ties by centroid_id) +
+    // exact-integer floor-division update over a centroid DataFrame.
+    // `div`, not `/`: Column./ on longs is DOUBLE division, which loses
+    // low bits once |s| exceeds 2^53 and would diverge from the oracle's
+    // exact integer arithmetic; `div` stays integral.
+    def lloydRound(cents: DataFrame): DataFrame = {
+      val assigned = q.join(broadcast(cents))
         .select(col("vec_id"), col("qv"), col("centroid_id"),
           cosineQ(col("qv"), col("cv")).as("ccos"))
         .withColumn("crank", row_number().over(cw))
         .where(col("crank") === 1)
-      val sums = assigned
+      assigned
         .select(col("centroid_id"), posexplode(col("qv")).as(Seq("pos", "x")))
         .groupBy("centroid_id", "pos")
         .agg(sum("x").as("s"), count(lit(1)).as("c"))
-        // `div`, not `/`: Column./ on longs is DOUBLE division, which
-        // loses low bits once |s| exceeds 2^53 and would diverge from the
-        // oracle's exact integer arithmetic; `div` stays integral
-        .withColumn("comp",
-          expr("(s - pmod(s, c)) div c"))
+        .withColumn("comp", expr("(s - pmod(s, c)) div c"))
         .groupBy("centroid_id")
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("comp")))),
           f => f.getField("comp").cast("long")).as("cv"))
-        .as[(Long, Array[Long])].collect().toMap
-      cents = cents.map { case (id, old) => (id, sums.getOrElse(id, old)) }
-      round += 1
     }
-    if (lloydRounds > 0) Checkpoints.releaseLocal(q)
-    cents.toDF("centroid_id", "cv")
+    if (nlist <= maxCollectCentroids) {
+      var cents = q.orderBy(col("vec_id").asc).limit(nlist)
+        .select(col("vec_id").as("centroid_id"), col("qv").as("cv"))
+        .as[(Long, Array[Long])].collect().toSeq
+        .sortBy(_._1).zipWithIndex
+        .map { case ((_, v), i) => (i.toLong, v) }
+      var round = 0
+      while (round < lloydRounds) {
+        val sums = lloydRound(cents.toDF("centroid_id", "cv"))
+          .as[(Long, Array[Long])].collect().toMap
+        cents = cents.map { case (id, old) => (id, sums.getOrElse(id, old)) }
+        round += 1
+      }
+      if (lloydRounds > 0) Checkpoints.releaseLocal(q)
+      cents.toDF("centroid_id", "cv")
+    } else {
+      // DF-resident path: renumber init centroids 0..n-1 by vec_id order
+      // (window input = the nlist smallest ids ONLY, vectors joined after)
+      val initIds = q.select(col("vec_id")).orderBy(col("vec_id").asc)
+        .limit(nlist)
+        .select(col("vec_id"),
+          (row_number().over(Window.orderBy(col("vec_id").asc)) - 1)
+            .cast("long").as("centroid_id"))
+      var cents = q.join(initIds, "vec_id")
+        .select(col("centroid_id"), col("qv").as("cv"))
+      if (lloydRounds > 0) cents = cents.localCheckpoint()
+      var round = 0
+      while (round < lloydRounds) {
+        val next = cents.as("p")
+          .join(lloydRound(cents).withColumnRenamed("cv", "nv"),
+            Seq("centroid_id"), "left")
+          .select(col("centroid_id"),
+            coalesce(col("nv"), col("p.cv")).as("cv"))
+          .localCheckpoint()
+        Checkpoints.releaseLocal(cents)
+        cents = next
+        round += 1
+      }
+      if (lloydRounds > 0) Checkpoints.releaseLocal(q)
+      cents
+    }
   }
 
   /** ANN top-k via IVF (inverted-file) coarse quantization: assign every
@@ -198,7 +260,8 @@ object Similarity {
     * `maxBucketSize` caps a hot centroid's list like lshTopK's guard.
     */
   def ivfTopK(corpus: DataFrame, k: Int, nlist: Int = 8, nprobe: Int = 2,
-      maxBucketSize: Int = 0, lloydRounds: Int = 0): DataFrame = {
+      maxBucketSize: Int = DefaultMaxBucketSize,
+      lloydRounds: Int = 0): DataFrame = {
     val q = corpus.select(col("vec_id"), quantize(col("embedding")).as("qv"))
     val cents = ivfCentroids(corpus, nlist, lloydRounds)
     val scored = q.join(broadcast(cents))
@@ -240,15 +303,16 @@ object Similarity {
     * bucket in EVERY table); candidate pairs are deduped across tables
     * before scoring so each pair's cosine is computed once.
     *
-    * `maxBucketSize` (0 = off) is the skew guard: the corpus side of each
+    * `maxBucketSize` is the skew guard: the corpus side of each
     * (table, bucket) is capped to its first `maxBucketSize` vec_ids, so an
     * adversarially hot bucket (all-zero embeddings, near-duplicate floods)
     * costs at most bucketSize x maxBucketSize comparisons instead of
     * bucketSize^2. Queries are never dropped — only their candidate lists
-    * are truncated (deterministically, by vec_id).
+    * are truncated (deterministically, by vec_id). ON by default
+    * ([[DefaultMaxBucketSize]]); 0 disables explicitly.
     */
   def lshTopK(corpus: DataFrame, k: Int, planes: Int = 6, tables: Int = 1,
-      maxBucketSize: Int = 0): DataFrame = {
+      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
     // quantize ONCE into a materialized column; the per-table bucket
     // expressions then only reference the attribute (the quantize would
     // otherwise re-run 2 x planes x tables times per row — HOF arg
@@ -309,7 +373,8 @@ object Similarity {
     * (vec_id, centroid_id, dup_of, keep).
     */
   def semDedup(corpus: DataFrame, threshold: Double, nlist: Int = 8,
-      lloydRounds: Int = 0, maxClusterSize: Int = 0): DataFrame = {
+      lloydRounds: Int = 0,
+      maxClusterSize: Int = DefaultMaxClusterSize): DataFrame = {
     val q = corpus.select(col("vec_id"), quantize(col("embedding")).as("qv"))
     val cents = ivfCentroids(corpus, nlist, lloydRounds)
     val cw = Window.partitionBy("vec_id")

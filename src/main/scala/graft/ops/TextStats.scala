@@ -111,9 +111,7 @@ object TextStats {
     val nSpaces = length(t) - length(regexp_replace(t, " ", ""))
     val nPunct = length(regexp_replace(t, "[^.,;:!?]", ""))
     val tokens = tokenCount(t)
-    val stopHits = Seq(" the ", " and ", " a ", " of ")
-      .map(w => occurrences(concat(lit(" "), lower(t), lit(" ")), w))
-      .reduce(_ + _)
+    val stopHits = stopwordHits(t)
     docs
       .withColumn("n_chars_m", nChars)
       .withColumn("n_tokens", tokens)
@@ -153,13 +151,34 @@ object TextStats {
       minAlnumRatio: Double = 0.6, minStopwordHits: Long = 1): DataFrame =
     qualityFeatures(docs, textCol)
       .withColumn("fail_reason",
-        when(col("n_tokens") < minTokens, "too_few_tokens")
-          .when(col("n_tokens") > maxTokens, "too_many_tokens")
-          .when(col("mean_token_len") < minMeanTokenLen ||
-            col("mean_token_len") > maxMeanTokenLen, "mean_token_len")
-          .when(col("alnum_ratio") < minAlnumRatio, "low_alnum_ratio")
-          .when(col("stopword_hits") < minStopwordHits, "no_stopwords"))
+        failReasonExpr(col("n_tokens"), col("mean_token_len"),
+          col("alnum_ratio"), col("stopword_hits"),
+          minTokens, maxTokens, minMeanTokenLen, maxMeanTokenLen,
+          minAlnumRatio, minStopwordHits))
       .withColumn("keep", col("fail_reason").isNull)
+
+  /** The first-failing-rule expression over already-computed feature
+    * columns — THE single source of the rule order, shared by
+    * [[qualityFilter]] and Curation.curate's single-tokenization pass (the
+    * two must never drift: curate's oracle mirrors this exact cascade).
+    */
+  def failReasonExpr(nTokens: Column, meanTokenLen: Column,
+      alnumRatio: Column, stopwordHits: Column,
+      minTokens: Long, maxTokens: Long,
+      minMeanTokenLen: Double, maxMeanTokenLen: Double,
+      minAlnumRatio: Double, minStopwordHits: Long): Column =
+    when(nTokens < minTokens, "too_few_tokens")
+      .when(nTokens > maxTokens, "too_many_tokens")
+      .when(meanTokenLen < minMeanTokenLen ||
+        meanTokenLen > maxMeanTokenLen, "mean_token_len")
+      .when(alnumRatio < minAlnumRatio, "low_alnum_ratio")
+      .when(stopwordHits < minStopwordHits, "no_stopwords")
+
+  /** The stopword-hit count shared by [[qualityFeatures]] and curate. */
+  def stopwordHits(text: Column): Column =
+    Seq(" the ", " and ", " a ", " of ")
+      .map(w => occurrences(concat(lit(" "), lower(text), lit(" ")), w))
+      .reduce(_ + _)
 
   /** Gopher repetition signals (Rae et al. 2021, appendix A — the
     * repetition-rule half of the published family, complementing

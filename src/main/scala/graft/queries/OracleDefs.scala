@@ -417,7 +417,8 @@ object OracleDefs {
     val cap = 80
     s"""WITH base AS (
        |  SELECT vec_id, $qv AS v FROM embeddings WHERE vec_id < 300),
-       |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM base
+       |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+       |            AS centroid_id, v AS cv FROM base
        |          ORDER BY vec_id LIMIT $nlist),
        |scored AS (
        |  SELECT b.vec_id, b.v, c.centroid_id,
@@ -487,7 +488,8 @@ object OracleDefs {
          |  FROM $cin p LEFT JOIN new_$cout n USING (centroid_id))""".stripMargin
     s"""WITH base AS (
        |  SELECT vec_id, $qv AS v FROM embeddings WHERE vec_id < 300),
-       |cents0 AS (SELECT vec_id AS centroid_id, v AS cv FROM base
+       |cents0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+       |             AS centroid_id, v AS cv FROM base
        |           ORDER BY vec_id LIMIT $nlist),
        |${lloyd("cents0", "cents1")},
        |${lloyd("cents1", "cents2")},
@@ -972,8 +974,10 @@ object OracleDefs {
       |FROM events""".stripMargin
 
   /** q49 mirror: per-conversation rollup — exact integer arithmetic
-    * (epoch_us spans match Spark's unix_micros) and the ordered-transcript
-    * md5 fingerprint.
+    * (epoch_us spans match Spark's unix_micros) and the INJECTIVE
+    * fixed-width per-turn-digest fingerprint (md5(role)||md5(text) per
+    * turn, concatenated in turn order — mirrors
+    * Conversations.digestSerialized).
     */
   val convStats: String =
     s"""WITH t AS ($goldTurnsSql)
@@ -982,7 +986,7 @@ object OracleDefs {
        |  CAST(len(list_distinct(list(role))) AS BIGINT) AS n_roles,
        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
        |  CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS span_us,
-       |  md5(string_agg(role||': '||text, chr(10) ORDER BY turn_idx)) AS fp
+       |  md5(string_agg(md5(role)||md5(text), '' ORDER BY turn_idx)) AS fp
        |FROM t GROUP BY 1 ORDER BY conv_id""".stripMargin
 
   /** q50 mirror: whole-conversation exact dedup with conversations 0..9
@@ -998,7 +1002,7 @@ object OracleDefs {
        |),
        |fp AS (
        |  SELECT conv_id,
-       |    md5(string_agg(role||': '||text, chr(10) ORDER BY turn_idx)) AS fp
+       |    md5(string_agg(md5(role)||md5(text), '' ORDER BY turn_idx)) AS fp
        |  FROM all_t GROUP BY 1
        |)
        |SELECT fp, count(*) AS n_convs, min(conv_id) AS canonical_conv_id
@@ -1006,11 +1010,15 @@ object OracleDefs {
 
   /** q51 mirror: SemDeDup — init-only centroid assignment, within-cluster
     * pairs capped at 40 participants per cluster, keep-first drop rule.
+    * Centroids are RENUMBERED 0..nlist-1 by vec_id order exactly like
+    * Similarity.ivfCentroids (row_number, not the raw vec_id — the raw id
+    * only coincides when the fixture's ids happen to start at 0).
     */
   val semDedup: String =
     s"""WITH base AS (
        |  SELECT vec_id, $qv AS v FROM embeddings WHERE vec_id < 300),
-       |cents AS (SELECT vec_id AS centroid_id, v AS cv FROM base
+       |cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+       |            AS centroid_id, v AS cv FROM base
        |          ORDER BY vec_id LIMIT 8),
        |ranked AS (
        |  SELECT vec_id, v, centroid_id,

@@ -295,17 +295,21 @@ object QueryDefs {
   def qDedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(t(s, dir, "documents")).orderBy("text_hash")
 
+  // maxBandDf = 0: the UNCAPPED audit form, so the oracle is the plain
+  // band self-join (the capped default is oracle-checked by q38/q41/q52)
   def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshPairs(t(s, dir, "documents").where(col("doc_id") < 500))
+    Dedup.minhashLshPairs(t(s, dir, "documents").where(col("doc_id") < 500),
+      maxBandDf = 0)
       .orderBy("doc_a", "doc_b")
 
   def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashGroups(t(s, dir, "documents"))
       .orderBy("fingerprint")
 
+  // maxShingleDf = 0: uncapped oracle form (the capped default is q31's)
   def qDedupNgram(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(t(s, dir, "documents")
-      .where(col("doc_id") < 60), k = 5, minJaccard = 0.2)
+      .where(col("doc_id") < 60), k = 5, minJaccard = 0.2, maxShingleDf = 0)
       .orderBy("doc_a", "doc_b")
 
   def qDedupEmbedding(s: SparkSession, dir: String): DataFrame =
@@ -339,15 +343,18 @@ object QueryDefs {
     */
   def qDedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosinePairs(t(s, dir, "embeddings")
-      .where(col("vec_id") < 300), minCosine = 0.2, planes = 4)
+      .where(col("vec_id") < 300), minCosine = 0.2, planes = 4,
+      maxBucketSize = 0) // uncapped oracle form
       .orderBy("vec_a", "vec_b")
 
   /** q35: simhash near-dup pairs via multi-band blocking + true Hamming
     * filter (recall exact for hamming <= bands-1 by pigeonhole).
     */
+  // maxBandDf = 0: uncapped oracle form (the capped default is q39's)
   def qDedupSimhashNear(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDupPairs(t(s, dir, "documents")
-      .where(col("doc_id") < 200), bits = 32, bands = 4, maxHamming = 3)
+      .where(col("doc_id") < 200), bits = 32, bands = 4, maxHamming = 3,
+      maxBandDf = 0)
       .orderBy("doc_a", "doc_b")
 
   /** Identical-document flood fixture for the band-bucket cap queries
@@ -463,9 +470,10 @@ object QueryDefs {
       .orderBy("query_id", "rank")
   }
 
+  // maxBucketSize = 0: uncapped oracle form (the capped default is q32's)
   def qSimLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(t(s, dir, "embeddings").where(col("vec_id") < 200),
-      k = 3, planes = 6)
+      k = 3, planes = 6, maxBucketSize = 0)
       .orderBy("query_id", "rank")
 
   /** q40: IVF ANN — coarse-quantizer assignment, nprobe-list probing, and

@@ -46,4 +46,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
       other.sql("SELECT refang_text('x')").collect()
     }
   }
+
+  test("wrong arity is a clean analysis error naming the function") {
+    val spark = SparkTestBase.spark.newSession()
+    GraftExtensions.descriptions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+    val zero = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT extract_iocs()").collect()
+    }
+    assert(zero.getMessage.contains("extract_iocs"))
+    assert(zero.getCondition != null &&
+      zero.getCondition.startsWith("WRONG_NUM_ARGS"))
+    // extra arguments are rejected, not silently ignored
+    val two = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT redact_iocs('a', 'b')").collect()
+    }
+    assert(two.getMessage.contains("redact_iocs"))
+  }
 }

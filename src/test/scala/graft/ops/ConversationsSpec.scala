@@ -43,6 +43,24 @@ class ConversationsSpec extends AnyFunSuite {
     assert(m("c2") == "user: hello")
   }
 
+  test("fingerprint is injective across turn boundaries: a text embedding " +
+    "'\\nrole: ' must not collide with two separate turns") {
+    // conversation A: ONE turn whose text contains what the naive
+    // "role: text\n" serialization would render as a turn boundary
+    val a = Seq(("a", 0, "user", "hello\nassistant: hi there", "", ts(1000)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    // conversation B: TWO genuine turns with the same naive serialization
+    val b = Seq(
+      ("b", 0, "user", "hello", "", ts(1000)),
+      ("b", 1, "assistant", "hi there", "", ts(2000))
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val fps = Conversations.fingerprints(a.unionByName(b))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fps("a") != fps("b"))
+    // and dedupExact keeps them as two distinct conversations (no data loss)
+    assert(Conversations.dedupExact(a.unionByName(b)).count() == 2)
+  }
+
   test("dedupExact collapses identical conversations onto min conv_id") {
     val dup = turns.where($"conv_id" === "c1")
       .withColumn("conv_id", lit("z-copy"))

@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 directive: the 100 TB skew guards default ON — a DEFAULT
+  * invocation of any banded/bucketed pair generator must carry the cap
+  * window in its plan (never the uncapped quadratic path), and 0 must be
+  * the explicit opt-out that removes it.
+  */
+class DefaultCapsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  /** The cap is a row_number window over the bucket key filtered on the
+    * `bpos` alias — its presence in the optimized plan is the "default is
+    * capped" proof.
+    */
+  private def hasCapWindow(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.toString.contains("bpos")
+
+  private lazy val flood = (0L until 600L)
+    .map(i => (i, "identical flood document body repeated verbatim for caps"))
+    .toDF("doc_id", "text")
+
+  private lazy val vecFlood = (0L until 60L)
+    .map(i => (i, Array(1.0f, 0.5f, 0.25f, 0.125f)))
+    .toDF("vec_id", "embedding")
+
+  test("minhash LSH pairs: default plan is capped; 0 opts out") {
+    assert(hasCapWindow(Dedup.minhashLshPairs(flood)))
+    assert(!hasCapWindow(Dedup.minhashLshPairs(flood, maxBandDf = 0)))
+    // functional: 600 identical docs — the default cap bounds the flood at
+    // <= n x cap pairs, strictly below the n^2/2 uncapped explosion
+    val capped = Dedup.minhashLshPairs(flood).count()
+    val uncapped = Dedup.minhashLshPairs(flood, maxBandDf = 0).count()
+    assert(uncapped == 600L * 599 / 2)
+    assert(capped < uncapped)
+    assert(capped <= 600L * Dedup.DefaultMaxBandDf)
+  }
+
+  test("simhash near-dup pairs: default plan is capped; 0 opts out") {
+    assert(hasCapWindow(Dedup.simhashNearDupPairs(flood)))
+    assert(!hasCapWindow(Dedup.simhashNearDupPairs(flood, maxBandDf = 0)))
+  }
+
+  test("ngram jaccard: default excludes hot shingles; 0 opts out") {
+    // the df-cap guard is a join against the shingle-df table, not a
+    // window — assert the default plan carries the df filter aggregate
+    val dflt = Dedup.ngramJaccardPairs(flood, minJaccard = 0.1)
+    val off = Dedup.ngramJaccardPairs(flood, minJaccard = 0.1,
+      maxShingleDf = 0)
+    // the guard adds a shingle-df aggregate + semi-join stage to the plan
+    assert(dflt.queryExecution.optimizedPlan.toString !=
+      off.queryExecution.optimizedPlan.toString)
+    // every shingle of the 600-identical flood has df=600 > any sane cap
+    // ... but 600 < DefaultMaxShingleDf, so the default must NOT drop them
+    assert(dflt.count() == off.count())
+    // an explicit tighter cap does drop them (guard actually wired)
+    assert(Dedup.ngramJaccardPairs(flood, minJaccard = 0.1,
+      maxShingleDf = 10).count() == 0)
+  }
+
+  test("LSH / IVF top-k and embedding pairs: default plans are capped") {
+    assert(hasCapWindow(Similarity.lshTopK(vecFlood, k = 2)))
+    assert(!hasCapWindow(
+      Similarity.lshTopK(vecFlood, k = 2, maxBucketSize = 0)))
+    assert(hasCapWindow(Similarity.ivfTopK(vecFlood, k = 2, nlist = 4)))
+    assert(hasCapWindow(Dedup.embeddingCosinePairs(vecFlood, 0.5)))
+    assert(!hasCapWindow(
+      Dedup.embeddingCosinePairs(vecFlood, 0.5, maxBucketSize = 0)))
+    // identical-vector flood: one bucket; default cap keeps every vector
+    // reachable as vec_b (coverage), bounds the pair fanout
+    val pairs = Dedup.embeddingCosinePairs(vecFlood, 0.99,
+      maxBucketSize = 8).count()
+    assert(pairs == (8L * 59) - (8L * 7 / 2)) // first 8 pair with all later
+  }
+
+  test("semDedup: default cap present; capped-out vectors stay keepers") {
+    val out = Similarity.semDedup(vecFlood, threshold = 0.99, nlist = 2)
+    assert(hasCapWindow(out))
+    // coverage invariant: every vector appears exactly once regardless
+    assert(out.count() == 60)
+  }
+}

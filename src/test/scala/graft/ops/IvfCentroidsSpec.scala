@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 directive: the Lloyd centroid update must not funnel nlist x dim
+  * longs through the driver above a size guard — large nlist runs
+  * DF-resident (previous centroid table LEFT-joined per round), and the two
+  * representations must be BIT-IDENTICAL.
+  */
+class IvfCentroidsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private lazy val vecs = (0L until 120L).map { i =>
+    val c = (i % 3).toInt
+    val base = Array.fill(8)(0.0f)
+    base(c) = 1.0f
+    base((c + 3) % 8) = 0.1f * (i / 3 % 5)
+    (i + 500L, base) // offset ids: renumbering must not assume 0-contiguity
+  }.toDF("vec_id", "embedding")
+
+  private def asMap(df: org.apache.spark.sql.DataFrame) =
+    df.as[(Long, Array[Long])].collect().toMap
+
+  test("DF-resident Lloyd path is bit-identical to the collect path") {
+    for (rounds <- Seq(0, 3)) {
+      val collected = asMap(
+        Similarity.ivfCentroids(vecs, nlist = 4, lloydRounds = rounds,
+          maxCollectCentroids = 512))
+      val dfres = asMap(
+        Similarity.ivfCentroids(vecs, nlist = 4, lloydRounds = rounds,
+          maxCollectCentroids = 0)) // force the DF-resident path
+      assert(collected.keySet == dfres.keySet, s"rounds=$rounds")
+      collected.foreach { case (k, v) =>
+        assert(v.sameElements(dfres(k)), s"rounds=$rounds centroid=$k")
+      }
+      assert(collected.keySet == (0L until 4L).toSet) // renumbered ids
+    }
+  }
+
+  test("nlist above the default guard runs DF-resident and converges") {
+    // nlist = 4096 > maxCollectCentroids default (512): DF path, and with
+    // nlist > corpus size every vector becomes its own centroid
+    val cents = Similarity.ivfCentroids(vecs, nlist = 4096, lloydRounds = 1)
+    assert(cents.count() == 120)
+    // ids renumbered 0..n-1 even though vec_ids start at 500
+    assert(asMap(cents).keySet == (0L until 120L).toSet)
+    // ivfTopK through the large-nlist quantizer still yields every query
+    val topk = Similarity.ivfTopK(vecs, k = 2, nlist = 4096, nprobe = 2,
+      lloydRounds = 1)
+    assert(topk.select("query_id").distinct().count() == 120)
+  }
+}
