@@ -154,6 +154,56 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  /** Pure-arithmetic machine-ceiling probe: ops/sec over `threads` JVM
+    * threads of register-only hash mixing — thread-scaling of CODE with no
+    * memory traffic. Shared by Bench (8→32 calibration) and BenchCluster
+    * (per-round pair calibration).
+    */
+  private[graft] def arithProbe(threads: Int, seconds: Double): Double = {
+    val stop = System.nanoTime() + (seconds * 1e9).toLong
+    val total = new java.util.concurrent.atomic.AtomicLong(0)
+    val ts = (0 until threads).map { t =>
+      new Thread(() => {
+        var x = t.toLong + 1; var n = 0L
+        while (System.nanoTime() < stop) {
+          var k = 0
+          while (k < 100000) { x = Fixtures.mix(x); k += 1 }
+          n += 100000
+        }
+        require(x != 0); total.addAndGet(n); ()
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    total.get() / seconds
+  }
+
+  /** Memory-BANDWIDTH ceiling probe: bytes/sec summing per-thread private
+    * 32 MB streams (larger than LLC). The scan pipeline is memory-traffic
+    * heavy, so its in-box thread scaling is bounded by this curve — report
+    * it next to any scaling pair so a shortfall can be attributed to the
+    * box's memory subsystem vs the code.
+    */
+  private[graft] def membwProbe(threads: Int, seconds: Double): Double = {
+    val stop = System.nanoTime() + (seconds * 1e9).toLong
+    val total = new java.util.concurrent.atomic.AtomicLong(0)
+    val ts = (0 until threads).map { t =>
+      new Thread(() => {
+        val arr = new Array[Long](4 * 1024 * 1024) // 32 MB per thread
+        java.util.Arrays.fill(arr, t.toLong)
+        var bytes = 0L
+        var sum = 0L
+        while (System.nanoTime() < stop) {
+          var i = 0
+          while (i < arr.length) { sum += arr(i); i += 1 }
+          bytes += arr.length.toLong * 8
+        }
+        require(sum != Long.MinValue); total.addAndGet(bytes); ()
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    total.get() / seconds
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -195,23 +245,8 @@ object Bench {
     // memory traffic, no allocation). On this virtualized box even THIS
     // caps below 1.0 past ~8 busy cores — the calibration quantifies how
     // much of any pipeline's 8->32 shortfall is machine, not code.
-    def arith(threads: Int, seconds: Double): Double = {
-      val stop = System.nanoTime() + (seconds * 1e9).toLong
-      val total = new java.util.concurrent.atomic.AtomicLong(0)
-      val ts = (0 until threads).map { t =>
-        new Thread(() => {
-          var x = t.toLong + 1; var n = 0L
-          while (System.nanoTime() < stop) {
-            var k = 0
-            while (k < 100000) { x = Fixtures.mix(x); k += 1 }
-            n += 100000
-          }
-          require(x != 0); total.addAndGet(n); ()
-        })
-      }
-      ts.foreach(_.start()); ts.foreach(_.join())
-      total.get() / seconds
-    }
+    def arith(threads: Int, seconds: Double): Double =
+      arithProbe(threads, seconds)
     // Calibrations are CEILING measurements: a host stall only depresses a
     // window (BENCH_r03's membw_8 read 85 MB in a 3 s window that swallowed
     // a stall), so take the BEST of three short interleaved windows per
@@ -229,26 +264,8 @@ object Bench {
     // in-box thread scaling is bounded by THIS curve, not the arith one.
     // Reported next to arith so the 8->32 shortfall can be attributed:
     // pipeline_eff ~ membw_eff => bandwidth-bound box, not code.
-    def membw(threads: Int, seconds: Double): Double = {
-      val stop = System.nanoTime() + (seconds * 1e9).toLong
-      val total = new java.util.concurrent.atomic.AtomicLong(0)
-      val ts = (0 until threads).map { t =>
-        new Thread(() => {
-          val arr = new Array[Long](4 * 1024 * 1024) // 32 MB per thread
-          java.util.Arrays.fill(arr, t.toLong)
-          var bytes = 0L
-          var sum = 0L
-          while (System.nanoTime() < stop) {
-            var i = 0
-            while (i < arr.length) { sum += arr(i); i += 1 }
-            bytes += arr.length.toLong * 8
-          }
-          require(sum != Long.MinValue); total.addAndGet(bytes); ()
-        })
-      }
-      ts.foreach(_.start()); ts.foreach(_.join())
-      total.get() / seconds
-    }
+    def membw(threads: Int, seconds: Double): Double =
+      membwProbe(threads, seconds)
     membw(4, 1.0) // warm
     val (m8s, m32s) =
       (1 to 3).map(_ => (membw(8, 1.5), membw(math.min(cpus, 32), 1.5))).unzip
@@ -408,6 +425,13 @@ object Bench {
       java.nio.file.Paths.get("BENCH_LOCAL.json"), detail + "\n")
     catch { case _: Throwable => () }
     println("BENCH_DETAIL " + detail)
+    // top-10 slowest queries ride the COMPACT contract line too (round-5,
+    // VERDICT r4 #7): the driver artifact's `tail` truncates the 3 KB
+    // detail line, so regression triage needs the hot queries in `parsed`
+    // — ~200 bytes keeps the line well under the capture limit
+    val slowest = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
     val compact =
       f"""{"metric":"turns_per_sec_scan","value":$thrHigh%.0f,"unit":"turns/sec",""" +
         f""""queries_total_sec":$total%.1f,"n_queries":${results.length},""" +
@@ -419,6 +443,7 @@ object Bench {
         f""""membw_eff_8to32":$membwEff%.3f,""" +
         f""""tps_low":$thrLow%.0f,"tps_high":$thrHigh%.0f,""" +
         f""""rounds":$primaryRounds,"rounds_dropped":$roundsDropped},""" +
+        s""""slowest":$slowest,""" +
         s""""detail":"BENCH_LOCAL.json"}"""
     println(compact)
   }

@@ -82,6 +82,19 @@ object BenchCluster {
 
     val lowSamples = ArrayBuffer[Double]()
     val highSamples = ArrayBuffer[Double]()
+    // per-round memory-bandwidth calibration at the pair's TOTAL core
+    // counts (2 and 8 threads): on a real cluster each executor is its own
+    // machine with its own memory controller, but in this sandbox all
+    // executor JVMs share ONE box — the probe measures how much of 4x the
+    // box actually grants 4x the streaming threads THIS round, so each
+    // round's raw efficiency can be normalized by the machine ceiling it
+    // ran under (VERDICT r4 #4: the 8->32 pair got this decomposition,
+    // the multi-process pair did not).
+    val membwLow = ArrayBuffer[Double]()
+    val membwHigh = ArrayBuffer[Double]()
+    val coresLow = execLow * coresPerExec
+    val coresHigh = execHigh * coresPerExec
+    Bench.membwProbe(4, 0.5) // warm
     var r = -1 // round -1 = discarded warm-up (cold page cache, cold JITs)
     while (r < rounds) {
       val order =
@@ -98,6 +111,16 @@ object BenchCluster {
         if (r >= 0) sink += thr
         s.stop()
         System.gc()
+      }
+      if (r >= 0) {
+        // ceiling measurement: best of three short interleaved windows per
+        // level (a stall only DEPRESSES a window), run while no cluster is
+        // up so the probe does not compete with measurement
+        val (mls, mhs) = (1 to 3).map(_ =>
+          (Bench.membwProbe(coresLow, 1.0),
+            Bench.membwProbe(coresHigh, 1.0))).unzip
+        membwLow += mls.max
+        membwHigh += mhs.max
       }
       r += 1
     }
@@ -123,8 +146,30 @@ object BenchCluster {
     val eff = Bench.median(
       if (keptRoundEffs.nonEmpty) keptRoundEffs.toSeq else roundEffs.toSeq)
 
+    // bandwidth-normalized per-round efficiency: raw / (membw scaling the
+    // box granted that round). On a real cluster memory bandwidth scales
+    // WITH executor count (each executor is its own machine), so the
+    // normalized figure is the cluster-predictive one; the raw figure is
+    // what this one shared box can show.
+    val membwEffs = membwLow.zip(membwHigh)
+      .map { case (lo, hi) => (hi / lo) / (coresHigh.toDouble / coresLow) }
+    val normEffs = roundEffs.zip(membwEffs)
+      .map { case (re, me) => re / math.min(me, 1.0) }
+    val keptNormEffs = lowSamples.toSeq.zip(highSamples.toSeq)
+      .zip(membwEffs).collect {
+        case ((lo, hi), me)
+          if lo >= Bench.median(lowSamples.toSeq) / 3.0 &&
+            hi >= Bench.median(highSamples.toSeq) / 3.0 =>
+          ((hi / lo) / factor) / math.min(me, 1.0)
+      }
+    val effNorm = Bench.median(
+      if (keptNormEffs.nonEmpty) keptNormEffs.toSeq else normEffs.toSeq)
+    val membwEffMedian = Bench.median(membwEffs.toSeq)
+
     def arr(xs: Seq[Double]): String =
       xs.map(x => f"$x%.0f").mkString("[", ",", "]")
+    def arr3(xs: Seq[Double]): String =
+      xs.map(x => f"$x%.3f").mkString("[", ",", "]")
     val detail =
       s"""{"mode":"local-cluster","n_turns":$nTurns,""" +
         s""""executors_low":$execLow,"executors_high":$execHigh,""" +
@@ -137,7 +182,13 @@ object BenchCluster {
         s""""rounds_dropped":${roundEffs.length - keptRoundEffs.length},""" +
         f""""scaling_efficiency":$eff%.3f,""" +
         f""""scaling_efficiency_level_median":$effLevelMedian%.3f,""" +
-        f""""scaling_efficiency_best":$effBest%.3f}"""
+        f""""scaling_efficiency_best":$effBest%.3f,""" +
+        f""""scaling_efficiency_bw_normalized":$effNorm%.3f,""" +
+        f""""membw_eff_median_${coresLow}to$coresHigh":$membwEffMedian%.3f,""" +
+        s""""membw_bytes_per_sec_low":${arr(membwLow.toSeq)},""" +
+        s""""membw_bytes_per_sec_high":${arr(membwHigh.toSeq)},""" +
+        s""""round_effs":${arr3(roundEffs.toSeq)},""" +
+        s""""round_membw_effs":${arr3(membwEffs.toSeq)}}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_CLUSTER.json"),
       (detail + "\n").getBytes("UTF-8"))
@@ -146,6 +197,8 @@ object BenchCluster {
       f"""{"mode":"local-cluster","pair":"${execLow}x$coresPerExec->""" +
         f"""${execHigh}x$coresPerExec","eff":$eff%.3f,""" +
         f""""eff_level_median":$effLevelMedian%.3f,""" +
+        f""""eff_bw_normalized":$effNorm%.3f,""" +
+        f""""membw_eff_median":$membwEffMedian%.3f,""" +
         f""""low":$thrLow%.0f,"high":$thrHigh%.0f}"""
     println(compact)
   }

@@ -14,6 +14,10 @@ import org.apache.spark.sql.SparkSession
   *   [--case-insensitive]   # feed builds only; stores keep their build mode
   *   [--ndjson [--ndjson-source <label>]]  # also emit the reference-format
   *                                         # NDJSON match stream (S10)
+  *   [--extractors ipv4,domain | -crypto,-hash]  # override the
+  *            # capability-derived extractor defaults (F3): positive
+  *            # names = exclusive set, -name subtracts; aliases
+  *            # crypto/ip/ips (match_cmd.rs:277-303 semantics)
   * }}}
   *
   * In local mode this is exercised by the verify probes; on a cluster the
@@ -81,7 +85,8 @@ object ScanMain {
         resume = resume,
         runId = opts.getOrElse("run-id", "run-0"),
         ndjson = opts.get("ndjson").contains("true"),
-        ndjsonSource = opts.getOrElse("ndjson-source", turnsPath)))
+        ndjsonSource = opts.getOrElse("ndjson-source", turnsPath),
+        extractors = opts.get("extractors")))
     stats.toSeq.sorted.foreach { case (k, v) => println(s"$k=$v") }
     spark.stop()
   }

@@ -99,7 +99,10 @@ object SparkEntry {
     "q51_sem_dedup" -> (QueryDefs.qSemDedup _),
     "q52_curate" -> (QueryDefs.qCurate _),
     "q53_split" -> (QueryDefs.qSplit _),
-    "q54_sample" -> (QueryDefs.qSample _)
+    "q54_sample" -> (QueryDefs.qSample _),
+    // conversation→curation bridge: transcript reconstruction feeding the
+    // composed curation audit (round 5)
+    "q55_conv_curate" -> (QueryDefs.qConvCurate _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -156,6 +159,7 @@ object SparkEntry {
     "q51_sem_dedup" -> OracleDefs.semDedup,
     "q52_curate" -> OracleDefs.curate,
     "q53_split" -> OracleDefs.split,
-    "q54_sample" -> OracleDefs.sample
+    "q54_sample" -> OracleDefs.sample,
+    "q55_conv_curate" -> OracleDefs.convCurate
   )
 }

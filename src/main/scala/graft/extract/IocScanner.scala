@@ -21,6 +21,20 @@ final case class ScanConfig(
     requireWordBoundaries: Boolean = true
 )
 
+object ScanConfig {
+  /** Capability-derived defaults of the match flow (match_cmd.rs:277-303):
+    * a db with ip data enables the ip extractors, string data (literals or
+    * globs) the rest — a string-only feed never pays the IPv4/IPv6 scan on
+    * every turn, and vice versa.
+    */
+  def forCapabilities(hasIp: Boolean, hasStrings: Boolean): ScanConfig =
+    ScanConfig(
+      domains = hasStrings, emails = hasStrings,
+      ipv4 = hasIp, ipv6 = hasIp,
+      hashes = hasStrings, bitcoin = hasStrings,
+      ethereum = hasStrings, monero = hasStrings)
+}
+
 /** Single-pass IoC scanner over the UTF-8 bytes of one turn's text.
   *
   * Re-implements the observable extraction semantics of the reference

@@ -415,7 +415,10 @@ final case class IntelMeta(
     tags: String = "",
     // dynamic feed metadata (key-sorted at build time so map iteration —
     // and therefore NDJSON serialization — is deterministic)
-    extra: Map[String, String] = Map.empty
+    extra: Map[String, String] = Map.empty,
+    // DataValue type tag per extra key (DataValues.inferTag / native JSON
+    // types captured at ingest) — drives the typed NDJSON rendering
+    extraTypes: Map[String, String] = Map.empty
 )
 
 /** One compiled intel database: the Spark-side analog of a loaded .mxy —
@@ -634,7 +637,8 @@ object IntelDb {
           // ListMap sorted by key: deterministic iteration order for the
           // NDJSON sink regardless of the feed's column order
           scala.collection.immutable.ListMap(
-            r.extra.toSeq.sortBy(_._1): _*))
+            r.extra.toSeq.sortBy(_._1): _*),
+          r.extra_types)
         et match {
           case IpEntry(c)       => cidrs += ((c, idx))
           case LiteralEntry(k)  => lits += ((k, idx))

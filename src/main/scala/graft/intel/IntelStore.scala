@@ -18,11 +18,13 @@ object IntelStore {
     val rows = db.entries.toSeq.map { m =>
       (db.databaseId, m.entry, m.entryType, m.threatLevel, m.category,
         m.source, m.confidence, db.caseInsensitive,
-        m.toIds, m.comment, m.attrType, m.attrTimestamp, m.tags, m.extra)
+        m.toIds, m.comment, m.attrType, m.attrTimestamp, m.tags, m.extra,
+        m.extraTypes)
     }
     rows.toDF("database_id", "entry", "entry_type", "threat_level",
       "category", "source", "confidence", "case_insensitive",
-      "to_ids", "comment", "attr_type", "attr_timestamp", "tags", "extra")
+      "to_ids", "comment", "attr_type", "attr_timestamp", "tags", "extra",
+      "extra_types")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(path)
     // sidecar metadata (underscore-prefixed: invisible to parquet readers)
     // carries database_id + match mode even for a legitimately EMPTY feed —
@@ -58,10 +60,20 @@ object IntelStore {
           org.apache.spark.sql.functions.map()
             .cast("map<string,string>")),
         org.apache.spark.sql.functions.map().cast("map<string,string>"))
-        .as("extra"))
+        .as("extra"),
+      // DataValue tags (round-5): a legacy store without the column gets
+      // an EMPTY tag map, which the NDJSON renderer treats as
+      // "re-infer CSV-style per value" (DataValues.typedJsonObject) — the
+      // closest analog of how the reference would have typed that feed
+      coalesce(
+        optCol("extra_types",
+          org.apache.spark.sql.functions.map()
+            .cast("map<string,string>")),
+        org.apache.spark.sql.functions.map().cast("map<string,string>"))
+        .as("extra_types"))
       .as[(String, String, String, String, String, Int, Boolean,
         Option[Boolean], String, String, Long, String,
-        Map[String, String])]
+        Map[String, String], Map[String, String])]
       .collect()
     val (databaseId, ci) =
       if (rows.nonEmpty) (rows.head._1, rows.head._7)
@@ -83,7 +95,8 @@ object IntelStore {
     IntelDb.build(databaseId,
       rows.toSeq.map(r => IntelEntry(r._2, r._3, r._4, r._5, r._6,
         to_ids = r._8, comment = r._9, attr_type = r._10,
-        attr_timestamp = r._11, tags = r._12, extra = r._13)), ci)
+        attr_timestamp = r._11, tags = r._12, extra = r._13,
+        extra_types = r._14)), ci)
   }
 
   /** `matchy validate` analog (validation.rs ValidationLevel semantics

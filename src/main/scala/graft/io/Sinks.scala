@@ -47,7 +47,14 @@ object Sinks {
   def ndjsonMatched(matched: DataFrame, sourcePath: String,
       tsSeconds: Column, path: String): Unit = {
     val extraField =
-      if (matched.columns.contains("extra"))
+      // typed path: `extra_json` (intelMetaDf's per-entry DataValue
+      // rendering) parses to a VARIANT, which to_json serializes as raw
+      // typed JSON — `"ttl":3600`, `"verified":true` — matching the
+      // reference's serde DataValue serialization. The map fallback keeps
+      // pre-round-5 frames (all-string extras) working.
+      if (matched.columns.contains("extra_json"))
+        when(col("extra_json").isNotNull, parse_json(col("extra_json")))
+      else if (matched.columns.contains("extra"))
         when(size(col("extra")) > 0, col("extra"))
       else lit(null).cast("map<string,string>")
     val dataObj = struct(col("category"), col("confidence"),

@@ -70,7 +70,13 @@ final case class IntelEntry(
     // column OUTSIDE the fixed ThreatDB/MISP shape above survives here as
     // string key/values instead of being silently dropped, and rides the
     // broadcast metadata join into the matched output + NDJSON sink.
-    extra: Map[String, String] = Map.empty
+    extra: Map[String, String] = Map.empty,
+    // DataValue type tag per extra key (intel.DataValues tags: i32/u64/
+    // f64/bool/str) — captured at ingest (CSV per-cell inference,
+    // match_cmd.rs:83-93; JSON native types, cli_utils.rs:213-243) so the
+    // NDJSON sink can render `"ttl":3600` typed, not `"ttl":"3600"`.
+    // A key absent here is rendered via CSV-style re-inference.
+    extra_types: Map[String, String] = Map.empty
 )
 
 /** Matched output row: reference `MatchResult`

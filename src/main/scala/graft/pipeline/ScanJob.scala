@@ -57,11 +57,18 @@ object ScanJob {
           // body plus per-row serialization (JFR: getMap + row-copy tax on
           // the extra-less common case). Consumers are null-safe
           // (element_at(null)=null; size(null) keeps the NDJSON guard off).
-          if (m.extra.isEmpty) null else m.extra)
+          if (m.extra.isEmpty) null else m.extra,
+          // typed rendering of the same extras (DataValue fidelity): a
+          // key-sorted JSON object fragment rendered ONCE per entry on the
+          // driver — the NDJSON sink parses it to a variant so numbers/
+          // bools emit unquoted (matchy-data-format/src/lib.rs:49-77)
+          graft.intel.DataValues
+            .typedJsonObject(m.extra, m.extraTypes).orNull)
       }
     }.toDF("db_idx", "entry_idx", "database_id", "entry", "entry_type",
       "threat_level", "category", "source", "confidence",
-      "to_ids", "comment", "attr_type", "attr_timestamp", "tags", "extra")
+      "to_ids", "comment", "attr_type", "attr_timestamp", "tags", "extra",
+      "extra_json")
   }
 
   /** Broadcast-metadata tail shared by `enriched` and `matched`: join the
@@ -94,10 +101,25 @@ object ScanJob {
     attachMeta(hits, dbs, spark)
   }
 
+  /** Capability-derived extractor defaults (F3, match_cmd.rs:277-303):
+    * which extractors the scan flow runs is decided by what the loaded
+    * databases can actually answer — ip sections enable ipv4/ipv6, string
+    * sections (literals/globs) the rest. A string-only feed therefore
+    * skips the IPv4/IPv6 byte scan on every turn (perf) and emits no ip
+    * candidates at all (parity with the reference's candidate counters).
+    */
+  def capabilityConfig(dbs: Seq[IntelDb]): graft.extract.ScanConfig =
+    graft.extract.ScanConfig.forCapabilities(
+      dbs.exists(_.hasIpSection), dbs.exists(_.hasStringSection))
+
   /** Full matched dataset for a set of databases. With `prescreen` the
     * broadcast clean-turn filter (CleanPreScreen — a sound superset filter)
     * rejects turns before extraction; output is identical either way
     * (asserted by ScanJobSpec).
+    *
+    * The extractor set defaults to [[capabilityConfig]] of `dbs`
+    * (F3 capability-derived defaults); pass `config` to override (the
+    * `--extractors` CLI path, ExtractorOverrides).
     *
     * Implementation: extraction AND lookup run inside ONE ScanTurnFlat
     * generator per turn (not extract-explode-then-lookup) — the candidate's
@@ -109,7 +131,9 @@ object ScanJob {
     * filter/re-explode of hitless candidates.
     */
   def matched(turns: DataFrame, dbs: Seq[IntelDb], spark: SparkSession,
-      prescreen: Boolean = false): DataFrame = {
+      prescreen: Boolean = false,
+      config: Option[graft.extract.ScanConfig] = None): DataFrame = {
+    val scanCfg = config.getOrElse(capabilityConfig(dbs))
     val input =
       if (!prescreen) turns
       else {
@@ -118,8 +142,8 @@ object ScanJob {
       }
     val hits = input
       .select(col("conv_id"), col("turn_idx"), col("role"),
-        explode(graft.functions.ScanTurnFlat.column(col("text"), dbs))
-          .as("m"))
+        explode(graft.functions.ScanTurnFlat.column(col("text"), dbs,
+          scanCfg)).as("m"))
       .select(col("conv_id"), col("turn_idx"), col("role"),
         col("m.indicator_type").as("indicator_type"),
         col("m.value").as("value"),
@@ -151,13 +175,18 @@ object ScanJob {
     * @param ndjsonSource the `source` field value of each NDJSON line (the
     *   reference emits the input file path there).
     */
+  /** @param extractors optional `--extractors` override string
+    *   (ExtractorOverrides syntax: positive names = exclusive set,
+    *   `-name` subtracts from the capability-derived defaults).
+    */
   final case class RunConfig(
       buckets: Int = 64,
       resume: Boolean = false,
       runId: String = "run-0",
       onlyBuckets: Option[Set[Int]] = None,
       ndjson: Boolean = false,
-      ndjsonSource: String = "transcripts")
+      ndjsonSource: String = "transcripts",
+      extractors: Option[String] = None)
 
   /** The routed frame: extract + enrich + per-turn routing verdict in ONE
     * map-side pass (ScanTurn generator), metadata attached via broadcast
@@ -169,7 +198,11 @@ object ScanJob {
   private[pipeline] def routedFrame(spark: SparkSession, pending: DataFrame,
       dbs: Seq[IntelDb],
       obsTurns: Option[org.apache.spark.sql.Observation] = None,
-      obsRows: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+      obsRows: Option[org.apache.spark.sql.Observation] = None,
+      config: Option[graft.extract.ScanConfig] = None): DataFrame = {
+    // F3: derived fresh per call — streaming hot reload can change a db's
+    // capabilities between micro-batches
+    val scanCfg = config.getOrElse(capabilityConfig(dbs))
     val turnsIn = obsTurns.fold(pending)(o => pending.observe(o,
       count(lit(1)).as("lines_processed"),
       coalesce(sum(octet_length(col("text"))), lit(0L)).as("total_bytes")))
@@ -183,7 +216,8 @@ object ScanJob {
     val flat = turnsIn
       .select(Seq(col("bucket"), col("conv_id"), col("turn_idx"), col("role"),
         col("text"), spark_partition_id().as("partition_id"),
-        explode(graft.functions.ScanTurn.column(safeText, dbs)).as("r")) ++
+        explode(graft.functions.ScanTurn.column(safeText, dbs, scanCfg))
+          .as("r")) ++
         (if (hasTool) Seq(col("tool")) else Nil) ++
         (if (hasTs) Seq(col("ts")) else Nil): _*)
       .select(Seq(col("bucket"), col("conv_id"), col("turn_idx"), col("role"),
@@ -294,7 +328,11 @@ object ScanJob {
     // --- THE single pass: extract + enrich + route + stats observers
     val obsTurns = org.apache.spark.sql.Observation()
     val obsRows = org.apache.spark.sql.Observation()
-    val routed = routedFrame(spark, pending, dbs, Some(obsTurns), Some(obsRows))
+    // F3: capability defaults + CLI overrides (match_cmd.rs:277-303)
+    val scanCfg = graft.extract.ExtractorOverrides.parse(cfg.extractors)
+      .resolve(capabilityConfig(dbs))
+    val routed = routedFrame(spark, pending, dbs, Some(obsTurns),
+      Some(obsRows), Some(scanCfg))
     // dynamic partition overwrite: only the (sink, bucket, indicator_type)
     // partitions THIS run produced are replaced — sharded backfills and
     // shard reruns are idempotent, resumed runs never touch done buckets

@@ -817,23 +817,31 @@ object OracleDefs {
       |       CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS cents
       |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
 
-  /** q43: the CSV feed literal mirrors QueryDefs.qLookupExtras; empty CSV
-    * cells (absent extra-map keys on the Spark side) are '' here too.
+  /** q43: the CSV feed literal mirrors QueryDefs.qLookupExtras with TYPED
+    * values — the per-cell inference (i64->Int32 truncating, f64, bool;
+    * match_cmd.rs:83-93) is closed-form, so host4's ttl 6442450944 appears
+    * here already truncated to -2147483648. Empty CSV cells (absent
+    * extra-map keys on the Spark side) coalesce to ''/-1/-1.0/false.
     */
   val lookupExtras: String =
     """SELECT c.value AS value, i.category AS category,
-      |       i.campaign AS campaign, i.actor AS actor, i.ttl AS ttl,
+      |       i.campaign AS campaign, i.actor AS actor,
+      |       CAST(coalesce(i.ttl, -1) AS BIGINT) AS ttl,
+      |       CAST(coalesce(i.score, -1.0) AS DOUBLE) AS score,
+      |       coalesce(i.verified, false) AS verified,
       |       count(*) AS n
       |FROM (SELECT 'host'||(event_id%50)||'.example.com' AS value
       |      FROM events) c
-      |JOIN (VALUES ('host0.example.com','c2','alpha','APT-0','3600'),
-      |             ('host1.example.com','c2','beta','APT-1','7200'),
-      |             ('host2.example.com','phish','gamma','APT-2',''),
-      |             ('host3.example.com','c2','delta','','900'),
-      |             ('host4.example.com','c2','epsilon','APT-4','1800'))
-      |     i(entry, category, campaign, actor, ttl)
+      |JOIN (VALUES
+      |        ('host0.example.com','c2','alpha','APT-0',3600,0.5,true),
+      |        ('host1.example.com','c2','beta','APT-1',7200,1.25,false),
+      |        ('host2.example.com','phish','gamma','APT-2',NULL,NULL,true),
+      |        ('host3.example.com','c2','delta','',900,2.5,NULL),
+      |        ('host4.example.com','c2','epsilon','APT-4',
+      |         -2147483648,0.125,true))
+      |     i(entry, category, campaign, actor, ttl, score, verified)
       |  ON c.value = i.entry
-      |GROUP BY 1,2,3,4,5 ORDER BY 1""".stripMargin
+      |GROUP BY 1,2,3,4,5,6,7 ORDER BY 1""".stripMargin
 
   /** q45: closed-form prediction of the redacted text — the four planted
     * families collapse to typed placeholders, the strict-grammar rejects
@@ -1153,6 +1161,110 @@ object OracleDefs {
        |        CAST('0x'||substr(md5('v1:'||doc_id),1,15) AS BIGINT) AS h
        |      FROM documents)
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** q55: the conversation→curation bridge — transcripts reconstructed
+    * from the gold turn table (string_agg ORDER BY turn_idx mirrors
+    * `Conversations.transcriptText`'s array_sort on unique turn_idx), then
+    * the same composed audit as [[curate]] with q55's parameters
+    * (k=7 shingles, maxBandDf=10, 13-gram contamination, minShared=4) and
+    * conv-id STRING cluster labels (min over VARCHAR is lexicographic in
+    * both engines). Eval split = conv ids whose numeric suffix % 10 = 0.
+    * No stopword CTE: minStopwordHits=0 means the rule can never fire.
+    */
+  val convCurate: String = {
+    val numHashes = 8
+    val bands = 4
+    val sig = duckMinhashSig(numHashes)
+    val bandRows = duckBandRows(numHashes, bands)
+    s"""WITH RECURSIVE t AS ($goldTurnsSql),
+       |tr AS (
+       |  SELECT conv_id AS doc_id,
+       |         string_agg(role||': '||text, chr(10) ORDER BY turn_idx)
+       |           AS text
+       |  FROM t GROUP BY 1),
+       |d AS (SELECT doc_id, text FROM tr
+       |      WHERE CAST(string_split(doc_id,'-')[2] AS INT)%10<>0),
+       |f AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE length(string_split_regex(trim(text), '\\s+')) END
+       |      AS n_tokens,
+       |    CAST(length(text) AS DOUBLE) /
+       |      CAST(greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+       |        ELSE length(string_split_regex(trim(text), '\\s+')) END, 1)
+       |        AS DOUBLE) AS mean_token_len,
+       |    CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))
+       |      AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)
+       |      AS alnum_ratio
+       |  FROM d),
+       |v AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n_tokens < 740 THEN 'too_few_tokens'
+       |         WHEN n_tokens > 920 THEN 'too_many_tokens'
+       |         WHEN mean_token_len < 7.6 OR mean_token_len > 8.3
+       |           THEN 'mean_token_len'
+       |         WHEN alnum_ratio < 0.80 THEN 'low_alnum_ratio'
+       |         END AS quality_fail
+       |  FROM f),
+       |sh_t AS (SELECT doc_id, ${duckWordShingles(7)} AS sh
+       |         FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM d)),
+       |$duckHsCte,
+       |sigs AS (SELECT doc_id, $sig AS sig FROM hs_t),
+       |banded AS (
+       |  $bandRows
+       |),
+       |capped AS (
+       |  SELECT doc_id, band_idx, band_key FROM (
+       |    SELECT doc_id, band_idx, band_key,
+       |      row_number() OVER (PARTITION BY band_idx, band_key
+       |                         ORDER BY doc_id ASC) AS bpos
+       |    FROM banded)
+       |  WHERE bpos <= 10),
+       |prs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM capped a JOIN banded b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |  WHERE a.doc_id < b.doc_id),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM prs
+       |      UNION ALL SELECT doc_b, doc_a FROM prs),
+       |reach AS (
+       |  SELECT doc_id AS doc, doc_id AS root FROM d
+       |  UNION
+       |  SELECT e.b, reach.root FROM reach JOIN e ON reach.doc = e.a
+       |),
+       |cc AS (SELECT doc AS doc_id, min(root) AS cluster_id
+       |       FROM reach GROUP BY doc),
+       |g AS (
+       |  SELECT doc_id,
+       |         [array_to_string(list_slice(w, i, i+12), ' ')
+       |          for i in generate_series(1, greatest(len(w)-12, 0))]
+       |           AS grams
+       |  FROM (SELECT doc_id,
+       |               string_split_regex(lower(trim(text)), '\\s+') AS w
+       |        FROM tr)
+       |),
+       |eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+       |       WHERE CAST(string_split(doc_id,'-')[2] AS INT)%10=0),
+       |tg AS (SELECT doc_id, unnest(list_distinct(grams)) AS gram FROM g
+       |       WHERE CAST(string_split(doc_id,'-')[2] AS INT)%10<>0),
+       |s AS (SELECT doc_id, count(*) AS shared FROM tg JOIN eg USING (gram)
+       |      GROUP BY 1),
+       |j AS (
+       |  SELECT d.doc_id, v.quality_fail, cc.cluster_id,
+       |         CAST(coalesce(s.shared, 0) AS BIGINT) AS shared_ngrams
+       |  FROM d JOIN v USING (doc_id) JOIN cc USING (doc_id)
+       |  LEFT JOIN s ON s.doc_id = d.doc_id),
+       |verdict AS (
+       |  SELECT doc_id, cluster_id, shared_ngrams,
+       |    CASE WHEN quality_fail IS NOT NULL THEN 'quality:'||quality_fail
+       |         WHEN doc_id <> cluster_id THEN 'near_dup'
+       |         WHEN shared_ngrams >= 4 THEN 'contaminated'
+       |         END AS drop_stage
+       |  FROM j)
+       |SELECT doc_id, cluster_id, shared_ngrams, drop_stage,
+       |       (drop_stage IS NULL) AS keep
+       |FROM verdict ORDER BY doc_id""".stripMargin
   }
 
   /** q54: deterministic downsample keep set, same integer threshold. */

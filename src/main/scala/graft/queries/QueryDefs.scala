@@ -423,21 +423,27 @@ object QueryDefs {
 
   /** q43: dynamic per-entry metadata passthrough (reference: arbitrary
     * HashMap<String, DataValue> per entry, matchy-data-format/src/lib.rs:
-    * 49-77) — a CSV feed with custom columns (campaign/actor/ttl) outside
-    * the fixed ThreatDB shape is ingested through the REAL CSV reader
-    * (IntelIngest.readCsv -> normalize -> `extra` map), compiled into an
-    * IntelDb, and the custom values round-trip through the broadcast
-    * metadata join into the matched output. Empty CSV cells become absent
-    * map keys (projected here as '' so the oracle compare is null-free).
+    * 49-77) — a CSV feed with custom columns (campaign/actor/ttl/score/
+    * verified) outside the fixed ThreatDB shape is ingested through the
+    * REAL CSV reader (IntelIngest.readCsv -> normalize -> `extra` +
+    * `extra_types` per-cell inference, match_cmd.rs:83-93), compiled into
+    * an IntelDb, and the TYPED values round-trip through the broadcast
+    * metadata join: the projection below reads them back out of the
+    * rendered `extra_json` variant (ttl bigint, score double, verified
+    * boolean), so the oracle proves inference + typed rendering, not just
+    * string passthrough. host4's ttl 6442450944 exercises the reference's
+    * TRUNCATING i64->Int32 cast (match_cmd.rs:85): it must come back as
+    * -2147483648. Empty CSV cells become absent map keys (coalesced to
+    * ''/-1/-1.0/false so the oracle compare is null-free).
     */
   def qLookupExtras(s: SparkSession, dir: String): DataFrame = {
     val csv =
-      """entry,category,campaign,actor,ttl
-        |host0.example.com,c2,alpha,APT-0,3600
-        |host1.example.com,c2,beta,APT-1,7200
-        |host2.example.com,phish,gamma,APT-2,
-        |host3.example.com,c2,delta,,900
-        |host4.example.com,c2,epsilon,APT-4,1800
+      """entry,category,campaign,actor,ttl,score,verified
+        |host0.example.com,c2,alpha,APT-0,3600,0.5,true
+        |host1.example.com,c2,beta,APT-1,7200,1.25,false
+        |host2.example.com,phish,gamma,APT-2,,,true
+        |host3.example.com,c2,delta,,900,2.5,
+        |host4.example.com,c2,epsilon,APT-4,6442450944,0.125,true
         |""".stripMargin
     // per-process unique name: a fixed shared path races truncate-vs-read
     // when two drivers (e.g. Verify and Bench) run q43 on one host
@@ -450,15 +456,24 @@ object QueryDefs {
     val db = IntelDb.build("feed",
       graft.sources.IntelIngest.toEntries(feed))
     val meta = ScanJob.intelMetaDf(s, Seq(db))
+    val extraV = parse_json(col("extra_json"))
     domainCands(s, dir)
       .withColumn("hit", explode(
         IntelLookup.column(col("value"), col("indicator_type"), db)))
       .select(col("value"), col("hit.entry_idx").as("entry_idx"))
       .join(broadcast(meta.select(col("entry_idx"), col("category"),
-        coalesce(col("extra")("campaign"), lit("")).as("campaign"),
-        coalesce(col("extra")("actor"), lit("")).as("actor"),
-        coalesce(col("extra")("ttl"), lit("")).as("ttl"))), Seq("entry_idx"))
-      .groupBy("value", "category", "campaign", "actor", "ttl")
+        coalesce(try_variant_get(extraV, "$.campaign", "string"), lit(""))
+          .as("campaign"),
+        coalesce(try_variant_get(extraV, "$.actor", "string"), lit(""))
+          .as("actor"),
+        coalesce(try_variant_get(extraV, "$.ttl", "bigint"), lit(-1L))
+          .as("ttl"),
+        coalesce(try_variant_get(extraV, "$.score", "double"), lit(-1.0))
+          .as("score"),
+        coalesce(try_variant_get(extraV, "$.verified", "boolean"),
+          lit(false)).as("verified"))), Seq("entry_idx"))
+      .groupBy("value", "category", "campaign", "actor", "ttl", "score",
+        "verified")
       .agg(count(lit(1)).as("n"))
       .orderBy("value")
   }
@@ -700,6 +715,38 @@ object QueryDefs {
       minAlnumRatio = 0.81, minStopwordHits = 1,
       k = 5, numHashes = 8, bands = 4, maxBandDf = 10,
       contamN = 4, minShared = 1)
+      .orderBy("doc_id")
+  }
+
+  /** q55: the conversation→curation BRIDGE — the full
+    * transcript-table-to-keep-set path a training-data user actually runs:
+    * `Conversations.transcriptText` reconstructs one document per
+    * conversation from the gold turn table (stable turn order), then
+    * `Curation.curate` grades the reconstructed corpus end-to-end —
+    * quality rules, capped-minhash near-dup CC, 13-gram decontamination —
+    * with conv ids ending in 0 held out as the eval split. Thresholds are
+    * tuned to the sf0.01 transcript distribution (732..946 tokens, mean
+    * token len 7.57..8.40, alnum 0.796..0.822) so every verdict class
+    * appears: 18 keep / 9 contaminated / 8 near_dup / 10 quality across
+    * four distinct rules. `minStopwordHits = 0` because the synthesized
+    * turn texts never contain the stopword set — the no_stopwords rule is
+    * exercised by q42/q52. Cluster labels are conv-id STRINGS here
+    * (min-label CC is ordered, not arithmetic — lexicographic min in both
+    * engines), proving curate needs no numeric doc ids.
+    */
+  def qConvCurate(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.ops.Conversations.transcriptText(goldTurns(s, dir))
+      .select(col("conv_id").as("doc_id"), col("transcript"))
+    val isEval =
+      split(col("doc_id"), "-").getItem(1).cast("int") % 10 === 0
+    graft.ops.Curation.curate(
+      docs.where(!isEval), docs.where(isEval),
+      minTokens = 740, maxTokens = 920,
+      minMeanTokenLen = 7.6, maxMeanTokenLen = 8.3,
+      minAlnumRatio = 0.80, minStopwordHits = 0,
+      k = 7, numHashes = 8, bands = 4, maxBandDf = 10,
+      contamN = 13, minShared = 4,
+      textCol = "transcript")
       .orderBy("doc_id")
   }
 

@@ -29,7 +29,8 @@ class IntelStoreSpec extends AnyFunSuite {
     import graft.model.IntelEntry
     val db = IntelDb.build("mixed", Seq(
       IntelEntry("10.0.0.0/8", "high", "c2", "feed-a", 80,
-        extra = Map("campaign" -> "alpha", "ttl" -> "3600")),
+        extra = Map("campaign" -> "alpha", "ttl" -> "3600"),
+        extra_types = Map("campaign" -> "str", "ttl" -> "i32")),
       IntelEntry("evil.example.com", "critical", "phishing", "feed-a", 95,
         extra = Map("campaign" -> "beta")),
       IntelEntry("*.bad.net", "low", "heuristic", "feed-b", 40)))
@@ -38,6 +39,10 @@ class IntelStoreSpec extends AnyFunSuite {
     val loaded = IntelStore.load(spark, path)
     assert(loaded.entries.find(_.entry == "10.0.0.0/8").get.extra ==
       Map("campaign" -> "alpha", "ttl" -> "3600"))
+    // DataValue tags survive the store round-trip (the .mxy analog keeps
+    // its typed data section)
+    assert(loaded.entries.find(_.entry == "10.0.0.0/8").get.extraTypes ==
+      Map("campaign" -> "str", "ttl" -> "i32"))
     assert(loaded.entries.find(_.entry == "*.bad.net").get.extra.isEmpty)
     val r = IntelStore.inspect(loaded)
     assert(r.databaseId == "mixed" && r.entries == 3)

@@ -66,9 +66,13 @@ class SinksSpec extends AnyFunSuite {
     Sinks.ndjsonMatched(matched, "transcripts.log", lit(1700000000.0),
       s"$out/matches")
     val lines = spark.read.text(s"$out/matches").as[String].collect().sorted
+    // ttl is typed via CSV-style re-inference (no explicit tags on the
+    // hand-built entry): the reference's DataValue system would carry
+    // Int32(3600), so the JSON number is unquoted (round-5 DataValue
+    // fidelity; matchy-data-format/src/lib.rs:49-77)
     val ipLine =
       """{"cidr":"192.0.2.55/24","data":{"category":"c2","confidence":90,""" +
-        """"extra":{"campaign":"alpha","ttl":"3600"},"source":"feed-a",""" +
+        """"extra":{"campaign":"alpha","ttl":3600},"source":"feed-a",""" +
         """"threat_level":"high"},"match_type":"ip",""" +
         """"matched_text":"192.0.2.55","prefix_len":24,""" +
         """"source":"transcripts.log","timestamp":"1700000000.000"}"""
@@ -79,6 +83,39 @@ class SinksSpec extends AnyFunSuite {
         """"pattern_count":1,"source":"transcripts.log",""" +
         """"timestamp":"1700000000.000"}"""
     assert(lines.toSeq == Seq(ipLine, patLine).sorted, lines.mkString("\n"))
+  }
+
+  test("ndjsonMatched renders ingest-captured DataValue types byte-exact: " +
+      "numbers/bools unquoted, strings quoted, i64->Int32 truncation") {
+    import spark.implicits._
+    val turns = Seq(
+      Turn("c1", 0, "user", "ping 192.0.2.55 end", "",
+        new Timestamp(1700000000000L)))
+    val db = IntelDb.build("threats", Seq(
+      IntelEntry("192.0.2.0/24", "high", "c2", "feed-a", 90,
+        extra = Map("ttl" -> "6442450944", "score" -> "0.5",
+          "verified" -> "true", "actor" -> "APT-1", "port" -> "0443"),
+        extra_types = Map("ttl" -> "i32", "score" -> "f64",
+          "verified" -> "bool", "actor" -> "str",
+          // a JSON feed can carry a numeric-looking STRING — the captured
+          // tag must keep it quoted (cli_utils.rs:228), where CSV
+          // re-inference would have numbered it
+          "port" -> "str"))))
+    val matched = ScanJob.matched(spark.createDataFrame(turns), Seq(db), spark)
+    val out = Files.createTempDirectory("ndjson-typed").toString
+    Sinks.ndjsonMatched(matched, "transcripts.log", lit(1700000000.0),
+      s"$out/matches")
+    val lines = spark.read.text(s"$out/matches").as[String].collect()
+    // 6442450944 = 0x1_8000_0000 truncates to Int32 -2147483648
+    // (the reference's `i as i32`, match_cmd.rs:85)
+    val expected =
+      """{"cidr":"192.0.2.55/24","data":{"category":"c2","confidence":90,""" +
+        """"extra":{"actor":"APT-1","port":"0443","score":0.5,""" +
+        """"ttl":-2147483648,"verified":true},"source":"feed-a",""" +
+        """"threat_level":"high"},"match_type":"ip",""" +
+        """"matched_text":"192.0.2.55","prefix_len":24,""" +
+        """"source":"transcripts.log","timestamp":"1700000000.000"}"""
+    assert(lines.toSeq == Seq(expected), lines.mkString("\n"))
   }
 
   test("ScanJob.run emits the NDJSON stream when enabled (byte-exact line)") {

@@ -249,4 +249,80 @@ class ScanJobSpec extends AnyFunSuite {
     assert(cleanRun, "sweep never reached an unfaulted run")
     assert(budget >= 16, s"suspiciously few mutating ops in run(): $budget")
   }
+
+  test("F3 capability defaults: a string-only feed skips the ip scan — " +
+      "config assert + no ip candidates through run()") {
+    import graft.model.IntelEntry
+    val stringOnly = Seq(
+      IntelDb.build("strings", Seq(
+        IntelEntry("evil.example.com", "high", "c2", "feed", 90),
+        IntelEntry("*.bad.net", "low", "heuristic", "feed", 40))))
+    // the derived config itself: ip extractors OFF, string extractors ON
+    // (match_cmd.rs:277-303)
+    val cfg = ScanJob.capabilityConfig(stringOnly)
+    assert(!cfg.ipv4 && !cfg.ipv6, cfg.toString)
+    assert(cfg.domains && cfg.emails && cfg.hashes && cfg.bitcoin &&
+      cfg.ethereum && cfg.monero, cfg.toString)
+    // ...and an ip-only feed derives the mirror image
+    val ipOnly = Seq(IntelDb.build("ips", Seq(
+      IntelEntry("192.0.2.0/24", "high", "c2", "feed", 90))))
+    val ipCfg = ScanJob.capabilityConfig(ipOnly)
+    assert(ipCfg.ipv4 && ipCfg.ipv6 && !ipCfg.domains && !ipCfg.hashes,
+      ipCfg.toString)
+
+    // end-to-end: the turn carries BOTH an extractable ip and a matching
+    // domain; with the string-only feed the ip is never even counted as a
+    // candidate (the reference's per-type candidate counters see 0)
+    val turns = spark.createDataFrame(Seq(
+      graft.model.Turn("c1", 0, "user",
+        "ping 192.0.2.55 then evil.example.com end", "",
+        new java.sql.Timestamp(1700000000000L))))
+    val out = Files.createTempDirectory("f3-caps").toString
+    val stats = ScanJob.run(spark, turns, stringOnly, out,
+      ScanJob.RunConfig(buckets = 2))
+    assert(!stats.contains("candidates_ipv4"), stats.toString)
+    assert(stats.getOrElse("candidates_domain", 0L) > 0, stats.toString)
+    assert(stats("total_matches") == 1L, stats.toString)
+  }
+
+  test("F3 --extractors overrides: positive list is exclusive, " +
+      "-name subtracts from capability defaults") {
+    import graft.extract.{ExtractorOverrides, ScanConfig}
+    val caps = ScanConfig() // both sections: everything on
+    // exclusive mode: only the named extractor survives
+    val only = ExtractorOverrides.parse(Some("ipv4")).resolve(caps)
+    assert(only.ipv4 && !only.ipv6 && !only.domains && !only.emails &&
+      !only.hashes && !only.bitcoin, only.toString)
+    // negative-only: defaults minus the crypto alias group
+    val minus = ExtractorOverrides.parse(Some("-crypto")).resolve(caps)
+    assert(minus.domains && minus.ipv4 && minus.hashes, minus.toString)
+    assert(!minus.bitcoin && !minus.ethereum && !minus.monero,
+      minus.toString)
+    // alias + plural normalization, mixed with a subtract
+    val mixed = ExtractorOverrides.parse(Some("ips,domains,-ipv6"))
+      .resolve(caps)
+    assert(mixed.ipv4 && !mixed.ipv6 && mixed.domains && !mixed.hashes,
+      mixed.toString)
+    // unknown names are a clean error (deviation from the reference's
+    // silent pass-through, documented in ExtractorOverrides)
+    assertThrows[IllegalArgumentException](
+      ExtractorOverrides.parse(Some("domian")))
+
+    // through run(): exclusive --extractors=ipv4 on a both-section feed
+    // emits no domain candidates even though the feed could match one
+    val both = Seq(IntelDb.build("mixed", Seq(
+      graft.model.IntelEntry("192.0.2.0/24", "high", "c2", "feed", 90),
+      graft.model.IntelEntry("evil.example.com", "critical", "phishing",
+        "feed", 95))))
+    val turns = spark.createDataFrame(Seq(
+      graft.model.Turn("c1", 0, "user",
+        "ping 192.0.2.55 then evil.example.com end", "",
+        new java.sql.Timestamp(1700000000000L))))
+    val out = Files.createTempDirectory("f3-override").toString
+    val stats = ScanJob.run(spark, turns, both, out,
+      ScanJob.RunConfig(buckets = 2, extractors = Some("ipv4")))
+    assert(stats.getOrElse("candidates_ipv4", 0L) > 0, stats.toString)
+    assert(!stats.contains("candidates_domain"), stats.toString)
+    assert(stats("total_matches") == 1L, stats.toString)
+  }
 }

@@ -67,6 +67,51 @@ class IntelIngestSpec extends AnyFunSuite {
       e.threat_level == "low"))
   }
 
+  test("csv feed: per-cell DataValue inference (match_cmd.rs:83-93 order)") {
+    val dir = Files.createTempDirectory("intel-csv-typed")
+    Files.writeString(dir.resolve("feed.csv"),
+      """entry,ttl,big,score,exp,flag,name,lead,inf
+        |evil.com,3600,18446744073709551615,0.5,1e3,true,yes,007,inf
+        |""".stripMargin)
+    val e = IntelIngest.toEntries(
+      IntelIngest.readCsv(spark, dir.toString + "/feed.csv")).head
+    assert(e.extra_types == Map(
+      "ttl" -> "i32",   // i64 parse wins first
+      "big" -> "u64",   // beyond i64, u64 catches it (2^64-1)
+      "score" -> "f64",
+      "exp" -> "f64",   // exponent form parses as f64
+      "flag" -> "bool",
+      "name" -> "str",  // "yes" is not a reference bool
+      "lead" -> "i32",  // leading zeros parse ("007" -> 7)
+      "inf" -> "str"))  // JSON-safety deviation: non-finite stays string
+    // rendering applies the reference's truncating/canonical forms
+    import graft.intel.DataValues
+    assert(DataValues.renderJson("6442450944", "i32") == "-2147483648")
+    assert(DataValues.renderJson("18446744073709551615", "u64") ==
+      "18446744073709551615")
+    assert(DataValues.renderJson("007", "i32") == "7")
+    assert(DataValues.renderJson("1e3", "f64") == "1000.0")
+    assert(DataValues.renderJson("yes", "str") == "\"yes\"")
+    assert(DataValues.renderJson("a\"b\nc", "str") == "\"a\\\"b\\nc\"")
+  }
+
+  test("json feed: native JSON types are captured, numeric-looking " +
+      "strings STAY strings (cli_utils.rs:213-243)") {
+    val dir = Files.createTempDirectory("intel-json-typed")
+    Files.writeString(dir.resolve("feed.json"),
+      """[{"key": "bad.example", "data": {"threat_level": "high",
+        |  "category": "c2", "source": "j", "confidence": 80,
+        |  "ttl": 3600, "score": 0.5, "verified": true,
+        |  "port": "0443"}}]
+        |""".stripMargin)
+    val e = IntelIngest.toEntries(
+      IntelIngest.readJson(spark, dir.toString + "/feed.json")).head
+    assert(e.extra == Map("ttl" -> "3600", "score" -> "0.5",
+      "verified" -> "true", "port" -> "0443"))
+    assert(e.extra_types == Map("ttl" -> "i32", "score" -> "f64",
+      "verified" -> "bool", "port" -> "str"))
+  }
+
   test("text feed (S7): one entry per line, comments skipped") {
     val dir = Files.createTempDirectory("intel-text")
     Files.writeString(dir.resolve("feed.txt"),
