@@ -245,15 +245,13 @@ object Bench {
     // memory traffic, no allocation). On this virtualized box even THIS
     // caps below 1.0 past ~8 busy cores — the calibration quantifies how
     // much of any pipeline's 8->32 shortfall is machine, not code.
-    def arith(threads: Int, seconds: Double): Double =
-      arithProbe(threads, seconds)
     // Calibrations are CEILING measurements: a host stall only depresses a
     // window (BENCH_r03's membw_8 read 85 MB in a 3 s window that swallowed
     // a stall), so take the BEST of three short interleaved windows per
     // level instead of one long window.
-    arith(4, 1.0) // warm
+    arithProbe(4, 1.0) // warm
     val (a8s, a32s) =
-      (1 to 3).map(_ => (arith(8, 1.5), arith(math.min(cpus, 32), 1.5))).unzip
+      (1 to 3).map(_ => (arithProbe(8, 1.5), arithProbe(math.min(cpus, 32), 1.5))).unzip
     val arith8 = a8s.max
     val arith32 = a32s.max
     val arithEff = (arith32 / arith8) / (math.min(cpus, 32) / 8.0)
@@ -264,11 +262,9 @@ object Bench {
     // in-box thread scaling is bounded by THIS curve, not the arith one.
     // Reported next to arith so the 8->32 shortfall can be attributed:
     // pipeline_eff ~ membw_eff => bandwidth-bound box, not code.
-    def membw(threads: Int, seconds: Double): Double =
-      membwProbe(threads, seconds)
-    membw(4, 1.0) // warm
+    membwProbe(4, 1.0) // warm
     val (m8s, m32s) =
-      (1 to 3).map(_ => (membw(8, 1.5), membw(math.min(cpus, 32), 1.5))).unzip
+      (1 to 3).map(_ => (membwProbe(8, 1.5), membwProbe(math.min(cpus, 32), 1.5))).unzip
     val membw8 = m8s.max
     val membw32 = m32s.max
     val membwEff = (membw32 / membw8) / (math.min(cpus, 32) / 8.0)

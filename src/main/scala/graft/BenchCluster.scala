@@ -74,9 +74,20 @@ object BenchCluster {
     require(rounds >= 1, "SPARK_GRAFT_CLUSTER_ROUNDS must be >= 1")
     val minWindow =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_WINDOW_SEC", "10.0").toDouble
-    val coresPerExec = 2
-    val execLow = 1
-    val execHigh = 4
+    // pair shape knobs: the default 1x2 -> 4x2 is the criterion's own
+    // shape at executor-sized parallelism; 1x1 -> 4x1 (CORES_PER_EXEC=1)
+    // keeps the same N -> 4N executor-count shape while staying further
+    // inside the box's linear bandwidth region
+    val coresPerExec =
+      sys.env.getOrElse("SPARK_GRAFT_CLUSTER_CORES_PER_EXEC", "2").toInt
+    val execLow =
+      sys.env.getOrElse("SPARK_GRAFT_CLUSTER_EXEC_LOW", "1").toInt
+    val execHigh =
+      sys.env.getOrElse("SPARK_GRAFT_CLUSTER_EXEC_HIGH", "4").toInt
+    require(coresPerExec >= 1 && execLow >= 1 && execHigh > execLow,
+      s"bad pair shape: $execLow x $coresPerExec -> $execHigh x " +
+        s"$coresPerExec (need coresPerExec/execLow >= 1, execHigh > " +
+        "execLow)")
 
     val turnsDir = Bench.materializeTurns(nTurns, 16)
 
@@ -139,12 +150,17 @@ object BenchCluster {
     val effBest = (highSamples.max / lowSamples.max) / factor
     val roundEffs = lowSamples.zip(highSamples)
       .map { case (lo, hi) => (hi / lo) / factor }
-    val keptRoundEffs = lowSamples.zip(highSamples).collect {
-      case (lo, hi) if lo >= Bench.median(lowSamples.toSeq) / 3.0 &&
-        hi >= Bench.median(highSamples.toSeq) / 3.0 => (hi / lo) / factor
+    // ONE stall mask shared by the raw and normalized estimators (a round
+    // is kept iff neither of its windows stalled >3x below its level's
+    // median) — keeps the two headline figures from drifting apart
+    val keptMask = lowSamples.toSeq.zip(highSamples.toSeq).map {
+      case (lo, hi) => lo >= Bench.median(lowSamples.toSeq) / 3.0 &&
+        hi >= Bench.median(highSamples.toSeq) / 3.0
     }
+    val keptRoundEffs = roundEffs.toSeq.zip(keptMask)
+      .collect { case (e, true) => e }
     val eff = Bench.median(
-      if (keptRoundEffs.nonEmpty) keptRoundEffs.toSeq else roundEffs.toSeq)
+      if (keptRoundEffs.nonEmpty) keptRoundEffs else roundEffs.toSeq)
 
     // bandwidth-normalized per-round efficiency: raw / (membw scaling the
     // box granted that round). On a real cluster memory bandwidth scales
@@ -155,15 +171,10 @@ object BenchCluster {
       .map { case (lo, hi) => (hi / lo) / (coresHigh.toDouble / coresLow) }
     val normEffs = roundEffs.zip(membwEffs)
       .map { case (re, me) => re / math.min(me, 1.0) }
-    val keptNormEffs = lowSamples.toSeq.zip(highSamples.toSeq)
-      .zip(membwEffs).collect {
-        case ((lo, hi), me)
-          if lo >= Bench.median(lowSamples.toSeq) / 3.0 &&
-            hi >= Bench.median(highSamples.toSeq) / 3.0 =>
-          ((hi / lo) / factor) / math.min(me, 1.0)
-      }
+    val keptNormEffs = normEffs.toSeq.zip(keptMask)
+      .collect { case (e, true) => e }
     val effNorm = Bench.median(
-      if (keptNormEffs.nonEmpty) keptNormEffs.toSeq else normEffs.toSeq)
+      if (keptNormEffs.nonEmpty) keptNormEffs else normEffs.toSeq)
     val membwEffMedian = Bench.median(membwEffs.toSeq)
 
     def arr(xs: Seq[Double]): String =

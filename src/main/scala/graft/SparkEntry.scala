@@ -102,7 +102,9 @@ object SparkEntry {
     "q54_sample" -> (QueryDefs.qSample _),
     // conversation→curation bridge: transcript reconstruction feeding the
     // composed curation audit (round 5)
-    "q55_conv_curate" -> (QueryDefs.qConvCurate _)
+    "q55_conv_curate" -> (QueryDefs.qConvCurate _),
+    // JSON-feed per-VALUE DataValue typing through the lookup flow (round 5)
+    "q56_lookup_extras_json" -> (QueryDefs.qLookupExtrasJson _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -160,6 +162,7 @@ object SparkEntry {
     "q52_curate" -> OracleDefs.curate,
     "q53_split" -> OracleDefs.split,
     "q54_sample" -> OracleDefs.sample,
-    "q55_conv_curate" -> OracleDefs.convCurate
+    "q55_conv_curate" -> OracleDefs.convCurate,
+    "q56_lookup_extras_json" -> OracleDefs.lookupExtrasJson
   )
 }

@@ -34,6 +34,9 @@ object DataValues {
   val BOOL = "bool"
   val STR = "str"
 
+  /** u64::MAX as a decimal string (the as_u64 upper bound). */
+  val U64Max = "18446744073709551615"
+
   // Rust's from_str grammars are stricter than Java's parse* (no
   // whitespace, no trailing type suffix, no hex floats) — gate with the
   // exact grammar before delegating to the JDK parser.

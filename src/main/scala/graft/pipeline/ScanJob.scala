@@ -174,8 +174,7 @@ object ScanJob {
     *   match lines (bin/match_processor/sequential.rs:154-187).
     * @param ndjsonSource the `source` field value of each NDJSON line (the
     *   reference emits the input file path there).
-    */
-  /** @param extractors optional `--extractors` override string
+    * @param extractors optional `--extractors` override string
     *   (ExtractorOverrides syntax: positive names = exclusive set,
     *   `-name` subtracts from the capability-derived defaults).
     */
@@ -333,10 +332,16 @@ object ScanJob {
       .resolve(capabilityConfig(dbs))
     val routed = routedFrame(spark, pending, dbs, Some(obsTurns),
       Some(obsRows), Some(scanCfg))
+    // `extra_json` (the typed NDJSON rendering of `extra`) is consumed by
+    // exactly one sink — drop it from the parquet write when that sink is
+    // off, so matched rows don't store the extras payload twice. (Keep
+    // `ndjson` consistent across a resumed run: toggling it mid-resume
+    // would mix the two schemas inside routed/.)
+    val toWrite = if (cfg.ndjson) routed else routed.drop("extra_json")
     // dynamic partition overwrite: only the (sink, bucket, indicator_type)
     // partitions THIS run produced are replaced — sharded backfills and
     // shard reruns are idempotent, resumed runs never touch done buckets
-    routed.write.mode(SaveMode.Overwrite)
+    toWrite.write.mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("sink", "bucket", "indicator_type")
       .parquet(s"$outDir/routed")

@@ -843,6 +843,30 @@ object OracleDefs {
       |  ON c.value = i.entry
       |GROUP BY 1,2,3,4,5,6,7 ORDER BY 1""".stripMargin
 
+  /** q56: the JSON-feed typed-metadata mirror — all rendered values as
+    * closed-form string literals: host0's ttl is "3600" (Int32 per VALUE;
+    * a per-column inference would have widened it to host1's double and
+    * rendered "3600.0"), host2's big is u64::MAX verbatim, host3's 2^64
+    * takes the as_f64 fallback (JDK shortest-roundtrip form). Empty
+    * strings mirror the Spark side's coalesce of absent keys.
+    */
+  val lookupExtrasJson: String =
+    """SELECT c.value AS value, i.category AS category, i.ttl AS ttl,
+      |       i.verified AS verified, i.port AS port, i.big AS big,
+      |       count(*) AS n
+      |FROM (SELECT 'host'||(event_id%50)||'.example.com' AS value
+      |      FROM events) c
+      |JOIN (VALUES
+      |        ('host0.example.com','c2','3600','true','',''),
+      |        ('host1.example.com','c2','7200.5','','0443',''),
+      |        ('host2.example.com','phish','','','',
+      |         '18446744073709551615'),
+      |        ('host3.example.com','c2','','','',
+      |         '1.8446744073709552E19'))
+      |     i(entry, category, ttl, verified, port, big)
+      |  ON c.value = i.entry
+      |GROUP BY 1,2,3,4,5,6 ORDER BY 1""".stripMargin
+
   /** q45: closed-form prediction of the redacted text — the four planted
     * families collapse to typed placeholders, the strict-grammar rejects
     * (999.1.2.3, 192.168.01.7) and surrounding prose survive verbatim, and

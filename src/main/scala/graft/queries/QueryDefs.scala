@@ -718,6 +718,56 @@ object QueryDefs {
       .orderBy("doc_id")
   }
 
+  /** q56: JSON-feed DataValue fidelity through the lookup flow — the S6
+    * counterpart of q43's CSV path. The feed is written as real JSON and
+    * ingested through `IntelIngest.readJson`'s variant re-read, so typing
+    * is per VALUE (cli_utils.rs:213-243): `ttl` is Int32(3600) on host0
+    * but Double(7200.5) on host1 — a per-COLUMN inference would widen
+    * host0 to 7200.5's double and render "3600.0"; the string projection
+    * of the rendered `extra_json` variant distinguishes the two ("3600"
+    * vs "3600.0"). Also exercised: u64::MAX staying u64, 2^64 taking the
+    * as_f64 fallback, and a numeric-looking STRING staying quoted (read
+    * back here unquoted by the string get — the quoting is asserted
+    * byte-exact in SinksSpec).
+    */
+  def qLookupExtrasJson(s: SparkSession, dir: String): DataFrame = {
+    val json =
+      """[{"key": "host0.example.com", "data": {"category": "c2",
+        |   "ttl": 3600, "verified": true}},
+        | {"key": "host1.example.com", "data": {"category": "c2",
+        |   "ttl": 7200.5, "port": "0443"}},
+        | {"key": "host2.example.com", "data": {"category": "phish",
+        |   "big": 18446744073709551615}},
+        | {"key": "host3.example.com", "data": {"category": "c2",
+        |   "big": 18446744073709551616}}]
+        |""".stripMargin
+    val dir0 = java.nio.file.Files.createTempDirectory(
+      s"graft-q56-${java.lang.ProcessHandle.current().pid()}")
+    val p = dir0.resolve("feed.json")
+    java.nio.file.Files.writeString(p, json)
+    val feed = graft.sources.IntelIngest.readJson(s, p.toString)
+    val db = IntelDb.build("feed",
+      graft.sources.IntelIngest.toEntries(feed))
+    val meta = ScanJob.intelMetaDf(s, Seq(db))
+    val extraV = parse_json(col("extra_json"))
+    domainCands(s, dir)
+      .withColumn("hit", explode(
+        IntelLookup.column(col("value"), col("indicator_type"), db)))
+      .select(col("value"), col("hit.entry_idx").as("entry_idx"))
+      .join(broadcast(meta.select(col("entry_idx"), col("category"),
+        coalesce(try_variant_get(extraV, "$.ttl", "string"), lit(""))
+          .as("ttl"),
+        coalesce(try_variant_get(extraV, "$.verified", "string"), lit(""))
+          .as("verified"),
+        coalesce(try_variant_get(extraV, "$.port", "string"), lit(""))
+          .as("port"),
+        coalesce(try_variant_get(extraV, "$.big", "string"), lit(""))
+          .as("big"))), Seq("entry_idx"))
+      .groupBy("value", "category", "ttl", "verified", "port", "big")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("value")
+  }
+
   /** q55: the conversation→curation BRIDGE — the full
     * transcript-table-to-keep-set path a training-data user actually runs:
     * `Conversations.transcriptText` reconstructs one document per

@@ -61,16 +61,20 @@ object IntelIngest {
     // every feed column OUTSIDE the fixed shape survives as a string
     // key/value in `extra` (null values dropped) instead of being lost,
     // with its DataValue type captured in `extra_types` (S5 per-cell CSV
-    // inference / S6 native JSON types — graft.intel.DataValues)
+    // inference / S6 per-VALUE JSON types — graft.intel.DataValues).
+    // A feed that arrives with `extra`/`extra_types` ALREADY built (the
+    // variant-based readJson path) passes them through untouched.
     val known = Set("entry", "threat_level", "category", "source",
       "confidence", "to_ids", "comment", "attr_type", "attr_timestamp",
-      "tags")
+      "tags", "extra", "extra_types")
+    val prebuilt = df.columns.contains("extra")
     val extraCols = df.columns.filterNot(c =>
       known.contains(c) || c == keyCol).sorted
     val fieldType: Map[String, org.apache.spark.sql.types.DataType] =
       df.schema.fields.map(f => f.name -> f.dataType).toMap
     val extraExpr =
-      if (extraCols.isEmpty)
+      if (prebuilt) col("extra")
+      else if (extraCols.isEmpty)
         map().cast("map<string,string>")
       else
         map_filter(
@@ -78,7 +82,10 @@ object IntelIngest {
             Seq(lit(c), col(s"`$c`").cast("string"))): _*),
           (_, v) => v.isNotNull)
     val typesExpr =
-      if (extraCols.isEmpty)
+      if (prebuilt)
+        (if (df.columns.contains("extra_types")) col("extra_types")
+         else map().cast("map<string,string>"))
+      else if (extraCols.isEmpty)
         map().cast("map<string,string>")
       else
         map_filter(
@@ -119,10 +126,12 @@ object IntelIngest {
       case ByteType | ShortType | IntegerType | LongType =>
         when(c.isNotNull, lit(DataValues.I32))
       case d: DecimalType if d.scale == 0 =>
-        // beyond-i64 integrals: non-negative → Uint64 (as_u64 path),
-        // negative → Double (as_f64 fallback, cli_utils.rs:218-223)
+        // beyond-i64 integrals: in [0, u64::MAX] → Uint64 (as_u64 path),
+        // negative or beyond u64 → Double (as_f64 fallback,
+        // cli_utils.rs:218-223 — as_u64 fails past 2^64-1 too)
         when(c.isNull, lit(null).cast("string"))
-          .when(c >= 0, lit(DataValues.U64))
+          .when(c >= 0 && c <= lit(new java.math.BigDecimal(DataValues.U64Max)),
+            lit(DataValues.U64))
           .otherwise(lit(DataValues.F64))
       case FloatType | DoubleType | _: DecimalType =>
         when(c.isNotNull, lit(DataValues.F64))
@@ -138,14 +147,97 @@ object IntelIngest {
   def readCsv(spark: SparkSession, path: String): DataFrame =
     normalize(spark.read.option("header", "true").csv(path))
 
-  /** JSON feed: [{"key": ..., "data": {...}}] or NDJSON of the same (S6). */
+  /** JSON feed: [{"key": ..., "data": {...}}] or NDJSON of the same (S6).
+    *
+    * DataValue typing is per VALUE, not per column (round-5 fix): Spark's
+    * schema inference assigns one type per COLUMN, so a feed carrying
+    * {"ttl": 2} and {"ttl": 2.5} would widen the column to double and
+    * serialize the first entry's ttl as 2.0 — the reference types each
+    * serde value independently (Int32(2) vs Double(2.5),
+    * cli_utils.rs:213-243). The feed is therefore re-read as ONE VARIANT
+    * per entry (`singleVariantColumn`; array feeds are split with
+    * `variant_explode`), and every extra cell's string value AND DataValue
+    * tag derive from its own variant member: BIGINT-family → i32
+    * (as_i64 → truncating Int32), DECIMAL(p,0) in [0, u64::MAX] → u64,
+    * negative/beyond-u64 integrals and all fractionals → f64,
+    * BOOLEAN → bool, STRING → str (numeric-looking strings STAY strings),
+    * nested OBJECT/ARRAY → `to_json` text tagged str (the flattened
+    * passthrough form). The inferred read still provides the COLUMN SET;
+    * dynamic keys containing '.' or quotes are not addressable by the
+    * variant path and keep column-level typing via the legacy path.
+    */
   def readJson(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.option("multiLine", "true").json(path)
-    val flat =
-      if (raw.columns.contains("data"))
-        raw.select(col("key"), col("data.*"))
-      else raw
-    normalize(flat, inferStringCells = false)
+    val nested = raw.columns.contains("data")
+    val flat = if (nested) raw.select(col("key"), col("data.*")) else raw
+    val keyCol =
+      if (flat.columns.contains("entry")) "entry"
+      else if (flat.columns.contains("key")) "key"
+      else flat.columns.head
+    val known = Set("threat_level", "category", "source", "confidence",
+      "to_ids", "comment", "attr_type", "attr_timestamp", "tags")
+    val extraCols =
+      flat.columns.filterNot(c => known.contains(c) || c == keyCol).sorted
+    // keys the variant JSON-path grammar cannot address safely
+    val pathSafe = (keyCol +: extraCols).forall(c =>
+      !c.exists(ch => ch == '.' || ch == '\'' || ch == '"' || ch == '[' ||
+        ch == ']' || ch == '$'))
+    if (extraCols.isEmpty || !pathSafe)
+      return normalize(flat, inferStringCells = false)
+
+    val v0 = spark.read.format("json")
+      .option("multiLine", "true")
+      .option("singleVariantColumn", "__v").load(path)
+    val view = s"graft_feed_v_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    v0.createOrReplaceTempView(view)
+    // one variant per ENTRY: array files parse as a single ARRAY variant
+    // (split it); NDJSON files parse as one OBJECT variant per line
+    val vRows = spark.sql(
+      s"""SELECT __v AS v FROM $view
+         |WHERE schema_of_variant(__v) NOT LIKE 'ARRAY%'
+         |UNION ALL
+         |SELECT e.value AS v FROM $view,
+         |LATERAL variant_explode(__v) AS e
+         |WHERE schema_of_variant(__v) LIKE 'ARRAY%'""".stripMargin)
+    spark.catalog.dropTempView(view)
+
+    def vpath(c: String): String =
+      if (nested && c != "key") s"$$.data.$c" else s"$$.$c"
+    def member(c: String) = expr(s"variant_get(v, '${vpath(c)}')")
+    def vschema(c: String) = expr(s"schema_of_variant(variant_get(v, '${vpath(c)}'))")
+    def valueOf(c: String): org.apache.spark.sql.Column = {
+      val sv = vschema(c)
+      when(sv.startsWith("OBJECT") || sv.startsWith("ARRAY"),
+        to_json(member(c)))
+        .otherwise(member(c).cast("string"))
+    }
+    def tagOf(c: String): org.apache.spark.sql.Column = {
+      val sv = vschema(c)
+      when(sv.isNull || sv === "VOID", lit(null).cast("string"))
+        .when(sv.isin("TINYINT", "SMALLINT", "INT", "BIGINT"),
+          lit(graft.intel.DataValues.I32))
+        .when(sv === "BOOLEAN", lit(graft.intel.DataValues.BOOL))
+        .when(sv.isin("DOUBLE", "FLOAT"), lit(graft.intel.DataValues.F64))
+        .when(sv.startsWith("DECIMAL") && sv.endsWith(",0)"),
+          when(member(c).cast("decimal(38,0)") >= 0 &&
+            member(c).cast("decimal(38,0)") <=
+              lit(new java.math.BigDecimal(graft.intel.DataValues.U64Max)),
+            lit(graft.intel.DataValues.U64))
+            .otherwise(lit(graft.intel.DataValues.F64)))
+        .when(sv.startsWith("DECIMAL"), lit(graft.intel.DataValues.F64))
+        .otherwise(lit(graft.intel.DataValues.STR))
+    }
+    val fixed = flat.columns.filter(known.contains).toSeq
+    val assembled = vRows.select(
+      (valueOf(keyCol).as(keyCol) +:
+        fixed.map(c => valueOf(c).as(c))) :+
+        map_filter(
+          map(extraCols.toSeq.flatMap(c => Seq(lit(c), valueOf(c))): _*),
+          (_, x) => x.isNotNull).as("extra") :+
+        map_filter(
+          map(extraCols.toSeq.flatMap(c => Seq(lit(c), tagOf(c))): _*),
+          (_, x) => x.isNotNull).as("extra_types"): _*)
+    normalize(assembled, inferStringCells = false)
   }
 
   /** Text feed: one entry per line, '#' comments and blanks skipped (S7). */

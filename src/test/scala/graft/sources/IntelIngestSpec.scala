@@ -112,6 +112,38 @@ class IntelIngestSpec extends AnyFunSuite {
       "verified" -> "bool", "port" -> "str"))
   }
 
+  test("json feed: typing is per VALUE, not per column — a mixed-type " +
+      "key gets each entry's own serde type (cli_utils.rs:213-243)") {
+    val dir = Files.createTempDirectory("intel-json-mixed")
+    // ttl: i64 in one entry, fractional in the next — Spark column
+    // inference would widen BOTH to double ("2.0"); the reference types
+    // each value (Int32(2) vs Double(2.5)). big: 2^64 exceeds u64::MAX →
+    // as_f64 fallback, not a quoted string.
+    Files.writeString(dir.resolve("feed.json"),
+      """[{"key": "a.example", "data": {"threat_level": "high",
+        |  "confidence": 80, "ttl": 2, "flag": true}},
+        | {"key": "b.example", "data": {"threat_level": "low",
+        |  "confidence": 70, "ttl": 2.5,
+        |  "big": 18446744073709551616, "neg": -3}}]
+        |""".stripMargin)
+    val es = IntelIngest.toEntries(
+      IntelIngest.readJson(spark, dir.toString + "/feed.json"))
+      .sortBy(_.entry)
+    val a = es.head
+    assert(a.entry == "a.example" && a.confidence == 80)
+    assert(a.extra == Map("ttl" -> "2", "flag" -> "true"), a.extra)
+    assert(a.extra_types == Map("ttl" -> "i32", "flag" -> "bool"),
+      a.extra_types)
+    val b = es(1)
+    assert(b.extra("ttl") == "2.5" && b.extra_types("ttl") == "f64")
+    assert(b.extra_types("neg") == "i32" && b.extra("neg") == "-3")
+    // 2^64 = 18446744073709551616 exceeds u64::MAX -> f64, rendered as a
+    // JSON number (the reference's as_f64 fallback), never quoted
+    assert(b.extra_types("big") == "f64", b.extra_types.toString)
+    assert(graft.intel.DataValues
+      .renderJson(b.extra("big"), "f64") == "1.8446744073709552E19")
+  }
+
   test("text feed (S7): one entry per line, comments skipped") {
     val dir = Files.createTempDirectory("intel-text")
     Files.writeString(dir.resolve("feed.txt"),
