@@ -14,6 +14,10 @@ import org.apache.spark.sql.SparkSession
   *   [--case-insensitive]   # feed builds only; stores keep their build mode
   *   [--ndjson [--ndjson-source <label>]]  # also emit the reference-format
   *                                         # NDJSON match stream (S10)
+  *   [--ndjson-inline-extra]   # byte-parity mode: dynamic feed keys
+  *                             # inline at the data top level (the
+  *                             # reference's own shape) instead of
+  *                             # nesting under "extra"
   *   [--extractors ipv4,domain | -crypto,-hash]  # override the
   *            # capability-derived extractor defaults (F3): positive
   *            # names = exclusive set, -name subtracts; aliases
@@ -52,6 +56,8 @@ object ScanMain {
         case "--resume" => resume = true; i += 1
         case "--case-insensitive" => caseInsensitive = true; i += 1
         case "--ndjson" => opts("ndjson") = "true"; i += 1
+        case "--ndjson-inline-extra" =>
+          opts("ndjson-inline-extra") = "true"; i += 1
         case k if k.startsWith("--") && i + 1 < args.length =>
           opts(k.drop(2)) = args(i + 1); i += 2
         case other => sys.error(s"unexpected argument: $other")
@@ -86,7 +92,9 @@ object ScanMain {
         runId = opts.getOrElse("run-id", "run-0"),
         ndjson = opts.get("ndjson").contains("true"),
         ndjsonSource = opts.getOrElse("ndjson-source", turnsPath),
-        extractors = opts.get("extractors")))
+        extractors = opts.get("extractors"),
+        ndjsonInlineExtra =
+          opts.get("ndjson-inline-extra").contains("true")))
     stats.toSeq.sorted.foreach { case (k, v) => println(s"$k=$v") }
     spark.stop()
   }

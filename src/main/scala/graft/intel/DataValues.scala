@@ -125,4 +125,32 @@ object DataValues {
       escapeJson(k) + ":" +
         renderJson(v, tags.getOrElse(k, inferTag(v)))
     }.mkString("{", ",", "}"))
+
+  /** The COMPLETE NDJSON `data` object for one entry with dynamic keys
+    * INLINED at the top level — the reference's own shape (the .mxy data
+    * section is one flat DataValue map per entry; category/confidence/
+    * source/threat_level are just conventional keys in it, serialized
+    * alphabetically by serde_json's BTreeMap — sequential.rs:154-187).
+    * Used by the opt-in byte-parity NDJSON mode; the default sink nests
+    * dynamic keys under "extra" (schema-stable for parquet/SQL consumers).
+    * Key collisions cannot occur: ingest excludes the fixed names from
+    * `extra` (IntelIngest.normalize's `known` set).
+    */
+  def dataObjectJson(category: String, confidence: Int, source: String,
+      threatLevel: String, extra: Map[String, String],
+      tags: Map[String, String]): String = {
+    val fixed = Seq(
+      "category" -> escapeJson(category),
+      "confidence" -> confidence.toString,
+      "source" -> escapeJson(source),
+      "threat_level" -> escapeJson(threatLevel))
+    val dyn =
+      if (extra == null) Seq.empty
+      else extra.toSeq.map { case (k, v) =>
+        k -> renderJson(v, tags.getOrElse(k, inferTag(v)))
+      }
+    (fixed ++ dyn).sortBy(_._1)
+      .map { case (k, v) => escapeJson(k) + ":" + v }
+      .mkString("{", ",", "}")
+  }
 }

@@ -43,9 +43,17 @@ object Sinks {
     * codegen- and parquet-friendly where a per-row dynamic schema would
     * not.) "extra" sorts between "confidence" and "source", preserving the
     * alphabetical key order rule.
+    *
+    * `inlineExtra = true` (requires the `data_json` column from
+    * `ScanJob.intelMetaDf`) switches to the reference's OWN shape instead:
+    * the whole data object is the flat per-entry DataValue map with
+    * dynamic keys inlined at the top level, alphabetical across fixed and
+    * dynamic keys alike — byte parity for a consumer that reads custom
+    * feed columns at `data.<key>` (sequential.rs:154-187).
     */
   def ndjsonMatched(matched: DataFrame, sourcePath: String,
-      tsSeconds: Column, path: String): Unit = {
+      tsSeconds: Column, path: String,
+      inlineExtra: Boolean = false): Unit = {
     val extraField =
       // typed path: `extra_json` (intelMetaDf's per-entry DataValue
       // rendering) parses to a VARIANT, which to_json serializes as raw
@@ -57,8 +65,13 @@ object Sinks {
       else if (matched.columns.contains("extra"))
         when(size(col("extra")) > 0, col("extra"))
       else lit(null).cast("map<string,string>")
-    val dataObj = struct(col("category"), col("confidence"),
-      extraField.as("extra"), col("source"), col("threat_level"))
+    val dataObj =
+      if (inlineExtra) {
+        require(matched.columns.contains("data_json"),
+          "inlineExtra needs the data_json column (ScanJob.intelMetaDf)")
+        parse_json(col("data_json"))
+      } else struct(col("category"), col("confidence"),
+        extraField.as("extra"), col("source"), col("threat_level"))
     val grouped = matched.withColumn("__ts", tsSeconds)
       .groupBy(col("conv_id"), col("turn_idx"), col("span_start"),
         col("value"), col("database_id"), col("match_type"),

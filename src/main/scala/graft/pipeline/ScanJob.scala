@@ -63,12 +63,17 @@ object ScanJob {
           // driver — the NDJSON sink parses it to a variant so numbers/
           // bools emit unquoted (matchy-data-format/src/lib.rs:49-77)
           graft.intel.DataValues
-            .typedJsonObject(m.extra, m.extraTypes).orNull)
+            .typedJsonObject(m.extra, m.extraTypes).orNull,
+          // the COMPLETE data object with dynamic keys inlined at the top
+          // level — the reference's own NDJSON shape, for the opt-in
+          // byte-parity sink mode (Sinks.ndjsonMatched inlineExtra)
+          graft.intel.DataValues.dataObjectJson(m.category, m.confidence,
+            m.source, m.threatLevel, m.extra, m.extraTypes))
       }
     }.toDF("db_idx", "entry_idx", "database_id", "entry", "entry_type",
       "threat_level", "category", "source", "confidence",
       "to_ids", "comment", "attr_type", "attr_timestamp", "tags", "extra",
-      "extra_json")
+      "extra_json", "data_json")
   }
 
   /** Broadcast-metadata tail shared by `enriched` and `matched`: join the
@@ -177,6 +182,9 @@ object ScanJob {
     * @param extractors optional `--extractors` override string
     *   (ExtractorOverrides syntax: positive names = exclusive set,
     *   `-name` subtracts from the capability-derived defaults).
+    * @param ndjsonInlineExtra reference byte-parity mode for the NDJSON
+    *   stream: dynamic feed keys inline at the data top level
+    *   (sequential.rs shape) instead of nesting under "extra".
     */
   final case class RunConfig(
       buckets: Int = 64,
@@ -185,7 +193,8 @@ object ScanJob {
       onlyBuckets: Option[Set[Int]] = None,
       ndjson: Boolean = false,
       ndjsonSource: String = "transcripts",
-      extractors: Option[String] = None)
+      extractors: Option[String] = None,
+      ndjsonInlineExtra: Boolean = false)
 
   /** The routed frame: extract + enrich + per-turn routing verdict in ONE
     * map-side pass (ScanTurn generator), metadata attached via broadcast
@@ -332,12 +341,15 @@ object ScanJob {
       .resolve(capabilityConfig(dbs))
     val routed = routedFrame(spark, pending, dbs, Some(obsTurns),
       Some(obsRows), Some(scanCfg))
-    // `extra_json` (the typed NDJSON rendering of `extra`) is consumed by
-    // exactly one sink — drop it from the parquet write when that sink is
-    // off, so matched rows don't store the extras payload twice. (Keep
-    // `ndjson` consistent across a resumed run: toggling it mid-resume
-    // would mix the two schemas inside routed/.)
-    val toWrite = if (cfg.ndjson) routed else routed.drop("extra_json")
+    // `extra_json`/`data_json` (the typed NDJSON renderings) are consumed
+    // by exactly one sink each — drop whichever the configured mode won't
+    // read from the parquet write, so matched rows don't store the extras
+    // payload twice. (Keep `ndjson` flags consistent across a resumed run:
+    // toggling them mid-resume would mix schemas inside routed/.)
+    val toWrite =
+      if (!cfg.ndjson) routed.drop("extra_json", "data_json")
+      else if (cfg.ndjsonInlineExtra) routed.drop("extra_json")
+      else routed.drop("data_json")
     // dynamic partition overwrite: only the (sink, bucket, indicator_type)
     // partitions THIS run produced are replaced — sharded backfills and
     // shard reruns are idempotent, resumed runs never touch done buckets
@@ -361,7 +373,7 @@ object ScanJob {
           coalesce(col("ts").cast("double"), lit(0.0))
         else lit(0.0)
       graft.io.Sinks.ndjsonMatched(matchedBack, cfg.ndjsonSource, tsSec,
-        s"$outDir/ndjson")
+        s"$outDir/ndjson", inlineExtra = cfg.ndjsonInlineExtra)
     }
     // gold counts, global line counts and lineage metrics all aggregate the
     // routed output — share ONE column-pruned read across the three actions

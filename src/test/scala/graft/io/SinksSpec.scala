@@ -85,6 +85,40 @@ class SinksSpec extends AnyFunSuite {
     assert(lines.toSeq == Seq(ipLine, patLine).sorted, lines.mkString("\n"))
   }
 
+  test("ndjsonMatched inlineExtra: dynamic keys at the data top level, " +
+      "alphabetical across fixed+dynamic — the reference's own shape") {
+    import spark.implicits._
+    val turns = Seq(
+      Turn("c1", 0, "user", "ping 192.0.2.55 then evil.example.com end", "",
+        new Timestamp(1700000000000L)))
+    val db = IntelDb.build("threats", Seq(
+      IntelEntry("192.0.2.0/24", "high", "c2", "feed-a", 90,
+        extra = Map("ttl" -> "3600", "campaign" -> "alpha"),
+        extra_types = Map("ttl" -> "i32", "campaign" -> "str")),
+      // extra-less entry: the inline object is just the fixed map
+      IntelEntry("evil.example.com", "critical", "phishing", "feed-a", 95)))
+    val matched = ScanJob.matched(spark.createDataFrame(turns), Seq(db), spark)
+    val out = Files.createTempDirectory("ndjson-inline").toString
+    Sinks.ndjsonMatched(matched, "transcripts.log", lit(1700000000.0),
+      s"$out/matches", inlineExtra = true)
+    val lines = spark.read.text(s"$out/matches").as[String].collect().sorted
+    // "campaign" sorts BEFORE "category", ttl after threat_level — the
+    // flat serde_json BTreeMap order of sequential.rs:154-187
+    val ipLine =
+      """{"cidr":"192.0.2.55/24","data":{"campaign":"alpha",""" +
+        """"category":"c2","confidence":90,"source":"feed-a",""" +
+        """"threat_level":"high","ttl":3600},"match_type":"ip",""" +
+        """"matched_text":"192.0.2.55","prefix_len":24,""" +
+        """"source":"transcripts.log","timestamp":"1700000000.000"}"""
+    val patLine =
+      """{"data":[{"category":"phishing","confidence":95,""" +
+        """"source":"feed-a","threat_level":"critical"}],""" +
+        """"match_type":"pattern","matched_text":"evil.example.com",""" +
+        """"pattern_count":1,"source":"transcripts.log",""" +
+        """"timestamp":"1700000000.000"}"""
+    assert(lines.toSeq == Seq(ipLine, patLine).sorted, lines.mkString("\n"))
+  }
+
   test("ndjsonMatched renders ingest-captured DataValue types byte-exact: " +
       "numbers/bools unquoted, strings quoted, i64->Int32 truncation") {
     import spark.implicits._
@@ -138,5 +172,31 @@ class SinksSpec extends AnyFunSuite {
         """"matched_text":"192.0.2.55","prefix_len":24,""" +
         """"source":"transcripts.log","timestamp":"1700000000.000"}"""
     assert(lines.toSeq == Seq(expected), lines.mkString("\n"))
+  }
+
+  test("ScanJob.run --ndjson-inline-extra: the flat reference shape " +
+      "survives the routed parquet round trip (byte-exact line)") {
+    import spark.implicits._
+    val turns = Seq(
+      Turn("c1", 0, "user", "ping 192.0.2.55 only", "",
+        new Timestamp(1700000000000L)))
+    val db = IntelDb.build("threats", Seq(
+      IntelEntry("192.0.2.0/24", "high", "c2", "feed-a", 90,
+        extra = Map("ttl" -> "3600"), extra_types = Map("ttl" -> "i32"))))
+    val out = Files.createTempDirectory("run-ndjson-inline").toString + "/scan"
+    ScanJob.run(spark, spark.createDataFrame(turns), Seq(db), out,
+      ScanJob.RunConfig(buckets = 4, ndjson = true,
+        ndjsonSource = "transcripts.log", ndjsonInlineExtra = true))
+    val lines = spark.read.text(s"$out/ndjson").as[String].collect()
+    val expected =
+      """{"cidr":"192.0.2.55/24","data":{"category":"c2","confidence":90,""" +
+        """"source":"feed-a","threat_level":"high","ttl":3600},""" +
+        """"match_type":"ip","matched_text":"192.0.2.55","prefix_len":24,""" +
+        """"source":"transcripts.log","timestamp":"1700000000.000"}"""
+    assert(lines.toSeq == Seq(expected), lines.mkString("\n"))
+    // the mode keeps data_json (its input) and drops extra_json (unused)
+    val routed = spark.read.parquet(s"$out/routed")
+    assert(routed.columns.contains("data_json"), routed.columns.mkString(","))
+    assert(!routed.columns.contains("extra_json"), routed.columns.mkString(","))
   }
 }
