@@ -144,16 +144,23 @@ object MediaCodecs {
       // declaring a huge raster must be rejected BEFORE ImageIO.read
       // attempts the multi-GB allocation (same allocate-nothing-before-
       // the-size-check contract as decodeBmp)
+      // the stream is closed by the OUTER finally: ImageIO's default
+      // cache backs it with a temp FILE, and an exception out of
+      // getImageReaders/next (swallowed by the NonFatal routing catch)
+      // would otherwise leak one temp file per adversarial payload on a
+      // long-lived executor
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) { iis.close(); return null }
-      val reader = readers.next()
       val (hw, hh) =
         try {
-          reader.setInput(iis, true, true)
-          (reader.getWidth(0), reader.getHeight(0))
-        } finally { reader.dispose(); iis.close() }
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return null
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, true, true)
+            (reader.getWidth(0), reader.getHeight(0))
+          } finally reader.dispose()
+        } finally iis.close()
       if (hw <= 0 || hh <= 0 || hw > MaxDecodeDim || hh > MaxDecodeDim ||
         hw.toLong * hh * 3 > Int.MaxValue) return null
       val img = javax.imageio.ImageIO.read(
@@ -224,36 +231,40 @@ object MediaCodecs {
     if (bytes == null || bytes.length < 6) return null
     if (bytes(0) != 'G' || bytes(1) != 'I' || bytes(2) != 'F') return null
     try {
+      // closed by the outer finally even when getImageReaders/next throw
+      // (same temp-file-leak reasoning as decodeJvmImage)
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) { iis.close(); return null }
-      val reader = readers.next()
       try {
-        reader.setInput(iis, false, true)
-        val n = math.min(reader.getNumImages(true), maxFrames)
-        if (n <= 0) return null
-        val out = new Array[Bmp](n)
-        // cumulative pixel budget across ALL frames: per-frame caps alone
-        // would let a 256-frame flood of max-size frames force multi-GB
-        // allocations (an OutOfMemoryError is not NonFatal and would kill
-        // the task instead of routing the payload as corrupt)
-        val maxTotalPixelBytes = Int.MaxValue.toLong // ~2 GB of RGB
-        var totalPixelBytes = 0L
-        var i = 0
-        while (i < n) {
-          val w = reader.getWidth(i)
-          val h = reader.getHeight(i)
-          if (w > MaxDecodeDim || h > MaxDecodeDim) return null
-          totalPixelBytes += w.toLong * h * 3
-          if (totalPixelBytes > maxTotalPixelBytes) return null
-          val bmp = bufferedToBmp(reader.read(i))
-          if (bmp == null) return null
-          out(i) = bmp
-          i += 1
-        }
-        out
-      } finally { reader.dispose(); iis.close() }
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return null
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false, true)
+          val n = math.min(reader.getNumImages(true), maxFrames)
+          if (n <= 0) return null
+          val out = new Array[Bmp](n)
+          // cumulative pixel budget across ALL frames: per-frame caps
+          // alone would let a 256-frame flood of max-size frames force
+          // multi-GB allocations (an OutOfMemoryError is not NonFatal and
+          // would kill the task instead of routing the payload as corrupt)
+          val maxTotalPixelBytes = Int.MaxValue.toLong // ~2 GB of RGB
+          var totalPixelBytes = 0L
+          var i = 0
+          while (i < n) {
+            val w = reader.getWidth(i)
+            val h = reader.getHeight(i)
+            if (w > MaxDecodeDim || h > MaxDecodeDim) return null
+            totalPixelBytes += w.toLong * h * 3
+            if (totalPixelBytes > maxTotalPixelBytes) return null
+            val bmp = bufferedToBmp(reader.read(i))
+            if (bmp == null) return null
+            out(i) = bmp
+            i += 1
+          }
+          out
+        } finally reader.dispose()
+      } finally iis.close()
     } catch {
       case scala.util.control.NonFatal(_) => null
     }
@@ -380,6 +391,10 @@ object MediaCodecs {
 
   /** Every `stride`-th sample of channel 0 — frame/sample extraction. */
   def sampleAudio(w: Wav, stride: Int): Array[Short] = {
+    // fail fast at the call site: stride 0 would divide by zero and a
+    // negative stride would index out of bounds PER ROW inside executor
+    // tasks — a config error should be one clear driver-side message
+    require(stride > 0, s"stride must be positive: $stride")
     val out = new Array[Short](
       (w.samples.length / w.channels + stride - 1) / stride)
     var i = 0

@@ -60,12 +60,20 @@ object Multimodal {
     media.mapPartitions { batch =>
       // per-partition setup cost amortized over the batch (codec init here)
       batch.map { m =>
-        val w = ((m.payload(0) & 0xff) << 8) | (m.payload(1) & 0xff)
-        val h = ((m.payload(2) & 0xff) << 8) | (m.payload(3) & 0xff)
-        val frames =
-          if (m.kind == "video") math.max(1, (m.payload.length - 8) / 64)
-          else 1
-        MediaMeta(m.media_id, m.kind, m.payload.length, w, h, frames)
+        // route, never die: a null or <4-byte payload (truncated upload)
+        // has no parsable header — emit the zero-dimension meta row the
+        // downstream filters treat as undecodable, like decodeFeatures
+        if (m.payload == null || m.payload.length < 4)
+          MediaMeta(m.media_id, m.kind,
+            if (m.payload == null) 0 else m.payload.length, 0, 0, 0)
+        else {
+          val w = ((m.payload(0) & 0xff) << 8) | (m.payload(1) & 0xff)
+          val h = ((m.payload(2) & 0xff) << 8) | (m.payload(3) & 0xff)
+          val frames =
+            if (m.kind == "video") math.max(1, (m.payload.length - 8) / 64)
+            else 1
+          MediaMeta(m.media_id, m.kind, m.payload.length, w, h, frames)
+        }
       }
     }
   }
@@ -75,14 +83,19 @@ object Multimodal {
     * with the actual pixel decode stubbed.
     */
   def sampleFrames(media: Dataset[MediaRow], stride: Int): Dataset[Frame] = {
+    // driver-side fail-fast: `by 0` throws per row inside executor tasks
+    require(stride > 0, s"stride must be positive: $stride")
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
-      val nBlocks = math.max(1, (m.payload.length - 8) / 64)
-      (0 until nBlocks by stride).map { f =>
-        val off = 8 + f * 64
-        Frame(m.media_id, f, off,
-          java.util.Arrays.copyOfRange(m.payload, off,
-            math.min(off + 64, m.payload.length)))
+      if (m.payload == null || m.payload.length <= 8) Seq.empty
+      else {
+        val nBlocks = math.max(1, (m.payload.length - 8) / 64)
+        (0 until nBlocks by stride).map { f =>
+          val off = 8 + f * 64
+          Frame(m.media_id, f, off,
+            java.util.Arrays.copyOfRange(m.payload, off,
+              math.min(off + 64, m.payload.length)))
+        }
       }
     }
   }
@@ -231,6 +244,7 @@ object Multimodal {
     */
   def sampleVideoFrames(media: Dataset[MediaRow],
       stride: Int): Dataset[Frame] = {
+    require(stride > 0, s"stride must be positive: $stride")
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
       val frames = MediaCodecs.decodeGifFrames(m.payload)

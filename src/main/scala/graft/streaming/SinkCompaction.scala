@@ -75,9 +75,12 @@ object SinkCompaction {
     val tmp = new Path(root, TmpName)
     fs.delete(tmp, true)
     val df = spark.read.parquet(srcPaths.map(_.toString): _*)
-    val rows = df.count()
-    // coalesce, not repartition: compaction is a read+write, no shuffle
+    // coalesce, not repartition: compaction is a read+write, no shuffle.
+    // The row count for the stats comes from the WRITTEN output's parquet
+    // footers (metadata-only) — a separate df.count() action would read
+    // every source file a second time, doubling the maintenance window
     df.coalesce(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val rows = spark.read.parquet(tmp.toString).count()
     val target = sources.head._1 // smallest compacted batch id keeps its name
     writeManifest(fs, tmp, target, sources.map(_._1))
 

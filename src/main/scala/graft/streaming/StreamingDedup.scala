@@ -40,7 +40,12 @@ object StreamingDedup {
   def start(spark: SparkSession, inDir: String, outDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     import spark.implicits._
+    // doc_id.isNotNull: a malformed JSON line yields an all-null row
+    // (PERMISSIVE mode), and deserializing a null into the primitive Long
+    // of the typed tuple kills the query PERMANENTLY (restart re-reads the
+    // same file — a one-line poison pill for a continuous pipeline)
     val stream = spark.readStream.schema(docSchema).json(inDir)
+      .where(col("doc_id").isNotNull)
     val keyed = stream
       .select(col("doc_id"), col("text"),
         TextStats.fingerprint(col("text")).as("fp"))
@@ -99,7 +104,9 @@ object StreamingDedup {
       ttlMs: Long = 60000L, watermarkDelay: String = "10 seconds",
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     import spark.implicits._
+    // doc_id guard: see the non-TTL variant — null doc_id is a poison pill
     val stream = spark.readStream.schema(docTsSchema).json(inDir)
+      .where(col("doc_id").isNotNull)
     val keyed = stream
       .where(col("ts").isNotNull)
       .withWatermark("ts", watermarkDelay)
@@ -202,7 +209,13 @@ object StreamingDedup {
     val banded = graft.ops.Dedup
       .bandedMinhash(df, "text", k, numHashes, bands, keep)
     val solo = df
-      .where(size(graft.ops.Decontaminate.tokens(col("text"))) < k)
+      // coalesce: size(tokens(null text)) is NULL in Spark 4, and a NULL
+      // predicate would drop a null-text doc from BOTH the banded and the
+      // solo side — silently absent from the deduped output, the exact
+      // invariant this solo row exists to prevent (exact dedup keeps the
+      // first null-text doc; near-dup must too)
+      .where(coalesce(
+        size(graft.ops.Decontaminate.tokens(col("text"))), lit(0)) < k)
       .select(keep.map(col) :+ lit(-1).as("band_idx") :+
         concat(lit("solo:"), col("doc_id")).as("band_key"): _*)
     banded.unionByName(solo)
@@ -212,7 +225,12 @@ object StreamingDedup {
       k: Int = 5, numHashes: Int = 8, bands: Int = 4,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     import spark.implicits._
+    // doc_id.isNotNull: a malformed JSON line yields an all-null row
+    // (PERMISSIVE mode), and deserializing a null into the primitive Long
+    // of the typed tuple kills the query PERMANENTLY (restart re-reads the
+    // same file — a one-line poison pill for a continuous pipeline)
     val stream = spark.readStream.schema(docSchema).json(inDir)
+      .where(col("doc_id").isNotNull)
     val banded = bandedWithSolo(stream, k, numHashes, bands,
       keep = Seq("doc_id", "text"))
       .select(col("doc_id"), col("text"),
@@ -264,7 +282,9 @@ object StreamingDedup {
       ttlMs: Long = 60000L, watermarkDelay: String = "10 seconds",
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     import spark.implicits._
+    // doc_id guard: see the non-TTL variant — null doc_id is a poison pill
     val stream = spark.readStream.schema(docTsSchema).json(inDir)
+      .where(col("doc_id").isNotNull)
     val banded = bandedWithSolo(
       stream.where(col("ts").isNotNull).withWatermark("ts", watermarkDelay),
       k, numHashes, bands, keep = Seq("doc_id", "text", "ts"))

@@ -40,10 +40,16 @@ object StreamingScan {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val dbs = dbsSupplier()
+        // batch-partitioned OVERWRITE, not a bare Append: a crash between
+        // the write and the checkpoint commit makes Spark re-run the SAME
+        // batchId, and replaying an Append would duplicate every row of
+        // the batch — Overwrite of batch=<id> is idempotent (the same
+        // rule StreamingDedup's sinks follow), and the batch=N layout is
+        // what SinkCompaction folds
         ScanJob.matched(batch, dbs, spark)
-          .write.mode(SaveMode.Append)
+          .write.mode(SaveMode.Overwrite)
           .partitionBy("indicator_type")
-          .parquet(s"$outDir/matched_stream")
+          .parquet(s"$outDir/matched_stream/batch=$batchId")
         ()
       }
       .start()
@@ -65,14 +71,17 @@ object StreamingScan {
     stream.writeStream
       .option("checkpointLocation", s"$outDir/_checkpoint_routed")
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val dbs = dbsSupplier()
         val withBucket = batch.withColumn("bucket",
           pmod(xxhash64(col("conv_id")), lit(buckets)))
+        // batch=<id> Overwrite: idempotent under micro-batch replay (see
+        // `start`); a crash-replayed batch rewrites its own directory
+        // instead of appending duplicates
         ScanJob.routedStream(spark, withBucket, dbs)
-          .write.mode(SaveMode.Append)
+          .write.mode(SaveMode.Overwrite)
           .partitionBy("sink", "bucket", "indicator_type")
-          .parquet(s"$outDir/routed_stream")
+          .parquet(s"$outDir/routed_stream/batch=$batchId")
         ()
       }
       .start()
@@ -149,8 +158,13 @@ object StreamingScan {
       .where(col("ts").isNotNull)
       .withWatermark("ts", watermarkDelay)
       .select(col("conv_id"), col("ts"),
-        (size(graft.functions.GraftFunctions.extract_iocs(col("text"))) > 0)
-          .as("has_candidates"))
+        // null-safe: extract_iocs(null text) is null and size(null) is
+        // NULL in Spark 4 — deserializing NULL into the primitive Boolean
+        // would kill the query (poison pill); a null-text turn simply has
+        // no candidates
+        coalesce(
+          size(graft.functions.GraftFunctions.extract_iocs(col("text"))) > 0,
+          lit(false)).as("has_candidates"))
       .as[(String, java.sql.Timestamp, Boolean)]
     val finalized = perTurn
       .groupByKey(_._1)
@@ -177,8 +191,14 @@ object StreamingScan {
               if (tsS > last) last = tsS
             }
             state.update(ConvState(convId, turns, withCands, first, last))
-            // finalize once the watermark passes lastTs + idleGap
-            state.setTimeoutTimestamp(last * 1000L + idleGapMs)
+            // finalize once the watermark passes lastTs + idleGap. Clamped
+            // to watermark+1 (the startTtl rule): lastTs is truncated to
+            // seconds, so a small idleGapMs could compute a timestamp
+            // BEHIND the current watermark — Spark rejects that with an
+            // IllegalArgumentException and the query dies
+            state.setTimeoutTimestamp(
+              math.max(last * 1000L + idleGapMs,
+                state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
       }
@@ -200,9 +220,15 @@ object StreamingScan {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     import spark.implicits._
     val stream = spark.readStream.schema(turnSchema).json(inDir)
-    val perTurn = stream.select(col("conv_id"), col("ts").cast("long").as("ts_s"),
-      (size(graft.functions.GraftFunctions.extract_iocs(col("text"))) > 0)
-        .as("has_candidates"))
+    val perTurn = stream
+      // null ts cannot contribute to first/last (and would NPE the tuple
+      // deserializer — poison pill); null text = no candidates (see the
+      // event-time variant)
+      .where(col("ts").isNotNull)
+      .select(col("conv_id"), col("ts").cast("long").as("ts_s"),
+        coalesce(
+          size(graft.functions.GraftFunctions.extract_iocs(col("text"))) > 0,
+          lit(false)).as("has_candidates"))
       .as[(String, Long, Boolean)]
     val updated = perTurn
       .groupByKey(_._1)
@@ -229,8 +255,12 @@ object StreamingScan {
       .option("checkpointLocation", s"$outDir/_checkpoint_state")
       .trigger(trigger)
       .outputMode(OutputMode.Update())
-      .foreachBatch { (batch: Dataset[ConvState], _: Long) =>
-        batch.write.mode(SaveMode.Append).parquet(s"$outDir/conv_state")
+      .foreachBatch { (batch: Dataset[ConvState], batchId: Long) =>
+        // batch=<id> Overwrite: replay-idempotent (see `start`); readers
+        // wanting only the LATEST snapshot per conversation take the max
+        // batch per conv_id
+        batch.write.mode(SaveMode.Overwrite)
+          .parquet(s"$outDir/conv_state/batch=$batchId")
         ()
       }
       .start()
