@@ -41,11 +41,20 @@ object Conversations {
     * dedupExact). Fixed-width fields => distinct turn sequences map to
     * distinct strings (up to md5 collisions), and the whole thing is one
     * md5 over the '-'-free hex concat — bit-reproducible in any engine.
+    *
+    * NULL fields take a fixed 32-zero filler instead of nulling the whole
+    * turn's digest: md5(null) is null and concat_ws skips null elements,
+    * so a null-text turn would contribute NOTHING — [(u,"hi"),(a,NULL)]
+    * would fingerprint like [(u,"hi")] and dedupExact would silently drop
+    * a non-duplicate. The filler is distinct from md5("") and collides
+    * with a real digest only at the already-accepted 2^-128 md5 bound.
     */
+  private val NullDigest = "0" * 32
   private def digestSerialized(arr: Column): Column =
     concat_ws("",
       transform(arr, x =>
-        concat(md5(x.getField("role")), md5(x.getField("text")))))
+        concat(coalesce(md5(x.getField("role")), lit(NullDigest)),
+          coalesce(md5(x.getField("text")), lit(NullDigest)))))
 
   /** Per-conversation rollup: turn count, distinct-role count, total text
     * chars, wall-clock span in microseconds, and the whole-conversation

@@ -67,20 +67,18 @@ object Curation {
       textCol: String = "text"): DataFrame = {
     // --- THE single corpus pass: tokenize once, grade quality in the same
     // projection, checkpoint (doc_id, quality_fail, toks)
+    val nToks = TextStats.nTokensOfStaged(col("__text"), col("toks"))
     val staged = docs
       .select(col("doc_id"), col(textCol).as("__text"),
         Decontaminate.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"),
+        // feature formulas come from TextStats (the single source shared
+        // with qualityFeatures/qualityFilter) so the two paths cannot
+        // drift — only the token count derives from the STAGED array here
         TextStats.failReasonExpr(
-          nTokens = when(length(trim(col("__text"))) === 0, 0)
-            .otherwise(size(col("toks"))),
-          meanTokenLen = length(col("__text")).cast("double") /
-            greatest(when(length(trim(col("__text"))) === 0, 0)
-              .otherwise(size(col("toks"))), lit(1)).cast("double"),
-          alnumRatio =
-            length(regexp_replace(col("__text"), "[^a-zA-Z0-9]", ""))
-              .cast("double") /
-              greatest(length(col("__text")), lit(1)).cast("double"),
+          nTokens = nToks,
+          meanTokenLen = TextStats.meanTokenLenExpr(col("__text"), nToks),
+          alnumRatio = TextStats.alnumRatioExpr(col("__text")),
           stopwordHits = TextStats.stopwordHits(col("__text")),
           minTokens, maxTokens, minMeanTokenLen, maxMeanTokenLen,
           minAlnumRatio, minStopwordHits).as("quality_fail"),

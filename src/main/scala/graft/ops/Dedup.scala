@@ -425,11 +425,18 @@ object Dedup {
     * `maxBucketSize` caps the smaller-id side of the bucket self-join
     * (same guard family as `maxBandDf` / `Similarity.maxBucketSize`): an
     * embedding flood collapsing into one bucket costs N x cap pairs, not
-    * N^2. ON by default ([[Similarity.DefaultMaxBucketSize]]); 0 disables.
+    * N^2. Default [[Similarity.AutoCap]] (8x uniform bucket load, floor
+    * [[Similarity.DefaultMaxBucketSize]]); 0 disables.
     */
   def embeddingCosinePairs(embeddings: DataFrame, minCosine: Double,
       planes: Int = 6,
-      maxBucketSize: Int = Similarity.DefaultMaxBucketSize): DataFrame = {
+      maxBucketSize: Int = Similarity.AutoCap): DataFrame = {
+    // auto cap = 8x uniform bucket load (Similarity.AutoCap semantics):
+    // a fixed cap over 2^planes buckets would truncate HEALTHY buckets of
+    // any corpus beyond ~2^planes x cap vectors
+    val cap = Similarity.resolveCap(maxBucketSize,
+      Similarity.DefaultMaxBucketSize, 1 << math.min(planes, 30),
+      embeddings.count())
     // stage the quantized vector, then bucket from the attribute (the
     // bucket expression references it 2 x planes times — see
     // Similarity.quantizeChecked)
@@ -439,12 +446,12 @@ object Dedup {
       .select(col("vec_id"), col("qv"),
         Similarity.lshBucketOfQ(col("qv"), planes).as("bucket"))
     val a =
-      if (maxBucketSize <= 0) q
+      if (cap <= 0) q
       else {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("bucket").orderBy(col("vec_id").asc)
         q.withColumn("bpos", row_number().over(w))
-          .where(col("bpos") <= maxBucketSize).drop("bpos")
+          .where(col("bpos") <= cap).drop("bpos")
       }
     a.as("a").join(q.as("b"),
         col("a.bucket") === col("b.bucket") &&

@@ -57,22 +57,62 @@ object Similarity {
     */
   val MaxDim = 2048
 
-  /** Default per-bucket / per-centroid-list corpus cap ([[lshTopK]] /
-    * [[ivfTopK]] `maxBucketSize`): ON by default (round-5 flip — the
-    * default invocation must never be the quadratic path at 100 TB; 0 is
-    * the explicit opt-out). 1024 is far above a healthy bucket population
-    * at the default planes/nlist settings, so it only bites the
-    * adversarial floods (all-zero embeddings, near-dup floods) it exists
-    * for, while bounding any one bucket's join fanout at bucketSize x 1024.
+  /** Cap sentinel: resolve the skew cap from the corpus itself (the
+    * DEFAULT for every `maxBucketSize`/`maxClusterSize` parameter in this
+    * family). Semantics: `AutoCap` (default) = 8x the uniform bucket load
+    * with [[DefaultMaxBucketSize]]/[[DefaultMaxClusterSize]] as the floor;
+    * `0` = explicit opt-out (uncapped); `> 0` = absolute cap.
+    *
+    * Why relative, not a fixed 1024 (round-5 review find): bucket COUNT is
+    * small here (2^planes hyperplane buckets, nlist IVF lists), so a
+    * healthy uniform corpus of n vectors puts ~n/buckets in every bucket —
+    * at n = 200k over 64 buckets, a fixed cap of 1024 would silently
+    * truncate two-thirds of every bucket and corrupt ordinary top-k
+    * results. A SKEW guard must bite outlier buckets only: capping at 8x
+    * the average load leaves uniform corpora exact while still bounding an
+    * adversarial flood bucket's join to (8n/B)^2 instead of n^2. Costs one
+    * `count()` of the corpus per call in auto mode; pass an absolute cap
+    * to skip it.
+    */
+  val AutoCap: Int = -1
+
+  /** Above this nlist the centroid table is no longer broadcast for the
+    * assignment joins (a broadcast relation is BUILT on the driver; at
+    * MaxDim the table is ~0.5 GB here) — the join runs as a distributed
+    * cartesian instead. Keeps huge-nlist IVF/Lloyd driver-safe.
+    */
+  val MaxBroadcastCentroids: Int = 1 << 15
+
+  private def centroidSide(cents: DataFrame, nlist: Int): DataFrame =
+    if (nlist <= MaxBroadcastCentroids) broadcast(cents) else cents
+
+  /** Release the blocks of a centroid table returned by [[ivfCentroids]]'
+    * DF-resident path (nlist > maxCollectCentroids with Lloyd rounds) once
+    * nothing lazy still derives from it. No-op for non-checkpointed
+    * tables.
+    */
+  def releaseCentroids(cents: DataFrame): Unit =
+    Checkpoints.releaseLocal(cents)
+
+  private[graft] def resolveCap(requested: Int, floorMin: Int,
+      buckets: Int, corpusRows: => Long): Int =
+    if (requested >= 0) requested
+    else {
+      val avg = (corpusRows + buckets - 1) / math.max(buckets, 1)
+      math.min(math.max(floorMin.toLong, 8L * avg), Int.MaxValue.toLong)
+        .toInt
+    }
+
+  /** Floor of the auto-resolved per-bucket cap ([[lshTopK]] / [[ivfTopK]]
+    * `maxBucketSize`): the cap never resolves below this, so small corpora
+    * are always exact within bucket.
     */
   val DefaultMaxBucketSize = 1024
 
-  /** Default within-cluster participant cap ([[semDedup]]
-    * `maxClusterSize`): ON by default (round-5 flip; 0 = explicit opt-out).
-    * SemDeDup clusters should be ~corpus/nlist sized; 4096 only bites
-    * degenerate clusterings (nlist too small for the corpus, or an
-    * embedding flood collapsing into one cluster) and degrades recall
-    * only — capped-out vectors always remain in the output as keepers.
+  /** Floor of the auto-resolved within-cluster participant cap
+    * ([[semDedup]] `maxClusterSize`). The cap bounds only PAIR GENERATION:
+    * capped-out vectors always remain in the output as keepers, so it
+    * degrades recall, never coverage.
     */
   val DefaultMaxClusterSize = 4096
 
@@ -160,10 +200,22 @@ object Similarity {
     *    partition, but nlist ids x 8 bytes, never the vectors), each
     *    round's update LEFT-joins the previous centroid table (empty
     *    clusters keep their centroid via coalesce) and is localCheckpoint'd
-    *    to truncate lineage, superseded tables' blocks released. The
-    *    driver never holds a centroid. (At nlist ~ 10^6 the n x nlist
-    *    assignment scoring is the real wall — coarse-quantize the
-    *    assignment itself before raising the guard.)
+    *    to truncate lineage, superseded tables' blocks released.
+    *
+    * Driver footprint honesty: the assignment join still BROADCASTS the
+    * centroid table up to [[MaxBroadcastCentroids]] (a broadcast is BUILT
+    * on the driver, so "DF-resident" bounds lineage and storage, not the
+    * transient driver copy); above that the hint is dropped and Spark
+    * runs a distributed cartesian join — slower per round, but no driver
+    * ceiling. (At nlist ~ 10^6 the n x nlist assignment scoring is the
+    * real wall — coarse-quantize the assignment itself first.)
+    *
+    * Block lifetime: with `nlist > maxCollectCentroids` and
+    * `lloydRounds > 0` the RETURNED table is a live localCheckpoint —
+    * call [[releaseCentroids]] when done with it (and with everything
+    * derived lazily from it), or its blocks stay pinned for the
+    * application lifetime. The collect path returns a driver-local table
+    * with no pinned blocks.
     */
   def ivfCentroids(corpus: DataFrame, nlist: Int,
       lloydRounds: Int = 0, maxCollectCentroids: Int = 512): DataFrame = {
@@ -183,7 +235,7 @@ object Similarity {
     // low bits once |s| exceeds 2^53 and would diverge from the oracle's
     // exact integer arithmetic; `div` stays integral.
     def lloydRound(cents: DataFrame): DataFrame = {
-      val assigned = q.join(broadcast(cents))
+      val assigned = q.join(centroidSide(cents, nlist))
         .select(col("vec_id"), col("qv"), col("centroid_id"),
           cosineQ(col("qv"), col("cv")).as("ccos"))
         .withColumn("crank", row_number().over(cw))
@@ -260,11 +312,13 @@ object Similarity {
     * `maxBucketSize` caps a hot centroid's list like lshTopK's guard.
     */
   def ivfTopK(corpus: DataFrame, k: Int, nlist: Int = 8, nprobe: Int = 2,
-      maxBucketSize: Int = DefaultMaxBucketSize,
+      maxBucketSize: Int = AutoCap,
       lloydRounds: Int = 0): DataFrame = {
+    val cap = resolveCap(maxBucketSize, DefaultMaxBucketSize, nlist,
+      corpus.count())
     val q = corpus.select(col("vec_id"), quantize(col("embedding")).as("qv"))
     val cents = ivfCentroids(corpus, nlist, lloydRounds)
-    val scored = q.join(broadcast(cents))
+    val scored = q.join(centroidSide(cents, nlist))
       .select(col("vec_id"), col("qv"), col("centroid_id"),
         cosineQ(col("qv"), col("cv")).as("ccos"))
     val cw = Window.partitionBy("vec_id")
@@ -274,12 +328,12 @@ object Similarity {
       val assigned = ranked.where(col("crank") === 1)
         .select(col("centroid_id"), col("vec_id").as("corpus_id"),
           col("qv").as("cq"))
-      if (maxBucketSize <= 0) assigned
+      if (cap <= 0) assigned
       else {
         val bw = Window.partitionBy("centroid_id")
           .orderBy(col("corpus_id").asc)
         assigned.withColumn("bpos", row_number().over(bw))
-          .where(col("bpos") <= maxBucketSize).drop("bpos")
+          .where(col("bpos") <= cap).drop("bpos")
       }
     }
     val probes = ranked.where(col("crank") <= nprobe)
@@ -306,13 +360,16 @@ object Similarity {
     * `maxBucketSize` is the skew guard: the corpus side of each
     * (table, bucket) is capped to its first `maxBucketSize` vec_ids, so an
     * adversarially hot bucket (all-zero embeddings, near-duplicate floods)
-    * costs at most bucketSize x maxBucketSize comparisons instead of
-    * bucketSize^2. Queries are never dropped — only their candidate lists
-    * are truncated (deterministically, by vec_id). ON by default
-    * ([[DefaultMaxBucketSize]]); 0 disables explicitly.
+    * costs at most bucketSize x cap comparisons instead of bucketSize^2.
+    * Queries are never dropped — only their candidate lists are truncated
+    * (deterministically, by vec_id). Default [[AutoCap]]: 8x the uniform
+    * bucket load (healthy corpora stay exact within bucket); 0 disables
+    * explicitly, > 0 is an absolute cap.
     */
   def lshTopK(corpus: DataFrame, k: Int, planes: Int = 6, tables: Int = 1,
-      maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+      maxBucketSize: Int = AutoCap): DataFrame = {
+    val cap = resolveCap(maxBucketSize, DefaultMaxBucketSize,
+      1 << math.min(planes, 30), corpus.count())
     // quantize ONCE into a materialized column; the per-table bucket
     // expressions then only reference the attribute (the quantize would
     // otherwise re-run 2 x planes x tables times per row — HOF arg
@@ -326,12 +383,12 @@ object Similarity {
     val corpusSide = {
       val base = withBucket.select(col("table_idx"), col("bucket"),
         col("vec_id").as("corpus_id"), col("qv").as("cq"))
-      if (maxBucketSize <= 0) base
+      if (cap <= 0) base
       else {
         val w = Window.partitionBy("table_idx", "bucket")
           .orderBy(col("corpus_id").asc)
         base.withColumn("bpos", row_number().over(w))
-          .where(col("bpos") <= maxBucketSize).drop("bpos")
+          .where(col("bpos") <= cap).drop("bpos")
       }
     }
     val querySide = withBucket.select(col("table_idx"), col("bucket"),
@@ -374,24 +431,26 @@ object Similarity {
     */
   def semDedup(corpus: DataFrame, threshold: Double, nlist: Int = 8,
       lloydRounds: Int = 0,
-      maxClusterSize: Int = DefaultMaxClusterSize): DataFrame = {
+      maxClusterSize: Int = AutoCap): DataFrame = {
+    val cap = resolveCap(maxClusterSize, DefaultMaxClusterSize, nlist,
+      corpus.count())
     val q = corpus.select(col("vec_id"), quantize(col("embedding")).as("qv"))
     val cents = ivfCentroids(corpus, nlist, lloydRounds)
     val cw = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("centroid_id").asc)
-    val assigned = q.join(broadcast(cents))
+    val assigned = q.join(centroidSide(cents, nlist))
       .select(col("vec_id"), col("qv"), col("centroid_id"),
         cosineQ(col("qv"), col("cv")).as("ccos"))
       .withColumn("crank", row_number().over(cw))
       .where(col("crank") === 1)
       .select("centroid_id", "vec_id", "qv")
     val participants =
-      if (maxClusterSize <= 0) assigned
+      if (cap <= 0) assigned
       else {
         val bw = Window.partitionBy("centroid_id")
           .orderBy(col("vec_id").asc)
         assigned.withColumn("bpos", row_number().over(bw))
-          .where(col("bpos") <= maxClusterSize).drop("bpos")
+          .where(col("bpos") <= cap).drop("bpos")
       }
     val px = participants.select(col("centroid_id"),
       col("vec_id"), col("qv"))

@@ -107,7 +107,6 @@ object TextStats {
   def qualityFeatures(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val nChars = length(t)
-    val nAlnum = length(regexp_replace(t, "[^a-zA-Z0-9]", ""))
     val nSpaces = length(t) - length(regexp_replace(t, " ", ""))
     val nPunct = length(regexp_replace(t, "[^.,;:!?]", ""))
     val tokens = tokenCount(t)
@@ -116,15 +115,13 @@ object TextStats {
       .withColumn("n_chars_m", nChars)
       .withColumn("n_tokens", tokens)
       .withColumn("n_subwords", subwordCount(t))
-      .withColumn("alnum_ratio",
-        nAlnum.cast("double") / greatest(nChars, lit(1)).cast("double"))
+      .withColumn("alnum_ratio", alnumRatioExpr(t))
       .withColumn("space_ratio",
         nSpaces.cast("double") / greatest(nChars, lit(1)).cast("double"))
       .withColumn("punct_ratio",
         nPunct.cast("double") / greatest(nChars, lit(1)).cast("double"))
       .withColumn("stopword_hits", stopHits)
-      .withColumn("mean_token_len",
-        nChars.cast("double") / greatest(tokens, lit(1)).cast("double"))
+      .withColumn("mean_token_len", meanTokenLenExpr(t, tokens))
   }
 
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —
@@ -179,6 +176,29 @@ object TextStats {
     Seq(" the ", " and ", " a ", " of ")
       .map(w => occurrences(concat(lit(" "), lower(text), lit(" ")), w))
       .reduce(_ + _)
+
+  // --- shared quality-feature expressions (single source for
+  // qualityFeatures AND Curation.curate's single-tokenization pass — the
+  // formulas must never drift between the two, or curate's verdicts
+  // silently diverge from qualityFilter's and only the oracle notices)
+
+  /** Token count from an already-staged token-array column plus the raw
+    * text (the empty-text special case: split("") yields [""], size 1, but
+    * an empty document has ZERO tokens) — value-identical to
+    * [[tokenCount]] over the same text.
+    */
+  def nTokensOfStaged(text: Column, toks: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(toks))
+
+  /** chars / tokens with the zero-token guard. */
+  def meanTokenLenExpr(text: Column, nTokens: Column): Column =
+    length(text).cast("double") /
+      greatest(nTokens, lit(1)).cast("double")
+
+  /** Alphanumeric character ratio with the empty-text guard. */
+  def alnumRatioExpr(text: Column): Column =
+    length(regexp_replace(text, "[^a-zA-Z0-9]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
 
   /** Gopher repetition signals (Rae et al. 2021, appendix A — the
     * repetition-rule half of the published family, complementing

@@ -1018,7 +1018,10 @@ object OracleDefs {
        |  CAST(len(list_distinct(list(role))) AS BIGINT) AS n_roles,
        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
        |  CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS span_us,
-       |  md5(string_agg(md5(role)||md5(text), '' ORDER BY turn_idx)) AS fp
+       |  md5(string_agg(
+       |    coalesce(md5(role), repeat('0', 32)) ||
+       |    coalesce(md5(text), repeat('0', 32)), '' ORDER BY turn_idx))
+       |    AS fp
        |FROM t GROUP BY 1 ORDER BY conv_id""".stripMargin
 
   /** q50 mirror: whole-conversation exact dedup with conversations 0..9
@@ -1034,7 +1037,10 @@ object OracleDefs {
        |),
        |fp AS (
        |  SELECT conv_id,
-       |    md5(string_agg(md5(role)||md5(text), '' ORDER BY turn_idx)) AS fp
+       |    md5(string_agg(
+       |      coalesce(md5(role), repeat('0', 32)) ||
+       |      coalesce(md5(text), repeat('0', 32)), '' ORDER BY turn_idx))
+       |      AS fp
        |  FROM all_t GROUP BY 1
        |)
        |SELECT fp, count(*) AS n_convs, min(conv_id) AS canonical_conv_id

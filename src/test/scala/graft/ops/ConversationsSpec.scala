@@ -61,6 +61,29 @@ class ConversationsSpec extends AnyFunSuite {
     assert(Conversations.dedupExact(a.unionByName(b)).count() == 2)
   }
 
+  test("fingerprint distinguishes null-field turns: [(u,hi),(a,NULL)] is " +
+    "NOT the same conversation as [(u,hi)], and null != empty string") {
+    // null text: md5(null) is null and concat_ws SKIPS null elements, so
+    // without the null filler the second turn would contribute nothing
+    val a = Seq(
+      ("a", 0, "user", "hi", "", ts(1000)),
+      ("a", 1, "assistant", null.asInstanceOf[String], "", ts(2000))
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val b = Seq(("b", 0, "user", "hi", "", ts(1000)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    // c: like a, but the second turn's text is EMPTY, not null
+    val c = Seq(
+      ("c", 0, "user", "hi", "", ts(1000)),
+      ("c", 1, "assistant", "", "", ts(2000))
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val all = a.unionByName(b).unionByName(c)
+    val fps = Conversations.fingerprints(all)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fps("a") != fps("b"), "null-text turn was silently dropped")
+    assert(fps("a") != fps("c"), "null text collided with empty text")
+    assert(Conversations.dedupExact(all).count() == 3)
+  }
+
   test("dedupExact collapses identical conversations onto min conv_id") {
     val dup = turns.where($"conv_id" === "c1")
       .withColumn("conv_id", lit("z-copy"))

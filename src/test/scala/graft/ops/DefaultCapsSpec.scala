@@ -77,6 +77,39 @@ class DefaultCapsSpec extends AnyFunSuite {
     assert(pairs == (8L * 59) - (8L * 7 / 2)) // first 8 pair with all later
   }
 
+  test("AutoCap resolves relative to corpus size: a healthy uniform " +
+      "corpus is never truncated (round-5 review find)") {
+    import Similarity.{AutoCap, resolveCap}
+    // floor dominates for small corpora
+    assert(resolveCap(AutoCap, 1024, 64, 1000L) == 1024)
+    // large corpus: 8x the average bucket load — far above uniform
+    assert(resolveCap(AutoCap, 1024, 64, 200000L) ==
+      8 * ((200000 + 63) / 64))
+    // explicit opt-out and absolute caps pass through untouched
+    assert(resolveCap(0, 1024, 64, 1000000L) == 0)
+    assert(resolveCap(50, 1024, 64, 1000000L) == 50)
+
+    // functional: 3000 DISTINCT vectors over 2 hyperplane buckets
+    // (~1500 each > the old fixed 1024). The default invocation must be
+    // EXACT within bucket (equal to the uncapped form); the old fixed cap
+    // demonstrably truncates.
+    val uniform = (0L until 3000L)
+      .map(i => (i, Array(
+        math.cos(i * 0.01).toFloat, math.sin(i * 0.013).toFloat,
+        math.cos(i * 0.007).toFloat, math.sin(i * 0.003).toFloat)))
+      .toDF("vec_id", "embedding")
+    def topkRows(cap: Int) =
+      Similarity.lshTopK(uniform, k = 2, planes = 1, maxBucketSize = cap)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSet
+    val auto = Similarity.lshTopK(uniform, k = 2, planes = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = topkRows(0)
+    assert(auto == exact, "default (AutoCap) must match the uncapped result")
+    assert(topkRows(1024) != exact,
+      "fixture failed to demonstrate the fixed-cap truncation")
+  }
+
   test("semDedup: default cap present; capped-out vectors stay keepers") {
     val out = Similarity.semDedup(vecFlood, threshold = 0.99, nlist = 2)
     assert(hasCapWindow(out))

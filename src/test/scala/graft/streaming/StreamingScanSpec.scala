@@ -370,4 +370,54 @@ class StreamingScanSpec extends AnyFunSuite {
         (r.getAs[Long]("turns"), r.getAs[Long]("turnsWithCandidates"))).toSeq
     assert(st2.head == ("c1" -> ((3L, 2L)))) // state carried across restart
   }
+
+  test("poison-pill immunity: malformed JSON lines and null fields do not " +
+      "kill the queries (round-5 hardening)") {
+    // StreamingDedup: a garbage line (all-null PERMISSIVE row) + a valid
+    // line missing doc_id + a null-text doc, mixed with real docs — the
+    // query must drain and keep the real docs (and the null-text doc,
+    // which fingerprints under the null key)
+    val dIn = Files.createTempDirectory("stream-pp-d-in").toString
+    val dOut = Files.createTempDirectory("stream-pp-d-out").toString
+    Files.writeString(java.nio.file.Paths.get(dIn, "b1.json"),
+      """not json at all {{{""" + "\n" +
+        """{"text":"no doc id here"}""" + "\n" +
+        """{"doc_id":7,"text":null}""" + "\n" +
+        """{"doc_id":1,"text":"a real document"}""" + "\n" +
+        """{"doc_id":2,"text":"another real document"}""" + "\n")
+    awaitOrFail(StreamingDedup.start(spark, dIn, dOut))
+    val kept = spark.read.parquet(s"$dOut/deduped")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 2L, 7L), kept.toString)
+
+    // near-dup variant: the null-text doc must be KEPT via its solo
+    // bucket, not silently absent
+    val nIn = Files.createTempDirectory("stream-pp-n-in").toString
+    val nOut = Files.createTempDirectory("stream-pp-n-out").toString
+    Files.writeString(java.nio.file.Paths.get(nIn, "b1.json"),
+      """garbage {{{""" + "\n" +
+        """{"doc_id":5,"text":null}""" + "\n" +
+        """{"doc_id":6,"text":"one two three four five six seven"}""" + "\n")
+    awaitOrFail(StreamingDedup.startNearDup(spark, nIn, nOut))
+    val keptN = spark.read.parquet(s"$nOut/deduped")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptN == Seq(5L, 6L), keptN.toString)
+
+    // conversationState: null ts and null text rows must not kill the
+    // query; the valid turn still counts
+    val cIn = Files.createTempDirectory("stream-pp-c-in").toString
+    val cOut = Files.createTempDirectory("stream-pp-c-out").toString
+    Files.writeString(java.nio.file.Paths.get(cIn, "b1.json"),
+      """{"conv_id":"x","turn_idx":0,"role":"user","text":"no ts"}""" +
+        "\n" +
+        """{"conv_id":"x","turn_idx":1,"role":"user","text":null,""" +
+        """"ts":"2024-01-01T00:00:01.000Z"}""" + "\n" +
+        turnJson("x", 2, "hit 192.0.2.55") + "\n")
+    awaitOrFail(StreamingScan.conversationState(spark, cIn, cOut))
+    val st = spark.read.parquet(s"$cOut/conv_state").collect()
+      .map(r => (r.getAs[Long]("turns"),
+        r.getAs[Long]("turnsWithCandidates")))
+    // null-ts turn filtered; null-text turn counted with no candidates
+    assert(st.toSeq == Seq((2L, 1L)), st.mkString(","))
+  }
 }
