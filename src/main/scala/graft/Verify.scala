@@ -39,7 +39,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // the filter applies to the oracle dump too: a filtered run into a
+    // fresh dir must not make crosscheck report 55 MISSING, and into a
+    // reused dir must not compare STALE dumps of unfiltered queries
+    // against current oracles
     val json = SparkEntry.oracleSql
+      .filter { case (n, _) => filter.isEmpty || filter.exists(n.contains) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

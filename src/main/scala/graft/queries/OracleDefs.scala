@@ -218,6 +218,91 @@ object OracleDefs {
   private val duckHsCte: String =
     "hs_t AS (SELECT doc_id, list_transform(sh, s -> md5(s)) AS hs FROM sh_t)"
 
+  /** Simhash token-hash CTE body `(doc_id, hs)` over a relation exposing
+    * (doc_id, text) — one 60-bit draw per DISTINCT lowercase token. The
+    * single mirror of TextStats' token hashing, shared by every simhash
+    * oracle so the hash definition cannot drift per query.
+    */
+  private def duckSimhashToks(from: String): String =
+    s"""SELECT doc_id,
+       |    list_transform(
+       |      list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
+       |      t -> CAST('0x'||substr(md5(t),1,15) AS BIGINT)) AS hs
+       |  FROM $from""".stripMargin
+
+  /** Simhash bit-vote fingerprint expression over a CTE exposing `hs` —
+    * the single mirror of the Spark side's per-bit majority vote.
+    */
+  private def duckSimhashVotes(bits: Int): String =
+    (0 until bits).map { b =>
+      s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << $b) ELSE 0 END"
+    }.mkString(" + ")
+
+  /** Simhash band rows over a CTE `fps(doc_id, fingerprint)`. */
+  private def duckSimhashBandRows(bits: Int, bands: Int): String = {
+    val r = bits / bands
+    (0 until bands).map { b =>
+      s"SELECT doc_id, fingerprint, $b AS band_idx, (fingerprint >> ${b * r}) & ${(1L << r) - 1} AS band_bits FROM fps"
+    }.mkString("\n  UNION ALL ")
+  }
+
+  /** The capped-bucket CTE (`capped`) over a CTE named `banded`: one side
+    * of every band self-join keeps only the `cap` smallest doc_ids per
+    * (band_idx, `bandCol`) — the SQL mirror of the uniform skew-guard
+    * window, shared by every capped oracle so the cap rule cannot drift.
+    */
+  private def duckCappedCte(cols: String, bandCol: String,
+      cap: Int): String =
+    s"""capped AS (
+       |  SELECT $cols FROM (
+       |    SELECT $cols,
+       |      row_number() OVER (PARTITION BY band_idx, $bandCol
+       |                         ORDER BY doc_id ASC) AS bpos
+       |    FROM banded)
+       |  WHERE bpos <= $cap)""".stripMargin
+
+  /** Quality feature CTE body (the `f` relation) over a relation exposing
+    * (doc_id, text) — the SQL mirror of TextStats' shared feature
+    * expressions (nTokensOfStaged / meanTokenLenExpr / alnumRatioExpr /
+    * stopwordHits), shared by every quality oracle.
+    */
+  private def duckQualityF(from: String): String = {
+    val stop = Seq(" the ", " and ", " a ", " of ")
+      .map(w => occ("(' '||lower(text)||' ')", w)).mkString(" + ")
+    s"""SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE length(string_split_regex(trim(text), '\\s+')) END
+       |      AS n_tokens,
+       |    CAST(length(text) AS DOUBLE) /
+       |      CAST(greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+       |        ELSE length(string_split_regex(trim(text), '\\s+')) END, 1)
+       |        AS DOUBLE) AS mean_token_len,
+       |    CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))
+       |      AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)
+       |      AS alnum_ratio,
+       |    $stop AS stopword_hits
+       |  FROM $from""".stripMargin
+  }
+
+  /** The first-failing-rule CASE over the `f` relation's feature columns —
+    * the SQL mirror of TextStats.failReasonExpr's cascade order. The
+    * no_stopwords branch is emitted only when `minStop > 0` (at 0 it can
+    * never fire; Spark's cascade agrees vacuously).
+    */
+  private def duckQualityCase(minTok: Long, maxTok: Long, mtlLo: Double,
+      mtlHi: Double, alnumMin: Double, minStop: Long): String = {
+    val stopBranch =
+      if (minStop > 0)
+        s"\n         WHEN stopword_hits < $minStop THEN 'no_stopwords'"
+      else ""
+    s"""CASE WHEN n_tokens < $minTok THEN 'too_few_tokens'
+       |         WHEN n_tokens > $maxTok THEN 'too_many_tokens'
+       |         WHEN mean_token_len < $mtlLo OR mean_token_len > $mtlHi
+       |           THEN 'mean_token_len'
+       |         WHEN alnum_ratio < $alnumMin THEN 'low_alnum_ratio'$stopBranch
+       |         END""".stripMargin
+  }
+
   /** UNION ALL band rows over a CTE `sigs(doc_id, sig)` — the SQL mirror
     * of `Dedup.bandedMinhash`'s band-key construction.
     */
@@ -253,16 +338,9 @@ object OracleDefs {
   }
 
   val dedupSimhash: String = {
-    val bits = 32
-    val votes = (0 until bits).map { b =>
-      s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << $b) ELSE 0 END"
-    }.mkString(" + ")
+    val votes = duckSimhashVotes(32)
     s"""WITH toks AS (
-       |  SELECT doc_id,
-       |    list_transform(
-       |      list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
-       |      t -> CAST('0x'||substr(md5(t),1,15) AS BIGINT)) AS hs
-       |  FROM documents),
+       |  ${duckSimhashToks("documents")}),
        |fps AS (SELECT doc_id, CAST($votes AS BIGINT) AS fingerprint FROM toks)
        |SELECT fingerprint, count(*) AS n_docs,
        |       min(doc_id) AS canonical_doc_id
@@ -539,21 +617,10 @@ object OracleDefs {
   }
 
   val dedupSimhashNear: String = {
-    val bits = 32
-    val bands = 4
-    val r = bits / bands
-    val votes = (0 until bits).map { b =>
-      s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << $b) ELSE 0 END"
-    }.mkString(" + ")
-    val bandRows = (0 until bands).map { b =>
-      s"SELECT doc_id, fingerprint, $b AS band_idx, (fingerprint >> ${b * r}) & ${(1L << r) - 1} AS band_bits FROM fps"
-    }.mkString("\n  UNION ALL ")
+    val votes = duckSimhashVotes(32)
+    val bandRows = duckSimhashBandRows(32, 4)
     s"""WITH toks AS (
-       |  SELECT doc_id,
-       |    list_transform(
-       |      list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
-       |      t -> CAST('0x'||substr(md5(t),1,15) AS BIGINT)) AS hs
-       |  FROM documents WHERE doc_id < 200),
+       |  ${duckSimhashToks("documents WHERE doc_id < 200")}),
        |fps AS (SELECT doc_id, CAST($votes AS BIGINT) AS fingerprint FROM toks),
        |banded AS (
        |  $bandRows
@@ -590,13 +657,7 @@ object OracleDefs {
        |banded AS (
        |  $bandRows
        |),
-       |capped AS (
-       |  SELECT doc_id, band_idx, band_key FROM (
-       |    SELECT doc_id, band_idx, band_key,
-       |      row_number() OVER (PARTITION BY band_idx, band_key
-       |                         ORDER BY doc_id ASC) AS bpos
-       |    FROM banded)
-       |  WHERE bpos <= 10)
+       |${duckCappedCte("doc_id, band_idx, band_key", "band_key", 10)}
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM capped a JOIN banded b
        |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key
@@ -620,13 +681,7 @@ object OracleDefs {
        |banded AS (
        |  $bandRows
        |),
-       |capped AS (
-       |  SELECT doc_id, band_idx, band_key FROM (
-       |    SELECT doc_id, band_idx, band_key,
-       |      row_number() OVER (PARTITION BY band_idx, band_key
-       |                         ORDER BY doc_id ASC) AS bpos
-       |    FROM banded)
-       |  WHERE bpos <= 10),
+       |${duckCappedCte("doc_id, band_idx, band_key", "band_key", 10)},
        |prs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM capped a JOIN banded b
@@ -645,33 +700,17 @@ object OracleDefs {
   }
 
   val dedupSimhashCapped: String = {
-    val bits = 32
-    val bands = 4
-    val r = bits / bands
-    val votes = (0 until bits).map { b =>
-      s"CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN (1::BIGINT << $b) ELSE 0 END"
-    }.mkString(" + ")
-    val bandRows = (0 until bands).map { b =>
-      s"SELECT doc_id, fingerprint, $b AS band_idx, (fingerprint >> ${b * r}) & ${(1L << r) - 1} AS band_bits FROM fps"
-    }.mkString("\n  UNION ALL ")
+    val votes = duckSimhashVotes(32)
+    val bandRows = duckSimhashBandRows(32, 4)
     s"""WITH d AS ($floodDocsSql),
        |toks AS (
-       |  SELECT doc_id,
-       |    list_transform(
-       |      list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
-       |      t -> CAST('0x'||substr(md5(t),1,15) AS BIGINT)) AS hs
-       |  FROM d),
+       |  ${duckSimhashToks("d")}),
        |fps AS (SELECT doc_id, CAST($votes AS BIGINT) AS fingerprint FROM toks),
        |banded AS (
        |  $bandRows
        |),
-       |capped AS (
-       |  SELECT doc_id, fingerprint, band_idx, band_bits FROM (
-       |    SELECT doc_id, fingerprint, band_idx, band_bits,
-       |      row_number() OVER (PARTITION BY band_idx, band_bits
-       |                         ORDER BY doc_id ASC) AS bpos
-       |    FROM banded)
-       |  WHERE bpos <= 10),
+       |${duckCappedCte("doc_id, fingerprint, band_idx, band_bits",
+          "band_bits", 10)},
        |cands AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
        |         x.fingerprint AS fp_a, y.fingerprint AS fp_b
@@ -746,36 +785,15 @@ object OracleDefs {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
-  val textQualityFilter: String = {
-    val stop = Seq(" the ", " and ", " a ", " of ")
-      .map(w => occ("(' '||lower(text)||' ')", w)).mkString(" + ")
+  val textQualityFilter: String =
     s"""WITH f AS (
-       |  SELECT doc_id,
-       |    CASE WHEN length(trim(text)) = 0 THEN 0
-       |         ELSE length(string_split_regex(trim(text), '\\s+')) END
-       |      AS n_tokens,
-       |    CAST(length(text) AS DOUBLE) /
-       |      CAST(greatest(CASE WHEN length(trim(text)) = 0 THEN 0
-       |        ELSE length(string_split_regex(trim(text), '\\s+')) END, 1)
-       |        AS DOUBLE) AS mean_token_len,
-       |    CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))
-       |      AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)
-       |      AS alnum_ratio,
-       |    $stop AS stopword_hits
-       |  FROM documents),
+       |  ${duckQualityF("documents")}),
        |v AS (
        |  SELECT doc_id,
-       |    CASE WHEN n_tokens < 25 THEN 'too_few_tokens'
-       |         WHEN n_tokens > 90 THEN 'too_many_tokens'
-       |         WHEN mean_token_len < 4.8 OR mean_token_len > 6.0
-       |           THEN 'mean_token_len'
-       |         WHEN alnum_ratio < 0.81 THEN 'low_alnum_ratio'
-       |         WHEN stopword_hits < 1 THEN 'no_stopwords'
-       |         END AS fail_reason
+       |    ${duckQualityCase(25, 90, 4.8, 6.0, 0.81, 1)} AS fail_reason
        |  FROM f)
        |SELECT doc_id, (fail_reason IS NULL) AS keep, fail_reason
        |FROM v ORDER BY doc_id""".stripMargin
-  }
 
   val textTokens: String =
     """SELECT doc_id,
@@ -1090,33 +1108,13 @@ object OracleDefs {
     val bands = 4
     val sig = duckMinhashSig(numHashes)
     val bandRows = duckBandRows(numHashes, bands)
-    val stop = Seq(" the ", " and ", " a ", " of ")
-      .map(w => occ("(' '||lower(text)||' ')", w)).mkString(" + ")
     s"""WITH RECURSIVE d AS (
        |  SELECT doc_id, text FROM documents WHERE doc_id%11<>0),
        |f AS (
-       |  SELECT doc_id,
-       |    CASE WHEN length(trim(text)) = 0 THEN 0
-       |         ELSE length(string_split_regex(trim(text), '\\s+')) END
-       |      AS n_tokens,
-       |    CAST(length(text) AS DOUBLE) /
-       |      CAST(greatest(CASE WHEN length(trim(text)) = 0 THEN 0
-       |        ELSE length(string_split_regex(trim(text), '\\s+')) END, 1)
-       |        AS DOUBLE) AS mean_token_len,
-       |    CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))
-       |      AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)
-       |      AS alnum_ratio,
-       |    $stop AS stopword_hits
-       |  FROM d),
+       |  ${duckQualityF("d")}),
        |v AS (
        |  SELECT doc_id,
-       |    CASE WHEN n_tokens < 25 THEN 'too_few_tokens'
-       |         WHEN n_tokens > 90 THEN 'too_many_tokens'
-       |         WHEN mean_token_len < 4.8 OR mean_token_len > 6.0
-       |           THEN 'mean_token_len'
-       |         WHEN alnum_ratio < 0.81 THEN 'low_alnum_ratio'
-       |         WHEN stopword_hits < 1 THEN 'no_stopwords'
-       |         END AS quality_fail
+       |    ${duckQualityCase(25, 90, 4.8, 6.0, 0.81, 1)} AS quality_fail
        |  FROM f),
        |sh_t AS (SELECT doc_id, ${duckWordShingles(5)} AS sh
        |         FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM d)),
@@ -1125,13 +1123,7 @@ object OracleDefs {
        |banded AS (
        |  $bandRows
        |),
-       |capped AS (
-       |  SELECT doc_id, band_idx, band_key FROM (
-       |    SELECT doc_id, band_idx, band_key,
-       |      row_number() OVER (PARTITION BY band_idx, band_key
-       |                         ORDER BY doc_id ASC) AS bpos
-       |    FROM banded)
-       |  WHERE bpos <= 10),
+       |${duckCappedCte("doc_id, band_idx, band_key", "band_key", 10)},
        |prs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM capped a JOIN banded b
@@ -1216,26 +1208,10 @@ object OracleDefs {
        |d AS (SELECT doc_id, text FROM tr
        |      WHERE CAST(string_split(doc_id,'-')[2] AS INT)%10<>0),
        |f AS (
-       |  SELECT doc_id,
-       |    CASE WHEN length(trim(text)) = 0 THEN 0
-       |         ELSE length(string_split_regex(trim(text), '\\s+')) END
-       |      AS n_tokens,
-       |    CAST(length(text) AS DOUBLE) /
-       |      CAST(greatest(CASE WHEN length(trim(text)) = 0 THEN 0
-       |        ELSE length(string_split_regex(trim(text), '\\s+')) END, 1)
-       |        AS DOUBLE) AS mean_token_len,
-       |    CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))
-       |      AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)
-       |      AS alnum_ratio
-       |  FROM d),
+       |  ${duckQualityF("d")}),
        |v AS (
        |  SELECT doc_id,
-       |    CASE WHEN n_tokens < 740 THEN 'too_few_tokens'
-       |         WHEN n_tokens > 920 THEN 'too_many_tokens'
-       |         WHEN mean_token_len < 7.6 OR mean_token_len > 8.3
-       |           THEN 'mean_token_len'
-       |         WHEN alnum_ratio < 0.80 THEN 'low_alnum_ratio'
-       |         END AS quality_fail
+       |    ${duckQualityCase(740, 920, 7.6, 8.3, 0.80, 0)} AS quality_fail
        |  FROM f),
        |sh_t AS (SELECT doc_id, ${duckWordShingles(7)} AS sh
        |         FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM d)),
@@ -1244,13 +1220,7 @@ object OracleDefs {
        |banded AS (
        |  $bandRows
        |),
-       |capped AS (
-       |  SELECT doc_id, band_idx, band_key FROM (
-       |    SELECT doc_id, band_idx, band_key,
-       |      row_number() OVER (PARTITION BY band_idx, band_key
-       |                         ORDER BY doc_id ASC) AS bpos
-       |    FROM banded)
-       |  WHERE bpos <= 10),
+       |${duckCappedCte("doc_id, band_idx, band_key", "band_key", 10)},
        |prs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM capped a JOIN banded b

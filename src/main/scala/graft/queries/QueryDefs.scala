@@ -741,10 +741,14 @@ object QueryDefs {
         | {"key": "host3.example.com", "data": {"category": "c2",
         |   "big": 18446744073709551616}}]
         |""".stripMargin
-    val dir0 = java.nio.file.Files.createTempDirectory(
-      s"graft-q56-${java.lang.ProcessHandle.current().pid()}")
-    val p = dir0.resolve("feed.json")
+    // per-process FIXED path (q43's pattern): re-invocations (bench
+    // timing loops) overwrite one file instead of accumulating a fresh
+    // temp dir per call; deleteOnExit reclaims it
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft-q56-feed-${java.lang.ProcessHandle.current().pid()}.json")
     java.nio.file.Files.writeString(p, json)
+    p.toFile.deleteOnExit()
     val feed = graft.sources.IntelIngest.readJson(s, p.toString)
     val db = IntelDb.build("feed",
       graft.sources.IntelIngest.toEntries(feed))
