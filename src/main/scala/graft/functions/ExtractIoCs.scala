@@ -4,7 +4,7 @@ import graft.extract.{IocScanner, ScanConfig}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.types._
@@ -20,7 +20,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * so the surrounding operators keep their codegen span.
   */
 case class ExtractIoCs(child: Expression, config: ScanConfig)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   @transient private lazy val scanner = new IocScanner(config)
 
@@ -188,7 +190,13 @@ object ExtractIoCs {
     var buf = scr.buf
     if (buf.length < len) {
       var cap = buf.length
-      while (cap < len) cap <<= 1
+      // overflow clamp: past 2^30 the doubling would wrap to MIN_VALUE
+      // then 0 and the loop would spin forever on a > 1 GiB row — clamp
+      // to the exact length instead
+      while (cap < len) {
+        cap <<= 1
+        if (cap <= 0) cap = len
+      }
       buf = new Array[Byte](cap)
       scr.buf = buf
     }
@@ -256,19 +264,15 @@ object GraftFunctions {
   def refang_text(text: Column): Column =
     ExpressionUtils.column(RefangText(ExpressionUtils.expression(text)))
 
-  /** Register SQL-callable functions on a session (used by tests/jobs). */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "extract_iocs",
-      exprs => ExtractIoCs(exprs.head, ScanConfig()),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "redact_iocs",
-      exprs => RedactIoCs(exprs.head, ScanConfig()),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "refang_text",
-      exprs => RefangText(exprs.head),
-      "built-in")
-  }
+  /** Register SQL-callable functions on a session (used by tests/jobs).
+    * Shares GraftExtensions' builders so the temp-function path gets the
+    * SAME analysis-time arity errors as the extension path — a bare
+    * `exprs.head` here would NoSuchElementException on zero args and
+    * silently IGNORE extra ones.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.GraftExtensions.descriptions.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        id.funcName, builder, "built-in")
+    }
 }

@@ -5,7 +5,7 @@ import graft.model.{IndicatorType => T}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.types._
@@ -25,7 +25,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * match (F1 filters it), so `NotFound` never materializes a row.
   */
 case class IntelLookup(left: Expression, right: Expression,
-    db: BcHandle[IntelDb]) extends BinaryExpression {
+    db: BcHandle[IntelDb])
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
 
   override def dataType: DataType = IntelLookup.schema
   override def nullable: Boolean = left.nullable || right.nullable

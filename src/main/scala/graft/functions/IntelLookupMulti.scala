@@ -5,7 +5,7 @@ import graft.model.{IndicatorType => T}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.types._
@@ -19,7 +19,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * match_type>>; db_idx indexes ScanJob's metadata table.
   */
 case class IntelLookupMulti(left: Expression, right: Expression,
-    dbs: BcHandle[Array[IntelDb]]) extends BinaryExpression {
+    dbs: BcHandle[Array[IntelDb]])
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
 
   override def dataType: DataType = IntelLookupMulti.schema
   override def nullable: Boolean = left.nullable || right.nullable

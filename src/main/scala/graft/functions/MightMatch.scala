@@ -3,9 +3,9 @@ package graft.functions
 import graft.intel.{BcHandle, CleanPreScreen}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, ImplicitCastInputTypes}
 import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `might_match(text)` — broadcast clean-turn pre-screen (SURVEY.md §4.3):
@@ -14,7 +14,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * any configured database.
   */
 case class MightMatch(child: Expression, screen: BcHandle[CleanPreScreen])
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = child.nullable

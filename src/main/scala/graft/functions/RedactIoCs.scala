@@ -2,7 +2,7 @@ package graft.functions
 
 import graft.extract.{IocScanner, ScanConfig}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, ImplicitCastInputTypes}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -26,7 +26,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * (static-call doGenCode like the other scan expressions).
   */
 case class RedactIoCs(child: Expression, config: ScanConfig)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   @transient private lazy val scanner = new IocScanner(config)
 
@@ -78,6 +80,12 @@ object RedactIoCs {
       if (m.span_start >= cur) {
         out.write(buf, cur, m.span_start - cur)
         out.write(placeholder.get(m.indicator_type))
+        cur = m.span_end
+      } else if (m.span_end > cur) {
+        // PARTIALLY-overlapping dropped span (reachable with word
+        // boundaries off): its overhanging tail is still part of a
+        // detected indicator — extend the redacted region instead of
+        // copying those bytes verbatim into the "scrubbed" output
         cur = m.span_end
       }
       i += 1

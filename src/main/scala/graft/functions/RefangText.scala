@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, ImplicitCastInputTypes}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -23,7 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * defang handling); the replacement set is the conservative common core,
   * deliberately excluding guessy forms like bare "dot".
   */
-case class RefangText(child: Expression) extends UnaryExpression {
+case class RefangText(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = child.nullable
@@ -95,23 +98,30 @@ object RefangText {
     val out = new java.io.ByteArrayOutputStream(len)
     out.write(buf, 0, first)
     i = first
+    // batch unmatched bytes into RUNS flushed with one chunked write per
+    // rule hit — the per-byte write(int) path is a synchronized monitor
+    // op per byte (BAOS), a real tax on long mostly-clean rows
+    var runStart = i
     while (i < len) {
-      var r = 0
       var advanced = false
       val b = buf(i)
       if (b == '[' || b == '(' || b == '{' || b == 'h' || b == 'H') {
+        var r = 0
         while (!advanced && r < rules.length) {
           val (pat, rep) = rules(r)
           if (matchesAt(buf, len, i, pat)) {
+            if (i > runStart) out.write(buf, runStart, i - runStart)
             out.write(rep)
             i += pat.length
+            runStart = i
             advanced = true
           }
           r += 1
         }
       }
-      if (!advanced) { out.write(b.toInt); i += 1 }
+      if (!advanced) i += 1
     }
+    if (len > runStart) out.write(buf, runStart, len - runStart)
     UTF8String.fromBytes(out.toByteArray)
   }
 }

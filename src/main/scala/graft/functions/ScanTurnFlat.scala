@@ -122,6 +122,10 @@ object ScanTurnFlat {
       var tpe: UTF8String = null
       var valueU8: UTF8String = null
       var matchedU8: UTF8String = null
+      // NOTE the first-hit init block below appears TWICE (ip branch and
+      // string branch) and must stay byte-identical: a nested def would
+      // box the captured vars (ObjectRef allocation per candidate — this
+      // is the hot path), so the duplication is deliberate. Edit BOTH.
       var d = 0
       while (d < dbs.length) {
         val db = dbs(d)

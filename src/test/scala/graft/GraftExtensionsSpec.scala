@@ -64,4 +64,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
     assert(two.getMessage.contains("redact_iocs"))
   }
+
+  test("GraftFunctions.register shares the arity-checked builders, and " +
+      "non-string args implicit-cast instead of crashing at runtime") {
+    val spark = SparkTestBase.spark.newSession()
+    graft.functions.GraftFunctions.register(spark)
+    // zero args: the same clean WRONG_NUM_ARGS analysis error as the
+    // extension path (previously a NoSuchElementException from exprs.head)
+    val zero = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT extract_iocs()").collect()
+    }
+    assert(zero.getCondition != null &&
+      zero.getCondition.startsWith("WRONG_NUM_ARGS"))
+    // extra args: rejected, not silently ignored
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT refang_text('a', 'b')").collect()
+    }
+    // ImplicitCastInputTypes: an int argument casts to string at analysis
+    // time and the scan runs (previously a mid-job ClassCastException)
+    val n = spark.sql("SELECT size(extract_iocs(12345))")
+      .collect().head.getInt(0)
+    assert(n == 0) // "12345" holds no indicators — but it RAN
+  }
 }
