@@ -273,11 +273,14 @@ object ScanJob {
   }
 
   /** The routed frame without observers — the per-micro-batch body of the
-    * streaming fan-out (StreamingScan.startRouted).
+    * streaming fan-out (StreamingScan.startRouted). The NDJSON rendering
+    * columns are dropped: the streaming routed sink has no NDJSON
+    * consumer, and keeping them would store the extras payload three
+    * times per matched row (the duplication the batch run() drops too).
     */
   def routedStream(spark: SparkSession, withBucket: DataFrame,
       dbs: Seq[IntelDb]): DataFrame =
-    routedFrame(spark, withBucket, dbs)
+    routedFrame(spark, withBucket, dbs).drop("extra_json", "data_json")
 
   /** Execute the scan end-to-end with fan-out sinks, clean sink, gold
     * counts, stats and per-partition lineage; resumable by conv_id bucket.
@@ -300,6 +303,13 @@ object ScanJob {
   def run(spark: SparkSession, turns: DataFrame, dbs: Seq[IntelDb],
       outDir: String, cfg: RunConfig = RunConfig()): Map[String, Long] = {
     import spark.implicits._
+    // validate CONFIG before any destructive fs op: a typo'd --extractors
+    // (or an inline-extra flag without the ndjson sink it modifies) must
+    // fail here, not after the previous run's routed/ has been wiped
+    val scanCfg = graft.extract.ExtractorOverrides.parse(cfg.extractors)
+      .resolve(capabilityConfig(dbs))
+    require(!cfg.ndjsonInlineExtra || cfg.ndjson,
+      "--ndjson-inline-extra modifies the NDJSON stream; pass --ndjson too")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
     val donePath = new org.apache.hadoop.fs.Path(s"$outDir/_buckets_done")
@@ -307,6 +317,27 @@ object ScanJob {
       if (cfg.resume && fs.exists(donePath))
         fs.listStatus(donePath).map(_.getPath.getName.toInt).toSet
       else Set.empty
+    // a resumed run must keep the NDJSON mode of the run it resumes:
+    // toggling it mid-resume would mix schemas inside routed/ (extra_json/
+    // data_json present in some buckets only) and the NDJSON sink would
+    // silently emit wrong extras. Fail fast on mismatch — before writing.
+    if (cfg.resume &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$outDir/routed"))) {
+      val existing = scala.util.Try(
+        spark.read.parquet(s"$outDir/routed").schema.fieldNames.toSet)
+        .getOrElse(Set.empty[String])
+      if (existing.nonEmpty) {
+        val want =
+          if (!cfg.ndjson) Set.empty[String]
+          else if (cfg.ndjsonInlineExtra) Set("data_json")
+          else Set("extra_json")
+        val have = existing.intersect(Set("extra_json", "data_json"))
+        require(have == want,
+          s"resume NDJSON-mode mismatch: existing routed/ carries " +
+            s"[${have.mkString(",")}] but this run's flags would write " +
+            s"[${want.mkString(",")}] — resume with the original flags")
+      }
+    }
     // a FRESH full run (no resume, no shard restriction) owns the whole
     // outDir: clear routed data and completion markers up front so dynamic
     // partition overwrite can't leave stale partitions from a previous run
@@ -334,11 +365,9 @@ object ScanJob {
       else selected.filter(!col("bucket").isInCollection(doneBuckets))
 
     // --- THE single pass: extract + enrich + route + stats observers
+    // (scanCfg = F3 capability defaults + CLI overrides, parsed above)
     val obsTurns = org.apache.spark.sql.Observation()
     val obsRows = org.apache.spark.sql.Observation()
-    // F3: capability defaults + CLI overrides (match_cmd.rs:277-303)
-    val scanCfg = graft.extract.ExtractorOverrides.parse(cfg.extractors)
-      .resolve(capabilityConfig(dbs))
     val routed = routedFrame(spark, pending, dbs, Some(obsTurns),
       Some(obsRows), Some(scanCfg))
     // `extra_json`/`data_json` (the typed NDJSON renderings) are consumed

@@ -63,11 +63,16 @@ object IntelIngest {
     // with its DataValue type captured in `extra_types` (S5 per-cell CSV
     // inference / S6 per-VALUE JSON types — graft.intel.DataValues).
     // A feed that arrives with `extra`/`extra_types` ALREADY built (the
-    // variant-based readJson path) passes them through untouched.
+    // variant-based readJson path) passes them through untouched. The
+    // prebuilt check is TYPE-gated: a feed whose own column happens to be
+    // NAMED "extra" (a plain string) must keep the legacy behavior of
+    // being stringified into the extra map, not crash toEntries' upcast.
+    val prebuilt = df.schema.fields.exists(f =>
+      f.name == "extra" &&
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
     val known = Set("entry", "threat_level", "category", "source",
       "confidence", "to_ids", "comment", "attr_type", "attr_timestamp",
-      "tags", "extra", "extra_types")
-    val prebuilt = df.columns.contains("extra")
+      "tags") ++ (if (prebuilt) Set("extra", "extra_types") else Set.empty)
     val extraCols = df.columns.filterNot(c =>
       known.contains(c) || c == keyCol).sorted
     val fieldType: Map[String, org.apache.spark.sql.types.DataType] =
@@ -93,8 +98,11 @@ object IntelIngest {
             Seq(lit(c),
               tagExpr(col(s"`$c`"), fieldType(c), inferStringCells))): _*),
           (_, v) => v.isNotNull)
-    out = out.withColumn("extra", extraExpr)
-      .withColumn("extra_types", typesExpr)
+    // ONE withColumns call: both expressions must resolve against the
+    // ORIGINAL columns — sequential withColumn would make typesExpr see
+    // the already-replaced map when the feed has its own "extra" column
+    out = out.withColumns(Map("extra" -> extraExpr,
+      "extra_types" -> typesExpr))
     out.select("entry", "threat_level", "category", "source", "confidence",
       "to_ids", "comment", "attr_type", "attr_timestamp", "tags", "extra",
       "extra_types")
@@ -167,7 +175,17 @@ object IntelIngest {
     * variant path and keep column-level typing via the legacy path.
     */
   def readJson(spark: SparkSession, path: String): DataFrame = {
-    val raw = spark.read.option("multiLine", "true").json(path)
+    // multiLine selection by FILE SHAPE (round-5 review find): with
+    // multiLine=true Spark parses each file as ONE json value, so an
+    // NDJSON feed (one {key,data} object per line) would yield only its
+    // FIRST record and the scan would silently miss every other
+    // indicator. Array feeds (possibly pretty-printed across lines) need
+    // multiLine=true; everything else is line-per-record NDJSON and must
+    // use the default per-line parser. Peek at the first non-whitespace
+    // byte to decide — feeds are driver-side small by design.
+    val multiLine = firstNonWsByte(spark, path) == '['
+    val reader = spark.read.option("multiLine", multiLine.toString)
+    val raw = reader.json(path)
     val nested = raw.columns.contains("data")
     val flat = if (nested) raw.select(col("key"), col("data.*")) else raw
     val keyCol =
@@ -178,15 +196,17 @@ object IntelIngest {
       "to_ids", "comment", "attr_type", "attr_timestamp", "tags")
     val extraCols =
       flat.columns.filterNot(c => known.contains(c) || c == keyCol).sorted
-    // keys the variant JSON-path grammar cannot address safely
+    // keys the variant JSON-path grammar cannot address safely (the path
+    // is interpolated into a SQL string literal, so '\' would be
+    // re-escaped by the SQL parser and silently corrupt the path)
     val pathSafe = (keyCol +: extraCols).forall(c =>
       !c.exists(ch => ch == '.' || ch == '\'' || ch == '"' || ch == '[' ||
-        ch == ']' || ch == '$'))
+        ch == ']' || ch == '$' || ch == '\\'))
     if (extraCols.isEmpty || !pathSafe)
       return normalize(flat, inferStringCells = false)
 
     val v0 = spark.read.format("json")
-      .option("multiLine", "true")
+      .option("multiLine", multiLine.toString)
       .option("singleVariantColumn", "__v").load(path)
     val view = s"graft_feed_v_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     v0.createOrReplaceTempView(view)
@@ -238,6 +258,38 @@ object IntelIngest {
           map(extraCols.toSeq.flatMap(c => Seq(lit(c), tagOf(c))): _*),
           (_, x) => x.isNotNull).as("extra_types"): _*)
     normalize(assembled, inferStringCells = false)
+  }
+
+  /** First non-whitespace byte of `path` (a file, or the first file of a
+    * directory) via the Hadoop FS API — works for any Spark-readable
+    * location. 0 when empty/unreadable (callers treat that as NDJSON).
+    */
+  private def firstNonWsByte(spark: SparkSession, path: String): Byte = {
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val file =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).find(s => s.isFile && s.getLen > 0)
+            .map(_.getPath).orNull
+        else p
+      if (file == null) return 0
+      val in = fs.open(file)
+      try {
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n > 0) {
+          var i = 0
+          while (i < n) {
+            val b = buf(i)
+            if (b != ' ' && b != '\n' && b != '\r' && b != '\t') return b
+            i += 1
+          }
+          n = in.read(buf)
+        }
+        0
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => 0 }
   }
 
   /** Text feed: one entry per line, '#' comments and blanks skipped (S7). */

@@ -144,6 +144,38 @@ class IntelIngestSpec extends AnyFunSuite {
       .renderJson(b.extra("big"), "f64") == "1.8446744073709552E19")
   }
 
+  test("json feed: NDJSON (one object per line) ingests EVERY record — " +
+      "and an 'extra'-named feed column survives as a map key") {
+    val dir = Files.createTempDirectory("intel-ndjson")
+    // round-5 review find: the unconditional multiLine=true read parsed
+    // each file as ONE json value, so an NDJSON feed yielded only its
+    // first record and the scan silently missed every other indicator
+    Files.writeString(dir.resolve("feed.json"),
+      """{"key": "a.example", "data": {"threat_level": "high", "ttl": 1}}
+        |{"key": "b.example", "data": {"threat_level": "low", "ttl": 2.5}}
+        |{"key": "c.example", "data": {"threat_level": "medium"}}
+        |""".stripMargin)
+    val es = IntelIngest.toEntries(
+      IntelIngest.readJson(spark, dir.toString + "/feed.json"))
+      .sortBy(_.entry)
+    assert(es.map(_.entry) == Seq("a.example", "b.example", "c.example"))
+    // per-value typing works through the NDJSON path too
+    assert(es.head.extra_types("ttl") == "i32" &&
+      es(1).extra_types("ttl") == "f64")
+
+    // a feed whose own column is literally NAMED "extra" (plain string)
+    // must stringify into the extra map like any other dynamic column,
+    // not crash the IntelEntry upcast (type-gated prebuilt check)
+    val dir2 = Files.createTempDirectory("intel-extra-col")
+    Files.writeString(dir2.resolve("feed.csv"),
+      """entry,category,extra
+        |evil.com,c2,custom-note
+        |""".stripMargin)
+    val e2 = IntelIngest.toEntries(
+      IntelIngest.readCsv(spark, dir2.toString + "/feed.csv")).head
+    assert(e2.extra == Map("extra" -> "custom-note"), e2.extra.toString)
+  }
+
   test("text feed (S7): one entry per line, comments skipped") {
     val dir = Files.createTempDirectory("intel-text")
     Files.writeString(dir.resolve("feed.txt"),
