@@ -198,9 +198,17 @@ object Multimodal {
                 val fn = (f.pixels.length / 3).toLong
                 b += fb * fn; g += fg * fn; r += fr * fn; n += fn
               }
-              MediaFeatures(m.media_id, m.kind, decoded = true,
-                frames(0).width, frames(0).height,
-                b / n, g / n, r / n, 0, 0, 0, 0, frames.length)
+              // a malformed GIF whose frames all decode to ZERO pixels
+              // (0-width/height descriptors) must route as undecoded —
+              // b / 0 would throw in the task and kill the job, the one
+              // failure mode this path exists to prevent
+              if (n == 0)
+                MediaFeatures(m.media_id, m.kind, decoded = false,
+                  0, 0, 0, 0, 0, 0, 0, 0, 0)
+              else
+                MediaFeatures(m.media_id, m.kind, decoded = true,
+                  frames(0).width, frames(0).height,
+                  b / n, g / n, r / n, 0, 0, 0, 0, frames.length)
             }
           case _ =>
             MediaFeatures(m.media_id, m.kind, decoded = false,

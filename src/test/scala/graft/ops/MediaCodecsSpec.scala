@@ -166,4 +166,28 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(sampled.forall(f =>
       MediaCodecs.decodeBmp(f.frame_bytes) != null))
   }
+
+  test("video features: a GIF decoding to zero total pixels routes as " +
+    "undecoded instead of dividing by zero in the task") {
+    import spark.implicits._
+    // hand-built GIF89a with a 0x0 logical screen and a 0x0 image
+    // descriptor — whether ImageIO throws (decodeGifFrames -> null) or
+    // yields empty frames, decodeFeatures must emit decoded=false, never
+    // throw (the route-never-die contract)
+    val zeroGif: Array[Byte] = Array[Byte](
+      'G', 'I', 'F', '8', '9', 'a',
+      0, 0, 0, 0, // logical screen 0x0
+      0x70.toByte, 0, 0, // no GCT, bg, aspect
+      0x2c, 0, 0, 0, 0, 0, 0, 0, 0, // image descriptor at (0,0) size 0x0
+      0x00, // no LCT, no flags
+      0x02, // LZW min code size
+      0x01, 0x00, // one data sub-block
+      0x00, // block terminator
+      0x3b // trailer
+    )
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(0L, "video", zeroGif)))
+    val feats = Multimodal.decodeFeatures(media).collect()
+    assert(feats.length == 1 && !feats(0).decoded)
+  }
 }
