@@ -22,7 +22,9 @@ import graft.extract.IocScanner
   *    (digit.digit / "::") are checked directly on the raw bytes (the
   *    scanner does no de-fanging; the only candidate whose canonical value
   *    differs from its matched span is RFC-5952 IPv6, which still contains
-  *    "::" in the source bytes);
+  *    "::" in the source bytes). Which anchors are needed derives from the
+  *    unified 128-bit match space, NOT the entries' notation family — see
+  *    the derivation note in [[CleanPreScreen.build]];
   *  - every literal match is full-token equality, which implies the literal
   *    occurs as a SUBSTRING of the text — checked by the automaton (a
   *    superset of token equality, so strictly sound). Case-insensitive
@@ -198,16 +200,24 @@ object CleanPreScreen {
         }
       }
     }
-    val v6Real = dbs.exists(_.entries.exists(m => m.entryType == "ip" &&
-      (IntelDb.classify(m.entry) match {
-        case Some(IntelDb.IpEntry(c)) => !c.isV4
-        case _                        => false
-      })))
-    val v4Real = dbs.exists(_.entries.exists(m => m.entryType == "ip" &&
-      (IntelDb.classify(m.entry) match {
-        case Some(IntelDb.IpEntry(c)) => c.isV4
-        case _                        => false
-      })))
+    // IP anchors derive from the unified 128-bit MATCH space, never the
+    // entry's notation family: LpmIndex looks every candidate up
+    // family-blind (IPv4 at ::ffff:a.b.c.d), so a db holding only the
+    // v6-notation `::/0` still matches IPv4 text, and a v4-notation CIDR
+    // (stored at ::ffff:x/96+len) is reachable from IPv6 text like
+    // `::ffff:102:304`. Hence: the IPv4 anchor is needed iff ANY CIDR's
+    // range intersects the v4-mapped /96; the IPv6 anchor iff ANY CIDR
+    // exists at all (every stored range is reachable from some ::-form
+    // text). The previous per-family derivation DROPPED matching turns —
+    // e.g. `1.2.3.4` against a `::/0`-only db (round-5 review find).
+    val cidrs = dbs.flatMap(_.entries.iterator
+      .filter(_.entryType == "ip")
+      .flatMap(m => IntelDb.classify(m.entry) match {
+        case Some(IntelDb.IpEntry(c)) => Some(c)
+        case _                        => None
+      }))
+    val v6Real = cidrs.nonEmpty
+    val v4Real = cidrs.exists(Cidr.intersectsV4Mapped)
     val ci = dbs.exists(_.caseInsensitive)
     // with the fold active globally, words from case-SENSITIVE dbs must be
     // stored folded too — that widens their screen to case-insensitive

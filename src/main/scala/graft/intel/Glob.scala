@@ -85,7 +85,10 @@ object Glob {
           case _ =>
         }
       } else if (isPureLiteral) {
-        // empty-literal pure pattern (can't occur: empty patterns rejected)
+        // segments == Nil, possible only via a hand-built GlobPattern:
+        // parse() rejects the empty pattern (mirroring the reference's
+        // InvalidPattern — paraglob_offset.rs:63-65), so indexed patterns
+        // never take this branch
         return true
       }
       val steps = new Steps(100000)
@@ -201,10 +204,15 @@ object Glob {
 
   /** Parse a glob pattern; Left(error) on malformed input. Grammar and
     * error cases mirror glob.rs:303-420 (unclosed class, empty class,
-    * inverted range, trailing backslash).
+    * inverted range, trailing backslash) plus the paraglob builder's
+    * empty-pattern rejection (paraglob_offset.rs:63-65) — an empty pattern
+    * would otherwise parse to zero segments and match EVERY string (no
+    * literal prefilter, pure-literal-over-Nil substring rule), turning one
+    * malformed feed row into a match on every extracted candidate.
     */
   def parse(pattern: String, caseInsensitive: Boolean = false)
       : Either[String, GlobPattern] = {
+    if (pattern.isEmpty) return Left("Empty pattern")
     val segs = List.newBuilder[Segment]
     val lit = new java.lang.StringBuilder
     def flush(): Unit =

@@ -84,6 +84,20 @@ object Cidr {
 
   def v4ToUnified(v4: Long): (Long, Long) = (0L, 0x0000ffff00000000L | v4)
 
+  /** True when this CIDR's range intersects the v4-mapped block
+    * ::ffff:0:0/96 — i.e. some IPv4 candidate (which LpmIndex looks up at
+    * ::ffff:a.b.c.d) could match it. Every v4-NOTATION entry lives inside
+    * the block by construction; a v6-notation entry intersects iff it
+    * contains the block (prefixLen <= 96 and the block's base is inside
+    * it) or sits inside it (prefixLen > 96 with the v4-mapped upper bits).
+    * Matching is family-blind in the unified 128-bit space, so IP-anchor
+    * derivation (CleanPreScreen) must use THIS, not the notation family —
+    * a db holding only `::/0` still matches every IPv4.
+    */
+  def intersectsV4Mapped(c: Cidr): Boolean =
+    if (c.prefixLen <= 96) mask(0L, 0x0000ffff00000000L, c.prefixLen) == ((c.hi, c.lo))
+    else c.hi == 0L && (c.lo >>> 32) == 0x0000ffffL
+
   /** Mask (hi, lo) to the first `prefixLen` bits. */
   def mask(hi: Long, lo: Long, prefixLen: Int): (Long, Long) = {
     if (prefixLen >= 128) (hi, lo)

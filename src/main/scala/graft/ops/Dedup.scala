@@ -199,10 +199,22 @@ object Dedup {
     * exhaustive small-corpus audits).
     */
   def minhashLshPairs(docs: DataFrame, k: Int = 5, numHashes: Int = 8,
-      bands: Int = 4, maxBandDf: Int = DefaultMaxBandDf): DataFrame =
+      bands: Int = 4, maxBandDf: Int = DefaultMaxBandDf): DataFrame = {
+    // Stage the banded table ONCE (eager localCheckpoint): the band
+    // self-join otherwise re-executes the whole shingle + md5 signature
+    // sweep — the pipeline's dominant cost — once PER JOIN SIDE (verified
+    // empirically: two complete sweeps, no exchange reuse, in both the
+    // static and the final AQE plan). The cap window and the join stay
+    // LAZY above the checkpoint so the returned plan still shows the skew
+    // guard; the checkpoint's blocks are reclaimed by the ContextCleaner
+    // once the returned frame is unreachable (the .cache() lifecycle).
+    // Curation.curate needs a tighter lifetime and stages its own banded
+    // table, releasing it explicitly after materializing its output.
     pairsFromBanded(
-      bandedMinhash(docs, "text", k, numHashes, bands, keep = Seq("doc_id")),
+      bandedMinhash(docs, "text", k, numHashes, bands, keep = Seq("doc_id"))
+        .localCheckpoint(),
       maxBandDf)
+  }
 
   /** The (capped) band-bucket self-join over a banded frame
     * (doc_id, band_idx, band_key) — shared by [[minhashLshPairs]] and the
@@ -231,9 +243,12 @@ object Dedup {
     * never recomputed per bit).
     */
   def simhashFingerprints(docs: DataFrame, bits: Int = 32): DataFrame = {
+    // tokenization single-source: Decontaminate.tokens IS the shared
+    // normalization this docstring family promises — never re-spell the
+    // split here or the cross-op equivalence silently breaks
     val tokenHashes = docs
       .select(col("doc_id"),
-        explode(array_distinct(split(trim(lower(col("text"))), "\\s+")))
+        explode(array_distinct(Decontaminate.tokens(col("text"))))
           .as("token"))
       .withColumn("h", conv(substring(md5(col("token")), 1, 15), 16, 10)
         .cast("long"))
@@ -247,6 +262,15 @@ object Dedup {
           when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
         }.reduce((x, y) => x.bitwiseOR(y)).as("fingerprint"))
   }
+
+  /** Low-`r`-bits band mask for [[simhashNearDupPairs]]. Java long shifts
+    * are mod 64, so the naive `(1L << r) - 1` is 0 at r = 64 — a bits=64,
+    * bands=1 configuration would silently collapse EVERY fingerprint into
+    * band_bits=0 (one bucket, maximal candidate generation, the banding
+    * guarantee void); r=64 means "the whole fingerprint", i.e. all bits.
+    */
+  private[ops] def bandMask(r: Int): Long =
+    if (r >= 64) -1L else (1L << r) - 1
 
   /** SimHash near-dup candidates: identical fingerprints (exact band). */
   def simhashGroups(docs: DataFrame, bits: Int = 32): DataFrame =
@@ -266,11 +290,15 @@ object Dedup {
       maxHamming: Int = 3, maxBandDf: Int = DefaultMaxBandDf): DataFrame = {
     require(bits % bands == 0, "bits must divide into equal bands")
     val r = bits / bands
-    val fps = simhashFingerprints(docs, bits)
+    // stage the fingerprints ONCE (eager, tiny: doc_id + one long) — the
+    // band self-join otherwise recomputes the per-token md5 vote sweep per
+    // join side (same empirically-verified double execution as
+    // minhashLshPairs); the banding bit-ops stay lazy above the checkpoint
+    val fps = simhashFingerprints(docs, bits).localCheckpoint()
     val banded = fps.select(col("doc_id"), col("fingerprint"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("fingerprint"), b * r)
-          .bitwiseAND(lit((1L << r) - 1))): _*))
+          .bitwiseAND(lit(bandMask(r)))): _*))
         .as(Seq("band_idx", "band_bits")))
     // same guard as minhashLshPairs (`maxBandDf`): cap the smaller-id side
     // per band bucket so an identical-fingerprint flood emits N x cap pairs,
@@ -308,13 +336,21 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, k: Int = 5,
       minJaccard: Double = 0.5,
       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+    // stage the exploded shingle table ONCE (eager localCheckpoint): it is
+    // read up to five times below (set sizes, the df guard, and both pair
+    // join sides), and each read would otherwise re-shingle every document
+    // from the source scan (empirically SIX FileScans in the unstaged
+    // plan, no exchange reuse); blocks are ContextCleaner-reclaimed once
+    // the returned frame is unreachable (the .cache() lifecycle)
     val sh = docs.select(col("doc_id"),
       explode(shingles(col("text"), k)).as("shingle"))
+      .localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
     val kept =
       if (maxShingleDf <= 0) sh
       else sh.join(
-        shingleDf(docs, k).where(col("df") <= maxShingleDf).select("shingle"),
+        sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .where(col("df") <= maxShingleDf).select("shingle"),
         "shingle")
     val pairs = kept.as("x")
       .join(kept.as("y"), col("x.shingle") === col("y.shingle"))

@@ -27,10 +27,24 @@ object Similarity {
   def dotQ(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
-  /** Cosine of two quantized vectors: int dot / (sqrt(int)*sqrt(int)). */
+  /** Cosine of two quantized vectors: int dot / (sqrt(int)*sqrt(int)).
+    *
+    * The denominator is floored at 1.0: a zero-norm vector (all-zero,
+    * empty, or every |x| < 0.0005 so quantization rounds it to zeros) would
+    * otherwise divide by 0.0, which THROWS under Spark's default ANSI mode
+    * and would crash every similarity/dedup job over one degenerate
+    * embedding. The floor is exact, never approximate: nonzero quantized
+    * norms are integers >= 1, so sqrt(na)*sqrt(nb) >= 1 whenever both
+    * vectors are nonzero (floor is a no-op), and when either is zero the
+    * dot product is 0, giving cosine 0/1 = 0 — the natural "no similarity"
+    * value for a zero vector. The DuckDB oracle mirrors the same greatest()
+    * floor (OracleDefs.cosine).
+    */
   def cosineQ(a: Column, b: Column): Column =
     dotQ(a, b).cast("double") /
-      (sqrt(dotQ(a, a).cast("double")) * sqrt(dotQ(b, b).cast("double")))
+      greatest(
+        sqrt(dotQ(a, a).cast("double")) * sqrt(dotQ(b, b).cast("double")),
+        lit(1.0))
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). Query side is broadcast — the corpus scan
@@ -85,6 +99,21 @@ object Similarity {
 
   private def centroidSide(cents: DataFrame, nlist: Int): DataFrame =
     if (nlist <= MaxBroadcastCentroids) broadcast(cents) else cents
+
+  /** Default `maxCollectCentroids` for [[ivfCentroids]] — below this the
+    * Lloyd loop collects each round's centroid table to the driver; above
+    * it the table stays a (localCheckpoint'd) DataFrame. Shared with
+    * [[ivfTopK]]/[[semDedup]] so they can tell which representation their
+    * centroid table took and release live checkpoint blocks accordingly.
+    */
+  val DefaultMaxCollectCentroids = 512
+
+  /** True when [[ivfCentroids]] with these parameters returns a LIVE
+    * localCheckpoint whose blocks the consumer must release (the
+    * DF-resident Lloyd path).
+    */
+  private def centroidsAreLive(nlist: Int, lloydRounds: Int): Boolean =
+    nlist > DefaultMaxCollectCentroids && lloydRounds > 0
 
   /** Release the blocks of a centroid table returned by [[ivfCentroids]]'
     * DF-resident path (nlist > maxCollectCentroids with Lloyd rounds) once
@@ -218,7 +247,8 @@ object Similarity {
     * with no pinned blocks.
     */
   def ivfCentroids(corpus: DataFrame, nlist: Int,
-      lloydRounds: Int = 0, maxCollectCentroids: Int = 512): DataFrame = {
+      lloydRounds: Int = 0,
+      maxCollectCentroids: Int = DefaultMaxCollectCentroids): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     // materialize the quantized corpus ONCE when Lloyd rounds will loop
@@ -324,8 +354,20 @@ object Similarity {
     val cw = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("centroid_id").asc)
     val ranked = scored.withColumn("crank", row_number().over(cw))
+    // DF-resident Lloyd path: the centroid table is a LIVE localCheckpoint
+    // (see ivfCentroids). Materialize the pruned assignment table (the only
+    // thing derived from it — n x max(nprobe,1) rows) eagerly, then release
+    // the centroid blocks NOW instead of leaking them until driver GC; the
+    // collect path keeps the fully lazy plan.
+    val base =
+      if (centroidsAreLive(nlist, lloydRounds)) {
+        val pruned = ranked.where(col("crank") <= math.max(nprobe, 1))
+          .localCheckpoint()
+        releaseCentroids(cents)
+        pruned
+      } else ranked
     val corpusSide = {
-      val assigned = ranked.where(col("crank") === 1)
+      val assigned = base.where(col("crank") === 1)
         .select(col("centroid_id"), col("vec_id").as("corpus_id"),
           col("qv").as("cq"))
       if (cap <= 0) assigned
@@ -336,7 +378,7 @@ object Similarity {
           .where(col("bpos") <= cap).drop("bpos")
       }
     }
-    val probes = ranked.where(col("crank") <= nprobe)
+    val probes = base.where(col("crank") <= nprobe)
       .select(col("centroid_id"), col("vec_id").as("query_id"),
         col("qv").as("qq"))
     val cands = probes.join(corpusSide, Seq("centroid_id"))
@@ -438,12 +480,21 @@ object Similarity {
     val cents = ivfCentroids(corpus, nlist, lloydRounds)
     val cw = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("centroid_id").asc)
-    val assigned = q.join(centroidSide(cents, nlist))
+    val assignedLazy = q.join(centroidSide(cents, nlist))
       .select(col("vec_id"), col("qv"), col("centroid_id"),
         cosineQ(col("qv"), col("cv")).as("ccos"))
       .withColumn("crank", row_number().over(cw))
       .where(col("crank") === 1)
       .select("centroid_id", "vec_id", "qv")
+    // same live-checkpoint release discipline as ivfTopK: on the
+    // DF-resident Lloyd path, materialize the assignment (one row per
+    // corpus vector) and free the centroid blocks immediately
+    val assigned =
+      if (centroidsAreLive(nlist, lloydRounds)) {
+        val chk = assignedLazy.localCheckpoint()
+        releaseCentroids(cents)
+        chk
+      } else assignedLazy
     val participants =
       if (cap <= 0) assigned
       else {

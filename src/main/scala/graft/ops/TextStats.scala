@@ -35,6 +35,14 @@ object TextStats {
 
   /** Argmax over already-projected per-language score COLUMNS; ties break
     * to the first language in `markers` order.
+    *
+    * NULL text => NULL (consistent with every other TextStats feature):
+    * null text makes every marker score null, every CASE condition null,
+    * and the cascade would otherwise fall through its final otherwise and
+    * silently classify every null-text row as the LAST language in
+    * `markers` order. The first score column is the null sentinel (all
+    * scores are null exactly when the text is). The DuckDB oracle mirrors
+    * the same leading NULL arm.
     */
   def langIdFromScores(scoreCols: Seq[(String, Column)]): Column = {
     val allZero = scoreCols.map(_._2 === 0).reduce(_ && _)
@@ -47,7 +55,9 @@ object TextStats {
     val picked = cases.init.foldRight(lit(cases.last._1)) {
       case ((lang, cond), rest) => when(cond, lit(lang)).otherwise(rest)
     }
-    when(allZero, lit("und")).otherwise(picked)
+    when(scoreCols.head._2.isNull, lit(null).cast("string"))
+      .when(allZero, lit("und"))
+      .otherwise(picked)
   }
 
   /** Two-step language ID: PROJECT the marker scores first, then argmax
@@ -81,8 +91,10 @@ object TextStats {
       .otherwise(size(split(trim(text), "\\s+")))
 
   /** BPE-ish subword count: word-piece segments of <= 4 chars, i.e.
-    * ceil(len/4) summed over whitespace tokens, plus punctuation runs —
-    * a deterministic proxy for tokenizer cost (real BPE needs a vocab).
+    * ceil(len/4) summed over whitespace tokens — a deterministic proxy for
+    * tokenizer cost (real BPE needs a vocab). Punctuation contributes only
+    * through the length of the token it sits in; there is no separate
+    * punctuation-run term (the oracle reproduces exactly this formula).
     */
   def subwordCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0L))
@@ -293,7 +305,9 @@ object TextStats {
       .orderBy(col("top_gram_n").desc, col("top_gram"))
     docs
       .select(col(idCol), length(col(textCol)).as("doc_len"),
-        split(trim(lower(col(textCol))), "\\s+").as("__graft_toks"))
+        // Decontaminate.tokens IS the shared tokenizer (same expression;
+        // single-sourced so the cross-op normalization cannot drift)
+        Decontaminate.tokens(col(textCol)).as("__graft_toks"))
       .select(col(idCol), col("doc_len"), explode(grams).as("top_gram"))
       .groupBy(idCol, "doc_len", "top_gram")
       .agg(count(lit(1)).as("top_gram_n"))

@@ -241,8 +241,12 @@ object OracleDefs {
   /** Simhash band rows over a CTE `fps(doc_id, fingerprint)`. */
   private def duckSimhashBandRows(bits: Int, bands: Int): String = {
     val r = bits / bands
+    // same r=64 guard as Dedup.simhashNearDupPairs: (1L << 64) - 1 is 0
+    // under Java's mod-64 shifts, so bands=1 over 64-bit fingerprints
+    // needs the all-bits mask spelled explicitly
+    val bandMask = if (r >= 64) -1L else (1L << r) - 1
     (0 until bands).map { b =>
-      s"SELECT doc_id, fingerprint, $b AS band_idx, (fingerprint >> ${b * r}) & ${(1L << r) - 1} AS band_bits FROM fps"
+      s"SELECT doc_id, fingerprint, $b AS band_idx, (fingerprint >> ${b * r}) & $bandMask AS band_bits FROM fps"
     }.mkString("\n  UNION ALL ")
   }
 
@@ -371,9 +375,15 @@ object OracleDefs {
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT))"
   private def dot(a: String, b: String): String =
     s"CAST(list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2])) AS BIGINT)"
+  /** Mirrors Similarity.cosineQ, INCLUDING its zero-norm guard: the
+    * denominator is floored at 1.0 (exact — nonzero quantized norms are
+    * >= 1, so the floor only ever bites for zero vectors, where the dot is
+    * 0 and cosine 0/1 = 0).
+    */
   private def cosine(a: String, b: String): String =
     s"CAST(${dot(a, b)} AS DOUBLE) / " +
-      s"(sqrt(CAST(${dot(a, a)} AS DOUBLE)) * sqrt(CAST(${dot(b, b)} AS DOUBLE)))"
+      s"greatest(sqrt(CAST(${dot(a, a)} AS DOUBLE)) * " +
+      s"sqrt(CAST(${dot(b, b)} AS DOUBLE)), 1.0)"
 
   val dedupEmbedding: String =
     s"""WITH q AS (SELECT vec_id, $qv AS v FROM embeddings WHERE vec_id < 100)
@@ -750,6 +760,7 @@ object OracleDefs {
     s"""WITH s AS (SELECT $sDe AS de, $sEn AS en, $sEs AS es, $sFr AS fr
        |           FROM documents)
        |SELECT CASE
+       |    WHEN de IS NULL THEN NULL
        |    WHEN de = 0 AND en = 0 AND es = 0 AND fr = 0 THEN 'und'
        |    WHEN de >= en AND de >= es AND de >= fr THEN 'de'
        |    WHEN en >= es AND en >= fr THEN 'en'

@@ -47,11 +47,30 @@ class CleanPreScreenSpec extends AnyFunSuite {
     assert(!hits(s, "single:colon only"))
   }
 
-  test("v4-only feed ignores ::, v6-only feed ignores digit.digit") {
+  test("anchors derive from the unified match space, not notation family") {
+    // a v4-notation CIDR is stored at ::ffff:x (v4-mapped) and is therefore
+    // reachable from ::-form IPv6 TEXT — the v6 anchor must stay ON
+    // (round-5 review find: the per-family derivation dropped such turns)
     val v4 = CleanPreScreen.build(Seq(db("192.0.2.0/24")))
-    assert(!hits(v4, "v6 ::1 text"))
+    assert(hits(v4, "hex form ::ffff:c000:205 here")) // inside the /24
+    assert(hits(v4, "v6 ::1 text")) // anchor is coarse: any :: passes
+    // a v6-notation CIDR that cannot intersect ::ffff:0:0/96 can never
+    // match IPv4 text — the v4 anchor stays OFF (precision retained)
     val v6 = CleanPreScreen.build(Seq(db("2001:db8::/32")))
     assert(!hits(v6, "v4 1.2.3.4 text"))
+    assert(hits(v6, "v6 2001:db8::1 here"))
+  }
+
+  test("v6-notation CIDR covering v4-mapped space enables the v4 anchor") {
+    // ::/0 contains every v4-mapped address: LpmIndex would match any
+    // extracted IPv4, so the screen must pass digit-dot-digit turns
+    val any = CleanPreScreen.build(Seq(db("::/0")))
+    assert(hits(any, "v4 1.2.3.4 text"))
+    assert(hits(any, "v6 ::1 text"))
+    // a narrow v6-notation block INSIDE the v4-mapped /96 likewise
+    val narrow = CleanPreScreen.build(Seq(db("::ffff:102:304/120")))
+    assert(hits(narrow, "from 1.2.3.4 port"))
+    assert(!hits(narrow, "dotted.words.only v4-less"))
   }
 
   test("case-insensitive db: ascii fold both sides") {

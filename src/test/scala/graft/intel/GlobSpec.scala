@@ -61,6 +61,14 @@ class GlobSpec extends AnyFunSuite {
     assert(Glob.parse("[]").isLeft) // empty => unclosed
     assert(Glob.parse("a\\").isLeft) // trailing backslash
     assert(Glob.parse("[z-a]").isLeft) // inverted range
+    // the reference's paraglob builder hard-rejects empty patterns
+    // (paraglob_offset.rs:63-65); accepting one would yield zero segments
+    // and match EVERY string via the pure-literal substring rule
+    assert(Glob.parse("").isLeft)
+    assert(!Glob.isValid(""))
+    // and the forced-glob classification drops the entry, like the
+    // reference builder's hard error on invalid forced patterns
+    assert(IntelDb.classify("glob:").isEmpty)
     assert(Glob.parse("[]]").isRight) // ']' first = literal ]
     assert(g("[]]").matchesAnchored("]"))
     assert(Glob.parse("[a-]").isRight) // trailing '-' literal

@@ -1,0 +1,114 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 review-find regressions: zero-norm cosine under ANSI mode,
+  * the simhash band mask at r=64, NULL-text language ID, and the staged
+  * (single-sweep) pair generators returning unchanged results.
+  */
+class ReviewFixesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("zero-norm embeddings never divide by zero (ANSI) and score 0") {
+    // all-zero, sub-quantization (rounds to zeros), and a normal vector:
+    // every pair must evaluate without SparkArithmeticException, and any
+    // pair involving a zero-norm vector scores cosine 0
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0004f, -0.0004f, 0.0002f)), // quantizes to all zeros
+      (2L, Array(1.0f, 0.5f, 0.25f)),
+      (3L, Array(1.0f, 0.5f, 0.25f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingCosinePairsExact(vecs, minCosine = -1.0)
+      .collect()
+    assert(pairs.length == 6) // all pairs evaluated, none crashed
+    pairs.foreach { r =>
+      val (a, b, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      if (a <= 1L || b <= 1L) assert(c == 0.0, s"zero-norm pair ($a,$b)")
+    }
+    assert(pairs.exists(r => r.getLong(0) == 2L && r.getLong(1) == 3L &&
+      math.abs(r.getDouble(2) - 1.0) < 1e-12))
+    // the ANN entry points survive zero-norm rows too
+    assert(Similarity.bruteForceTopK(vecs, vecs, k = 2).count() == 8)
+    assert(Similarity.ivfTopK(vecs, k = 2, nlist = 2).count() > 0)
+  }
+
+  test("simhash band mask: r=64 is the all-bits mask, not 0") {
+    assert(Dedup.bandMask(64) == -1L)
+    assert(Dedup.bandMask(16) == 0xffffL)
+    assert(Dedup.bandMask(63) == Long.MaxValue)
+    // functional: bits=64, bands=1 must NOT collapse distinct fingerprints
+    // into one bucket — with maxHamming=0 only identical-fingerprint pairs
+    // survive, and distinct docs never even become candidates
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "totally different words entirely here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDupPairs(docs, bits = 64, bands = 1,
+      maxHamming = 0).as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((0L, 1L, 0)))
+  }
+
+  test("NULL text: language ID is NULL, not the last marker language") {
+    val docs = Seq[(Long, String)]((0L, null), (1L, "le les des une est"),
+      (2L, "zzz qqq")).toDF("doc_id", "text")
+    val r = TextStats.withLangId(docs).select("doc_id", "lang_detected")
+      .as[(Long, Option[String])].collect().toMap
+    assert(r(0L).isEmpty) // null in, null out
+    assert(r(1L).contains("fr"))
+    assert(r(2L).contains("und"))
+  }
+
+  test("staged pair generators: one signature sweep, results unchanged") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over a lazy dog"),
+      (3L, "completely different content about spark engines")
+    ).toDF("doc_id", "text")
+    // the staged (checkpointed) banded table must leave exactly one scan
+    // below the checkpoint and the self-join must read the LogicalRDD —
+    // i.e. no FileScan/LocalTableScan of the source remains in the plan
+    val pairs = Dedup.minhashLshPairs(docs)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("md5"), "signature sweep leaked above the stage")
+    assert(pairs.as[(Long, Long)].collect().toSet.contains((0L, 1L)))
+    val sim = Dedup.simhashNearDupPairs(docs)
+    assert(!sim.queryExecution.executedPlan.toString.contains("md5"))
+    val jac = Dedup.ngramJaccardPairs(docs, minJaccard = 0.3)
+    val jacPlan = jac.queryExecution.executedPlan.toString
+    assert(!jacPlan.toLowerCase.contains("substring"),
+      "shingling leaked above the stage")
+    assert(jac.where(col("doc_a") === 0 && col("doc_b") === 1)
+      .select("jaccard").as[Double].head() == 1.0)
+  }
+
+  test("ivfTopK/semDedup release live centroid checkpoints (no leak)") {
+    val sc = spark.sparkContext
+    // force the DF-resident Lloyd path: nlist > DefaultMaxCollectCentroids,
+    // with ~2 vectors per list so probe candidates exist
+    val nlist = Similarity.DefaultMaxCollectCentroids + 8
+    val n = 2L * nlist
+    val vecs = (0L until n).map { i =>
+      (i, Array((math.cos(i * 0.37) * 2).toFloat,
+        (math.sin(i * 0.53) * 2).toFloat, ((i % 7) - 3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val before = sc.getPersistentRDDs.size
+    val topk = Similarity.ivfTopK(vecs, k = 1, nlist = nlist, nprobe = 2,
+      lloydRounds = 1)
+    assert(topk.count() > 0)
+    val sem = Similarity.semDedup(vecs, threshold = 0.999, nlist = nlist,
+      lloydRounds = 1)
+    assert(sem.count() == n)
+    // the centroid tables' checkpoint blocks must be gone; only the two
+    // pruned-assignment stages (held by the still-referenced results)
+    // may remain
+    val after = sc.getPersistentRDDs.size
+    assert(after - before <= 2,
+      s"leaked checkpoints: $before -> $after persistent RDDs")
+  }
+}
