@@ -33,11 +33,45 @@ object IntelStore {
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val out = fs.create(
       new org.apache.hadoop.fs.Path(s"$path/_graft_meta.json"), true)
+    // ids are arbitrary caller strings: write them JSON-escaped, or a quote
+    // in the id tears the sidecar and load()/validate() silently recover a
+    // truncated id (round-5 review find; inspectJson already escaped)
     out.write(
-      s"""{"database_id":"${db.databaseId}","case_insensitive":${db.caseInsensitive}}"""
+      s"""{"database_id":"${jsonEscape(db.databaseId)}","case_insensitive":${db.caseInsensitive}}"""
         .getBytes("UTF-8"))
     out.close()
   }
+
+  /** Minimal JSON string escape for the sidecar/inspect surfaces. */
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c    => c.toString
+  }
+
+  /** Inverse of [[jsonEscape]] for sidecar read-back. */
+  private def jsonUnescape(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case e => sb.append(e); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Escape-aware sidecar id pattern: `[^"]*` would stop mid-escape and
+    * return a truncated id for escaped quotes/backslashes.
+    */
+  private val SidecarIdRe = "\"database_id\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
 
   def load(spark: SparkSession, path: String): IntelDb = {
     import spark.implicits._
@@ -87,8 +121,8 @@ object IntelStore {
         val in = fs.open(p)
         val txt = new String(in.readAllBytes(), "UTF-8")
         in.close()
-        val id = "\"database_id\":\"([^\"]*)\"".r
-          .findFirstMatchIn(txt).map(_.group(1))
+        val id = SidecarIdRe.findFirstMatchIn(txt)
+          .map(m => jsonUnescape(m.group(1)))
           .getOrElse(sys.error(s"bad store metadata at $path"))
         (id, txt.contains("\"case_insensitive\":true"))
       }
@@ -154,8 +188,8 @@ object IntelStore {
       val in = fs.open(metaPath)
       val txt = new String(in.readAllBytes(), "UTF-8")
       in.close()
-      val sidecarId = "\"database_id\":\"([^\"]*)\"".r
-        .findFirstMatchIn(txt).map(_.group(1))
+      val sidecarId = SidecarIdRe.findFirstMatchIn(txt)
+        .map(m => jsonUnescape(m.group(1)))
       if (sidecarId.isEmpty) errors += "sidecar missing database_id"
       else if (rows.nonEmpty && !rows.forall(_.getString(0) == sidecarId.get))
         errors += s"database_id mismatch: sidecar=${sidecarId.get} vs rows"
@@ -169,12 +203,23 @@ object IntelStore {
         if (IntelDb.classify(entry).isEmpty)
           errors += s"row $i: unclassifiable entry '$entry' " +
             "(invalid forced glob/ip — IntelDb.build would drop it)"
-        val viols = ThreatDbSchema.violations(graft.model.IntelEntry(
-          entry, r.getString(3), r.getString(4), r.getString(5), r.getInt(6)))
-        if (viols.nonEmpty) {
+        // corrupt stores are exactly what validate() diagnoses: a null in
+        // a primitive column must become a reported error, never an NPE
+        // out of Row.getInt (round-5 review find)
+        if (r.isNullAt(6)) {
           schemaFailures += 1
-          viols.foreach(v => errors += s"row $i: $v")
+          errors += s"row $i: null confidence"
+        } else {
+          val viols = ThreatDbSchema.violations(graft.model.IntelEntry(
+            entry, r.getString(3), r.getString(4), r.getString(5),
+            r.getInt(6)))
+          if (viols.nonEmpty) {
+            schemaFailures += 1
+            viols.foreach(v => errors += s"row $i: $v")
+          }
         }
+        if (r.isNullAt(7))
+          errors += s"row $i: null case_insensitive"
       }
     }
     if (strict && rows.nonEmpty) {
@@ -193,7 +238,7 @@ object IntelStore {
           case _ => ()
         }
       }
-      val ciVals = rows.map(_.getBoolean(7)).distinct
+      val ciVals = rows.filterNot(_.isNullAt(7)).map(_.getBoolean(7)).distinct
       if (ciVals.length > 1)
         errors += "inconsistent case_insensitive flag across rows"
     }
@@ -244,12 +289,7 @@ object IntelStore {
   def inspectJson(db: IntelDb): String = {
     val r = inspect(db)
     // database ids are arbitrary caller strings — escape for valid JSON
-    val id = r.databaseId.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c    => c.toString
-    }
+    val id = jsonEscape(r.databaseId)
     s"""{"database_id":"$id","case_insensitive":${r.caseInsensitive},""" +
       s""""entries":${r.entries},"ip_entries":${r.ipEntries},""" +
       s""""literal_entries":${r.literalEntries},"glob_entries":${r.globEntries},""" +

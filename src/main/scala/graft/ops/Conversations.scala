@@ -27,11 +27,18 @@ object Conversations {
     * ordering). Human-readable but NOT injective (a text containing
     * "\nrole: " serializes like a turn boundary), so the dedup fingerprint
     * uses [[digestSerialized]] instead.
+    *
+    * Null role/text render as empty (coalesce): a bare `concat` would be
+    * NULL for the whole line and concat_ws would silently DROP the turn
+    * from the transcript (round-5 review find — the digest path was fixed
+    * for the same null-swallowing hazard; the q55 oracle mirrors the
+    * coalesce).
     */
   private def serialized(arr: Column): Column =
     concat_ws("\n",
       transform(arr, x =>
-        concat(x.getField("role"), lit(": "), x.getField("text"))))
+        concat(coalesce(x.getField("role"), lit("")), lit(": "),
+          coalesce(x.getField("text"), lit("")))))
 
   /** INJECTIVE transcript serialization for fingerprinting: each turn
     * contributes md5(role) || md5(text) — two FIXED-WIDTH digests, so no

@@ -32,7 +32,15 @@ object Sampling {
   /** Assign each row a named split by cumulative weight. `splits` are
     * (name, weight) with weights summing to ~1.0; the LAST split absorbs
     * any floating remainder (its upper bound is 2^60 exactly), so every
-    * row is assigned.
+    * row with a non-null id is assigned.
+    *
+    * NULL ids get a NULL split (round-5 review find): a null id has no
+    * hash point, and the fold's fallback used to funnel the ENTIRE
+    * null-id population into the last declared split — silently skewing a
+    * held-out set — while [[sample]] dropped the same rows. NULL split is
+    * the consistent verdict (`sample`'s `h < bound` is null-false, i.e.
+    * also "no membership"); callers wanting null-id rows in a split must
+    * assign them explicitly.
     */
   def assignSplits(docs: DataFrame, splits: Seq[(String, Double)],
       salt: String = "v1", idCol: String = "doc_id"): DataFrame = {
@@ -45,7 +53,8 @@ object Sampling {
     val expr = bounds.init.foldRight(lit(bounds.last._1): Column) {
       case ((name, bound), rest) => when(h < bound, name).otherwise(rest)
     }
-    docs.withColumn("split", expr)
+    docs.withColumn("split",
+      when(col(idCol).isNull, lit(null).cast("string")).otherwise(expr))
   }
 
   /** (name, exclusive upper bound) pairs in declaration order; the last

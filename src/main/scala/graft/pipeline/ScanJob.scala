@@ -391,8 +391,25 @@ object ScanJob {
     val rowStats = obsRows.get
 
     // --- aggregates over the OUTPUT (all buckets, resume-stable): gold
-    // counts (A10) and global line counts come from the written sinks
-    val routedBack = spark.read.parquet(s"$outDir/routed")
+    // counts (A10) and global line counts come from the written sinks.
+    // A zero-row run (empty daily partition, empty shard) writes only
+    // _SUCCESS — parquet schema inference would throw "Unable to infer
+    // schema" and kill the job before stats/markers. Detect via one cheap
+    // recursive listing and substitute an empty frame with the written
+    // schema (bucket cast to int to match partition-column inference on
+    // the non-empty path) so an empty run still produces its zero-valued
+    // gold_counts/stats/metrics and completion markers.
+    val routedPath = new org.apache.hadoop.fs.Path(s"$outDir/routed")
+    def subtreeHasData(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".") &&
+          (!st.isDirectory || subtreeHasData(st.getPath))
+      }
+    val routedHasData = fs.exists(routedPath) && subtreeHasData(routedPath)
+    val routedBack =
+      if (routedHasData) spark.read.parquet(s"$outDir/routed")
+      else toWrite.limit(0).withColumn("bucket", col("bucket").cast("int"))
     val matchedBack = routedBack.where(col("sink") === "matched")
     if (cfg.ndjson) {
       // per-line timestamp = the turn's event time (deterministic; the

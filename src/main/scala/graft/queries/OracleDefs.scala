@@ -1189,7 +1189,8 @@ object OracleDefs {
       .map { case (n, b) => s"WHEN h < $b THEN '$n'" }
       .mkString(" ")
     s"""SELECT doc_id,
-       |  CASE $cases ELSE '${bounds.last._1}' END AS split
+       |  CASE WHEN doc_id IS NULL THEN NULL
+       |       $cases ELSE '${bounds.last._1}' END AS split
        |FROM (SELECT doc_id,
        |        CAST('0x'||substr(md5('v1:'||doc_id),1,15) AS BIGINT) AS h
        |      FROM documents)
@@ -1213,8 +1214,8 @@ object OracleDefs {
     s"""WITH RECURSIVE t AS ($goldTurnsSql),
        |tr AS (
        |  SELECT conv_id AS doc_id,
-       |         string_agg(role||': '||text, chr(10) ORDER BY turn_idx)
-       |           AS text
+       |         string_agg(coalesce(role,'')||': '||coalesce(text,''),
+       |                    chr(10) ORDER BY turn_idx) AS text
        |  FROM t GROUP BY 1),
        |d AS (SELECT doc_id, text FROM tr
        |      WHERE CAST(string_split(doc_id,'-')[2] AS INT)%10<>0),

@@ -185,7 +185,18 @@ object IntelIngest {
     // byte to decide — feeds are driver-side small by design.
     val multiLine = firstNonWsByte(spark, path) == '['
     val reader = spark.read.option("multiLine", multiLine.toString)
-    val raw = reader.json(path)
+    // empty feeds are legitimate (automation delivering an empty file or
+    // '[]'; IntelStore builds empty databases fine) — json schema
+    // inference throws on them, and '[]' infers zero columns; both become
+    // an empty normalized frame instead of a crash (round-5 review find)
+    val raw =
+      try reader.json(path)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("infer") =>
+          return emptyNormalized(spark)
+      }
+    if (raw.columns.isEmpty) return emptyNormalized(spark)
     val nested = raw.columns.contains("data")
     val flat = if (nested) raw.select(col("key"), col("data.*")) else raw
     val keyCol =
@@ -264,6 +275,19 @@ object IntelIngest {
     * directory) via the Hadoop FS API — works for any Spark-readable
     * location. 0 when empty/unreadable (callers treat that as NDJSON).
     */
+  /** The normalized frame of a zero-entry feed (schema identical to a
+    * normalized non-empty read).
+    */
+  private def emptyNormalized(spark: SparkSession): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("entry",
+        org.apache.spark.sql.types.StringType)))
+    normalize(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      inferStringCells = false)
+  }
+
   private def firstNonWsByte(spark: SparkSession, path: String): Byte = {
     try {
       val p = new org.apache.hadoop.fs.Path(path)

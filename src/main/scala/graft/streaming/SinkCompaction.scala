@@ -67,19 +67,39 @@ object SinkCompaction {
       return CompactStats(0, 0L, 0, 0, recovered)
 
     val srcPaths = sources.map(_._2)
-    val srcFiles = srcPaths.map(dataFiles(fs, _)) // one listing per dir
+    // RECURSIVE listing: StreamingScan's matched/routed sinks partition
+    // INSIDE each batch=N dir (indicator_type=… / sink=…/bucket=…), so a
+    // direct-child listing would see 0 files and 0 bytes (round-5 review
+    // find: sizing collapsed multi-GB partitioned sinks into one file)
+    val srcFiles = srcPaths.map(dataFiles(fs, _))
     val filesBefore = srcFiles.map(_.length).sum
     val totalBytes = srcFiles.flatten.map(_.getLen).sum
     val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
 
     val tmp = new Path(root, TmpName)
     fs.delete(tmp, true)
-    val df = spark.read.parquet(srcPaths.map(_.toString): _*)
+    // preserve the sink's partition layout: the compacted batch dir must
+    // carry the SAME k=v directory chain as the uncompacted ones, or
+    // partition discovery on the sink root fails with "Conflicting
+    // directory structures" and the whole sink becomes unreadable
+    val partCols = partitionKeys(fs, srcPaths.head)
+    // one read PER source dir, unioned: a single multi-path read of
+    // partitioned batch dirs trips Spark's partition inference
+    // (CONFLICTING_DIRECTORY_STRUCTURES — the roots themselves look like
+    // one partitioned table); per-dir discovery then union keeps the
+    // partition values as ordinary columns
+    val df = srcPaths.map(p => spark.read.parquet(p.toString))
+      .reduce(_.unionByName(_))
     // coalesce, not repartition: compaction is a read+write, no shuffle.
     // The row count for the stats comes from the WRITTEN output's parquet
     // footers (metadata-only) — a separate df.count() action would read
-    // every source file a second time, doubling the maintenance window
-    df.coalesce(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // every source file a second time, doubling the maintenance window.
+    // With partition columns, nFiles bounds the TASK count; each task
+    // writes one file per partition value it holds, so file sizing is
+    // approximate for partitioned sinks (bounded by tasks x partitions).
+    val writer = df.coalesce(nFiles).write.mode(SaveMode.Overwrite)
+    (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
+      .parquet(tmp.toString)
     val rows = spark.read.parquet(tmp.toString).count()
     val target = sources.head._1 // smallest compacted batch id keeps its name
     writeManifest(fs, tmp, target, sources.map(_._1))
@@ -170,11 +190,46 @@ object SinkCompaction {
       .map { case (_, name, p) => (name, p) }
   }
 
-  private def dataFiles(fs: FileSystem, dir: Path) =
-    fs.listStatus(dir).toSeq.filter { st =>
+  /** All data files under `dir`, RECURSIVELY — batch dirs of partitioned
+    * sinks nest their files under k=v subdirectories. Plain listStatus
+    * recursion (not FileSystem.listFiles): the block-location enrichment
+    * of listLocatedStatus is useless here and not all FS shims implement
+    * it faithfully.
+    */
+  private def dataFiles(fs: FileSystem, dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+    def walk(d: Path): Unit = fs.listStatus(d).foreach { st =>
       val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      if (!n.startsWith("_") && !n.startsWith(".")) {
+        if (st.isDirectory) walk(st.getPath) else out += st
+      }
     }
+    walk(dir)
+    out.result()
+  }
+
+  /** The k=v partition-directory chain under a batch dir (empty for flat
+    * sinks) — the layout the compacted replacement must reproduce.
+    */
+  private def partitionKeys(fs: FileSystem, dir: Path): Seq[String] = {
+    val keys = Seq.newBuilder[String]
+    var cur = dir
+    var done = false
+    while (!done) {
+      val kv = fs.listStatus(cur).find { st =>
+        val n = st.getPath.getName
+        st.isDirectory && !n.startsWith("_") && !n.startsWith(".") &&
+          n.contains('=')
+      }
+      kv match {
+        case Some(st) =>
+          keys += st.getPath.getName.takeWhile(_ != '=')
+          cur = st.getPath
+        case None => done = true
+      }
+    }
+    keys.result()
+  }
 
   private def writeManifest(fs: FileSystem, tmp: Path, target: String,
       sources: Seq[String]): Unit = {

@@ -46,7 +46,12 @@ object StreamingScan {
         // the batch — Overwrite of batch=<id> is idempotent (the same
         // rule StreamingDedup's sinks follow), and the batch=N layout is
         // what SinkCompaction folds
+        // drop the NDJSON renderings (extra_json/data_json): this sink has
+        // no NDJSON consumer, and keeping them stores the extras payload
+        // three times per matched row on every micro-batch forever — the
+        // same rule the batch run() and routedStream apply
         ScanJob.matched(batch, dbs, spark)
+          .drop("extra_json", "data_json")
           .write.mode(SaveMode.Overwrite)
           .partitionBy("indicator_type")
           .parquet(s"$outDir/matched_stream/batch=$batchId")
@@ -177,20 +182,40 @@ object StreamingScan {
             state.remove()
             Iterator.single(done)
           } else {
+            // sessionization must not depend on micro-batch boundaries: an
+            // AvailableNow drain (or a slow trigger) can deliver turns
+            // separated by MORE than idleGap in one batch, and blindly
+            // folding them would merge sessions a continuous deployment
+            // (separate batches, watermark advance between) emits as two.
+            // Sort the batch's rows by event time and SPLIT on every
+            // in-batch gap > idleGap, emitting the finished sessions now;
+            // only the newest session stays in state. (Late rows inside
+            // the watermark that precede the open session's last turn
+            // still fold into it — cross-batch lateness keeps the same
+            // merge semantics as before.) Buffering is bounded by one
+            // conversation's turns per batch.
             val prev = state.getOption
-              .getOrElse(ConvState(convId, 0L, 0L, Long.MaxValue, 0L))
-            var turns = prev.turns
-            var withCands = prev.turnsWithCandidates
-            var first = prev.firstTs
-            var last = prev.lastTs
-            rows.foreach { case (_, ts, has) =>
+            val finished = List.newBuilder[ConvState]
+            var cur = prev
+            rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, has) =>
               val tsS = ts.getTime / 1000
-              turns += 1
-              if (has) withCands += 1
-              if (tsS < first) first = tsS
-              if (tsS > last) last = tsS
+              val cand = if (has) 1L else 0L
+              cur match {
+                case Some(c) if tsS * 1000L > c.lastTs * 1000L + idleGapMs =>
+                  finished += c
+                  cur = Some(ConvState(convId, 1L, cand, tsS, tsS))
+                case Some(c) =>
+                  cur = Some(ConvState(convId, c.turns + 1,
+                    c.turnsWithCandidates + cand,
+                    math.min(c.firstTs, tsS), math.max(c.lastTs, tsS)))
+                case None =>
+                  cur = Some(ConvState(convId, 1L, cand, tsS, tsS))
+              }
             }
-            state.update(ConvState(convId, turns, withCands, first, last))
+            val open = cur.getOrElse(
+              prev.getOrElse(ConvState(convId, 0L, 0L, Long.MaxValue, 0L)))
+            val last = open.lastTs
+            state.update(open)
             // finalize once the watermark passes lastTs + idleGap. Clamped
             // to watermark+1 (the startTtl rule): lastTs is truncated to
             // seconds, so a small idleGapMs could compute a timestamp
@@ -199,7 +224,7 @@ object StreamingScan {
             state.setTimeoutTimestamp(
               math.max(last * 1000L + idleGapMs,
                 state.getCurrentWatermarkMs() + 1))
-            Iterator.empty
+            finished.result().iterator
           }
       }
     finalized.writeStream

@@ -245,4 +245,52 @@ class IntelStoreSpec extends AnyFunSuite {
     // unreadable path = structural error, not an exception
     assert(!IntelStore.validate(spark, "/nonexistent/store").ok)
   }
+
+  test("sidecar JSON-escapes database ids; empty-store load round-trips a " +
+    "quoted id (round-5 find)") {
+    import graft.model.IntelEntry
+    import java.nio.file.Files
+    val id = "feed\"x\\y"
+    // empty db: load() must recover the id from the sidecar alone
+    val db = IntelDb.build(id, Seq.empty[IntelEntry])
+    val path = Files.createTempDirectory("vstore-esc").toString + "/db"
+    IntelStore.save(spark, db, path)
+    val loaded = IntelStore.load(spark, path)
+    assert(loaded.databaseId == id,
+      s"sidecar id round-trip broken: got '${loaded.databaseId}'")
+    assert(IntelStore.validate(spark, path).ok)
+    // non-empty store with the same id: validate must not report a
+    // spurious sidecar-vs-rows mismatch
+    val db2 = IntelDb.build(id,
+      Seq(IntelEntry("evil.example.com", "high", "c2", "s", 50)))
+    val path2 = Files.createTempDirectory("vstore-esc2").toString + "/db"
+    IntelStore.save(spark, db2, path2)
+    val r2 = IntelStore.validate(spark, path2)
+    assert(r2.ok, s"unexpected errors: ${r2.errors}")
+  }
+
+  test("validate reports null confidence as an error instead of an NPE " +
+    "(round-5 find)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    val path = Files.createTempDirectory("vstore-null").toString + "/db"
+    // hand-write a corrupt store: null confidence + null case_insensitive
+    val schema = StructType(Seq(
+      StructField("database_id", StringType), StructField("entry", StringType),
+      StructField("entry_type", StringType),
+      StructField("threat_level", StringType),
+      StructField("category", StringType), StructField("source", StringType),
+      StructField("confidence", IntegerType),
+      StructField("case_insensitive", BooleanType)))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row("d", "evil.com", "literal", "high", "c2", "s",
+        null, null))
+    spark.createDataFrame(rows, schema)
+      .write.mode("overwrite").parquet(path)
+    val r = IntelStore.validate(spark, path)
+    assert(!r.ok)
+    assert(r.errors.exists(_.contains("null confidence")), r.errors)
+    assert(r.errors.exists(_.contains("null case_insensitive")), r.errors)
+  }
+
 }

@@ -97,4 +97,16 @@ class ConversationsSpec extends AnyFunSuite {
     assert(out(1).getAs[String]("canonical_conv_id") == "c2")
     assert(out(1).getAs[Long]("n_convs") == 1L)
   }
+
+  test("transcriptText renders null-field turns instead of dropping them " +
+    "(round-5 find)") {
+    val turns = Seq(
+      ("c1", 0, "user", "hi", "", "2024-01-01T00:00:00Z"),
+      ("c1", 1, "assistant", null, "", "2024-01-01T00:00:01Z")
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val t = Conversations.transcriptText(turns).collect().head.getString(1)
+    assert(t == "user: hi\nassistant: ",
+      s"null-text turn must stay in the transcript, got: $t")
+  }
+
 }

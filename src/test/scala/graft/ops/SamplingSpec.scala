@@ -66,4 +66,18 @@ class SamplingSpec extends AnyFunSuite {
     val frac = kept.count(trainIds.contains).toDouble / kept.size
     assert(frac > 0.7 && frac < 0.9, s"coupled draws? train frac $frac")
   }
+
+  test("null ids: NULL split from assignSplits, dropped by sample — " +
+    "consistent verdicts (round-5 find)") {
+    val docs = Seq(Some(1L), None, Some(2L)).toDF("doc_id")
+    val assigned = Sampling.assignSplits(docs, splits).collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+        Option(r.getString(1))).toMap
+    assert(assigned(None).isEmpty,
+      "a null id must get a NULL split, never the last declared one")
+    assert(assigned(Some(1L)).nonEmpty && assigned(Some(2L)).nonEmpty)
+    // sample keeps everything at rate 1.0 EXCEPT null ids (no hash point)
+    assert(Sampling.sample(docs, 1.0).count() == 2L)
+  }
+
 }

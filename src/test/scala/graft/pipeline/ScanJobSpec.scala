@@ -325,4 +325,26 @@ class ScanJobSpec extends AnyFunSuite {
     assert(!stats.contains("candidates_domain"), stats.toString)
     assert(stats("total_matches") == 1L, stats.toString)
   }
+
+  test("empty input: run() completes with zero stats and completion " +
+    "markers instead of a schema-inference crash (round-5 find)") {
+    val out = Files.createTempDirectory("graft-scan-empty").toString
+    val empty = turnsDf.limit(0)
+    val stats = ScanJob.run(spark, empty, dbs, out,
+      ScanJob.RunConfig(buckets = 4, runId = "empty-run"))
+    assert(stats("total_matches") == 0L)
+    assert(stats("lines_processed") == 0L)
+    // the job must still write its sinks and mark every bucket done so a
+    // scheduled rerun resumes cleanly
+    assert(spark.read.parquet(s"$out/gold_counts").count() == 0L)
+    assert(spark.read.parquet(s"$out/stats").count() > 0L)
+    val doneDir = new java.io.File(s"$out/_buckets_done")
+    assert(doneDir.exists &&
+      doneDir.listFiles().count(!_.getName.startsWith(".")) == 4)
+    // and a resumed run over real data still works after the empty one
+    val stats2 = ScanJob.run(spark, turnsDf, dbs, out,
+      ScanJob.RunConfig(buckets = 4, runId = "real-run"))
+    assert(stats2("total_matches") > 0L)
+  }
+
 }

@@ -191,4 +191,18 @@ class IntelIngestSpec extends AnyFunSuite {
       Set("1.2.3.4", "malware.example.org", "*.evil.net"))
     assert(entries.forall(_.threat_level == "unknown"))
   }
+
+  test("json feed: empty file and bare [] yield an empty normalized " +
+    "frame, not a schema-inference crash (round-5 find)") {
+    val dir = Files.createTempDirectory("intel-json-empty")
+    Files.writeString(dir.resolve("empty.json"), "")
+    val e1 = IntelIngest.toEntries(
+      IntelIngest.readJson(spark, dir.toString + "/empty.json"))
+    assert(e1.isEmpty)
+    Files.writeString(dir.resolve("arr.json"), "[]")
+    val e2 = IntelIngest.toEntries(
+      IntelIngest.readJson(spark, dir.toString + "/arr.json"))
+    assert(e2.isEmpty)
+  }
+
 }

@@ -73,6 +73,37 @@ class SinkCompactionSpec extends AnyFunSuite {
     assert(ids(deduped) == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("compact preserves a partitioned batch layout (round-5 find: " +
+    "StreamingScan sinks partition inside batch dirs)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("compact-part").toString +
+      "/matched_stream"
+    def write(batch: Long, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "indicator_type").write
+        .mode("overwrite").partitionBy("indicator_type")
+        .parquet(s"$root/batch=$batch")
+    write(0, Seq((1L, "ipv4"), (2L, "domain")))
+    write(1, Seq((3L, "ipv4")))
+    write(2, Seq((4L, "email"))) // newest: replay guard, untouched
+    def rows(): Set[(Long, String)] = spark.read.parquet(root)
+      .select("doc_id", "indicator_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val before = rows()
+    val stats = SinkCompaction.compact(spark, root)
+    assert(stats.batchesCompacted == 2)
+    assert(stats.rowsCompacted == 3L)
+    // the recursive listing must SEE the nested files (the direct-child
+    // form read 0 files / 0 bytes and sized everything into one file)
+    assert(stats.filesBefore > 0)
+    // the compacted dir must reproduce the k=v chain, or partition
+    // discovery on the sink root dies with conflicting structures
+    val compacted = new java.io.File(s"$root/batch=0")
+    assert(compacted.listFiles().exists(f =>
+      f.isDirectory && f.getName.startsWith("indicator_type=")),
+      s"compacted dir lost the partition layout: ${compacted.list().toSeq}")
+    assert(rows() == before, "row set (incl. partition values) preserved")
+  }
+
   test("recovery completes a compaction interrupted mid-swap (manifest " +
     "committed, one source moved, one not)") {
     import spark.implicits._

@@ -163,6 +163,45 @@ class StreamingScanSpec extends AnyFunSuite {
     assert(!f.contains("c9"), s"c9 is still active: $f")
   }
 
+  test("in-batch idle gaps split sessions (round-5 find: sessionization " +
+    "must not depend on micro-batch boundaries)") {
+    val inDir = Files.createTempDirectory("stream-gap-in").toString
+    val outDir = Files.createTempDirectory("stream-gap-out").toString
+    def turnAt(conv: String, idx: Int, ts: String, text: String): String =
+      s"""{"conv_id":"$conv","turn_idx":$idx,"role":"user","text":"$text","tool":"","ts":"$ts"}"""
+    def drain(): Unit = awaitOrFail(
+      StreamingScan.conversationStateEventTime(spark, inDir, outDir,
+        watermarkDelay = "5 seconds", idleGapMs = 10000L))
+    def sessions(): Seq[(String, Long)] =
+      try spark.read.parquet(s"$outDir/conv_state_final")
+        .collect().map(r => r.getAs[String]("conv_id") ->
+          r.getAs[Long]("turns")).toSeq.sorted
+      catch { case _: Throwable => Seq.empty }
+
+    // ONE drain delivers turns of the same conversation separated by five
+    // minutes (idleGap = 10 s): a continuous deployment would emit two
+    // sessions, so the AvailableNow drain must too — the first session
+    // finalizes IN this batch
+    Files.writeString(java.nio.file.Paths.get(inDir, "g1.json"),
+      turnAt("c1", 0, "2024-01-01T00:00:01.000Z", "one") + "\n" +
+        turnAt("c1", 1, "2024-01-01T00:00:02.000Z", "two") + "\n" +
+        turnAt("c1", 2, "2024-01-01T00:05:00.000Z", "much later") + "\n")
+    drain()
+    assert(sessions() == Seq("c1" -> 2L),
+      s"gap-split first session must finalize in-batch: ${sessions()}")
+
+    // watermark advance finalizes the still-open second session
+    Files.writeString(java.nio.file.Paths.get(inDir, "g2.json"),
+      turnAt("c9", 0, "2024-01-01T00:20:00.000Z", "later era") + "\n")
+    drain()
+    Files.writeString(java.nio.file.Paths.get(inDir, "g3.json"),
+      turnAt("c9", 1, "2024-01-01T00:20:01.000Z", "tick") + "\n")
+    drain()
+    assert(sessions().count(_ == ("c1" -> 1L)) == 1 &&
+      sessions().count(_ == ("c1" -> 2L)) == 1,
+      s"expected two finalized c1 sessions (2 turns, then 1): ${sessions()}")
+  }
+
   test("streaming exact dedup: first fingerprint wins across micro-batches") {
     val inDir = Files.createTempDirectory("stream-d-in").toString
     val outDir = Files.createTempDirectory("stream-d-out").toString
