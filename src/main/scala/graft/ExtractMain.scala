@@ -75,10 +75,20 @@ object ExtractMain {
   /** The extract job itself (main minus session lifecycle, testable). */
   def run(spark: SparkSession, inPath: String, outPath: String,
       format: String, unique: Boolean, config: ScanConfig): Unit = {
+    // directory sniffing must go through the Hadoop FS of the PATH, not
+    // java.io.File: a remote parquet directory (hdfs://, s3a://) is not a
+    // local dir, and the local-only check silently fell through to
+    // spark.read.text — scanning raw parquet bytes as lines (round-5 find)
+    def isDir(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      try fs.getFileStatus(hp).isDirectory
+      catch { case _: java.io.FileNotFoundException => false }
+    }
     val turns =
       if (inPath == "-") graft.sources.StdinSource.readTurns(spark)
-      else if (inPath.endsWith(".parquet") || new java.io.File(inPath)
-          .isDirectory) spark.read.parquet(inPath)
+      else if (inPath.endsWith(".parquet") || isDir(inPath))
+        spark.read.parquet(inPath)
       else spark.read.text(inPath).withColumnRenamed("value", "text")
     val cands = turns
       .select(explode(GraftFunctions.extract_iocs(col("text"), config))

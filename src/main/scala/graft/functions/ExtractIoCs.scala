@@ -56,13 +56,19 @@ object ExtractIoCs {
 
   private val EMPTY: ArrayData = new GenericArrayData(Array.empty[Any])
   // interned indicator-type UTF8Strings (12 constants; avoids a per-
-  // candidate conversion + allocation)
-  private val typeInterned: java.util.HashMap[String, UTF8String] = {
+  // candidate conversion + allocation). SHARED single source for every
+  // scan expression (ScanTurn/ScanTurnFlat/IntelLookup*) — a new
+  // indicator type is interned in exactly one place.
+  private[functions] val typeInterned: java.util.HashMap[String, UTF8String] = {
     val m = new java.util.HashMap[String, UTF8String]()
     graft.model.IndicatorType.all.foreach(t =>
       m.put(t, UTF8String.fromString(t)))
     m
   }
+
+  /** Shared match_type constants (ip vs pattern/literal/glob families). */
+  private[functions] val IP = UTF8String.fromString("ip")
+  private[functions] val PATTERN = UTF8String.fromString("pattern")
 
   /** Per-row thread scratch behind ONE ThreadLocal (text-copy buffer,
     * candidate buffer, and ScanTurn's hit-row buffer): the per-row copies/

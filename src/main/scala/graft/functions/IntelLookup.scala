@@ -58,8 +58,8 @@ object IntelLookup {
   ))
   val schema: DataType = ArrayType(elementSchema, containsNull = false)
 
-  private val IP = UTF8String.fromString("ip")
-  private val PATTERN = UTF8String.fromString("pattern")
+  private val IP = ExtractIoCs.IP
+  private val PATTERN = ExtractIoCs.PATTERN
   private val EMPTY = new GenericArrayData(Array.empty[Any])
 
   def lookup(db: IntelDb, value: UTF8String, itype: UTF8String): ArrayData = {

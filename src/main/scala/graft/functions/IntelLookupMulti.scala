@@ -60,8 +60,8 @@ object IntelLookupMulti {
   ))
   val schema: DataType = ArrayType(elementSchema, containsNull = false)
 
-  private val IP = UTF8String.fromString("ip")
-  private val PATTERN = UTF8String.fromString("pattern")
+  private val IP = ExtractIoCs.IP
+  private val PATTERN = ExtractIoCs.PATTERN
   private val EMPTY = new GenericArrayData(Array.empty[Any])
   private val IPV4 = UTF8String.fromString(T.Ipv4)
   private val IPV6 = UTF8String.fromString(T.Ipv6)

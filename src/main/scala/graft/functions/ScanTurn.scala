@@ -6,7 +6,7 @@ import graft.model.{IndicatorType => T}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.types._
@@ -35,9 +35,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * codegen like ExtractIoCs / IntelLookupMulti.
   */
 case class ScanTurn(child: Expression, dbs: BcHandle[Array[IntelDb]],
-    config: ScanConfig) extends UnaryExpression {
+    config: ScanConfig)
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   @transient private lazy val scanner = new IocScanner(config)
+
+  // analysis-time input check, like every sibling scan expression: a
+  // non-string child must fail analysis, not ClassCastException per task
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = ScanTurn.schema
   override def nullable: Boolean = child.nullable
@@ -75,8 +80,8 @@ object ScanTurn {
 
   private val CAND = UTF8String.fromString("cand")
   private val CLEAN = UTF8String.fromString("clean")
-  private val IP = UTF8String.fromString("ip")
-  private val PATTERN = UTF8String.fromString("pattern")
+  private val IP = ExtractIoCs.IP
+  private val PATTERN = ExtractIoCs.PATTERN
   private val EMPTY_HITS: ArrayData = new GenericArrayData(Array.empty[Any])
   // one immutable clean-marker row shared by all threads (read-only)
   private val CLEAN_ROW: InternalRow = {
@@ -86,11 +91,7 @@ object ScanTurn {
     row
   }
   private val CLEAN_ONLY: ArrayData = new GenericArrayData(Array[Any](CLEAN_ROW))
-  private val typeInterned: java.util.HashMap[String, UTF8String] = {
-    val m = new java.util.HashMap[String, UTF8String]()
-    T.all.foreach(t => m.put(t, UTF8String.fromString(t)))
-    m
-  }
+  private def typeInterned = ExtractIoCs.typeInterned
 
   // hit-row scratch rides ExtractIoCs.RowScratch (one ThreadLocal get per
   // turn): the common case is 0-4 hits, and a fresh ArrayBuffer per

@@ -5,7 +5,7 @@ import graft.intel.{BcHandle, CleanPreScreen, IntelDb}
 import graft.model.{IndicatorType => T}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.{ColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.types._
@@ -27,9 +27,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class ScanTurnFlat(child: Expression, dbs: BcHandle[Array[IntelDb]],
     config: ScanConfig, screen: BcHandle[CleanPreScreen] = null)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
 
   @transient private lazy val scanner = new IocScanner(config)
+
+  // analysis-time input check, like every sibling scan expression: a
+  // non-string child must fail analysis, not ClassCastException per task
+  override def inputTypes: Seq[DataType] = Seq(StringType)
 
   override def dataType: DataType = ScanTurnFlat.schema
   override def nullable: Boolean = child.nullable
@@ -74,14 +78,10 @@ object ScanTurnFlat {
   ))
   val schema: DataType = ArrayType(elementSchema, containsNull = false)
 
-  private val IP = UTF8String.fromString("ip")
-  private val PATTERN = UTF8String.fromString("pattern")
+  private val IP = ExtractIoCs.IP
+  private val PATTERN = ExtractIoCs.PATTERN
   private val EMPTY: ArrayData = new GenericArrayData(Array.empty[Any])
-  private val typeInterned: java.util.HashMap[String, UTF8String] = {
-    val m = new java.util.HashMap[String, UTF8String]()
-    T.all.foreach(t => m.put(t, UTF8String.fromString(t)))
-    m
-  }
+  private def typeInterned = ExtractIoCs.typeInterned
 
   private def matchRow(tpe: UTF8String, value: UTF8String,
       matchedText: UTF8String, spanStart: Int, spanEnd: Int, d: Int,

@@ -279,15 +279,21 @@ object MediaCodecs {
       .getImageWritersByFormatName("gif").next()
     val baos = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
-    writer.setOutput(ios)
-    writer.prepareWriteSequence(null)
-    frames.foreach { f =>
-      writer.writeToSequence(
-        new javax.imageio.IIOImage(bmpToBuffered(f), null, null), null)
+    // try/finally like every other ImageIO site in this file: a throwing
+    // writeToSequence on a long-lived executor must not leak the writer's
+    // native cache resources or the output stream
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { f =>
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(bmpToBuffered(f), null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
     }
-    writer.endWriteSequence()
-    writer.dispose()
-    ios.close()
     baos.toByteArray
   }
 

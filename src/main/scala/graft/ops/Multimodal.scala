@@ -55,27 +55,28 @@ object Multimodal {
     * implementation would hand each partition's batch to a codec; the
     * batching/partitioning shape here is the real contract.
     */
+  /** Header parse of one row — shared by [[decodeMeta]] and [[withMeta]].
+    * Route, never die: a null or <4-byte payload (truncated upload) has no
+    * parsable header — emit the zero-dimension meta row the downstream
+    * filters treat as undecodable, like decodeFeatures.
+    */
+  private def metaOf(m: MediaRow): MediaMeta =
+    if (m.payload == null || m.payload.length < 4)
+      MediaMeta(m.media_id, m.kind,
+        if (m.payload == null) 0 else m.payload.length, 0, 0, 0)
+    else {
+      val w = ((m.payload(0) & 0xff) << 8) | (m.payload(1) & 0xff)
+      val h = ((m.payload(2) & 0xff) << 8) | (m.payload(3) & 0xff)
+      val frames =
+        if (m.kind == "video") math.max(1, (m.payload.length - 8) / 64)
+        else 1
+      MediaMeta(m.media_id, m.kind, m.payload.length, w, h, frames)
+    }
+
   def decodeMeta(media: Dataset[MediaRow]): Dataset[MediaMeta] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { batch =>
-      // per-partition setup cost amortized over the batch (codec init here)
-      batch.map { m =>
-        // route, never die: a null or <4-byte payload (truncated upload)
-        // has no parsable header — emit the zero-dimension meta row the
-        // downstream filters treat as undecodable, like decodeFeatures
-        if (m.payload == null || m.payload.length < 4)
-          MediaMeta(m.media_id, m.kind,
-            if (m.payload == null) 0 else m.payload.length, 0, 0, 0)
-        else {
-          val w = ((m.payload(0) & 0xff) << 8) | (m.payload(1) & 0xff)
-          val h = ((m.payload(2) & 0xff) << 8) | (m.payload(3) & 0xff)
-          val frames =
-            if (m.kind == "video") math.max(1, (m.payload.length - 8) / 64)
-            else 1
-          MediaMeta(m.media_id, m.kind, m.payload.length, w, h, frames)
-        }
-      }
-    }
+    // per-partition setup cost amortized over the batch (codec init here)
+    media.mapPartitions(_.map(metaOf))
   }
 
   /** Frame sampling: every `stride`-th 64-byte block of a video payload —
@@ -269,6 +270,11 @@ object Multimodal {
     */
   def resizeImages(media: Dataset[MediaRow], w: Int, h: Int)
       : Dataset[MediaRow] = {
+    // fail fast on the driver (the module's sampleFrames convention): a
+    // negative dimension would otherwise surface as a per-task
+    // NegativeArraySizeException inside resizeBmp, and 0 would silently
+    // emit degenerate zero-pixel "images"
+    require(w > 0 && h > 0, s"target dimensions must be positive: ${w}x$h")
     import media.sparkSession.implicits._
     media.mapPartitions { batch =>
       batch.map { m =>
@@ -285,12 +291,18 @@ object Multimodal {
 
   /** DataFrame view with metadata attached — the shape a downstream
     * training-data pipeline consumes (binary + struct metadata columns).
+    * ONE pass: payload and parsed header travel in the same row (the old
+    * self-join against decodeMeta evaluated the media source — synthesis
+    * or decode — twice; round-5 review find).
     */
   def withMeta(spark: SparkSession, media: Dataset[MediaRow]): DataFrame = {
-    val meta = decodeMeta(media)
-    media.toDF().join(meta.toDF().drop("kind"), Seq("media_id"))
-      .withColumn("meta",
-        struct(col("byte_len"), col("width"), col("height"), col("n_frames")))
-      .select("media_id", "kind", "payload", "meta")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      val mm = metaOf(m)
+      (m.media_id, m.kind, m.payload,
+        (mm.byte_len, mm.width, mm.height, mm.n_frames))
+    }).toDF("media_id", "kind", "payload", "meta")
+      .withColumn("meta", col("meta").cast(
+        "struct<byte_len:int,width:int,height:int,n_frames:int>"))
   }
 }

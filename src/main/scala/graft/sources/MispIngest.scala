@@ -72,9 +72,20 @@ object MispIngest {
         // to_ids actionability bit, analyst comment, unix timestamp, and
         // event tags merged with attribute tags (event first, like the
         // reference's base_metadata + attribute-tag append)
-        val toIds = Option(a.get("to_ids"))
-          .filter(n => n.isBoolean || n.isTextual || n.isNumber)
-          .map(_.asBoolean(false))
+        // string-boolean exports ("1"/"0") must not collapse to false:
+        // Jackson's TextNode.asBoolean parses only "true"/"false", so "1"
+        // would be recorded as explicitly non-actionable and a to_ids=true
+        // filter would drop every actionable indicator of such a feed
+        val toIds = Option(a.get("to_ids")).flatMap { n =>
+          if (n.isBoolean) Some(n.asBoolean())
+          else if (n.isNumber) Some(n.asInt() != 0)
+          else if (n.isTextual) n.asText().trim.toLowerCase match {
+            case "1" | "true"  => Some(true)
+            case "0" | "false" => Some(false)
+            case _             => None
+          }
+          else None
+        }
         val comment = Option(a.get("comment")).map(_.asText())
           .filter(_.nonEmpty).getOrElse("")
         val ts = Option(a.get("timestamp")).map(_.asLong(-1L)).getOrElse(-1L)
@@ -101,8 +112,13 @@ object MispIngest {
             add(value)
           case t if hashTypes.contains(t) => add(value)
           case t if t.startsWith("filename|") =>
-            val parts = value.split('|')
-            if (parts.length == 2) { add(parts(0)); add(parts(1)) }
+            // split at the LAST '|': the hash is always the final
+            // component, and a filename may itself contain '|' — the old
+            // exactly-2-parts guard dropped BOTH entries for such values
+            val cut = value.lastIndexOf('|')
+            if (cut > 0 && cut < value.length - 1) {
+              add(value.substring(0, cut)); add(value.substring(cut + 1))
+            }
           case "email" | "email-src" | "email-dst" | "email-reply-to" =>
             add(value)
           case _ => // unsupported attribute types skipped
@@ -112,17 +128,31 @@ object MispIngest {
     out.toSeq
   }
 
-  /** Domain portion of a URL: strip scheme, cut at first / ? # : */
+  /** Host portion of a URL: strip scheme, cut the authority at the first
+    * / ? #, drop userinfo (…@), then strip the port — honoring IPv6
+    * bracket literals (`http://[2001:db8::1]:8080/x` yields 2001:db8::1,
+    * which classifies as an ip entry; the old first-':' cut emitted the
+    * garbage literal "[2001" and `user:pass@host` URLs emitted "user").
+    */
   def domainFromUrl(url: String): Option[String] = {
     val trimmed = url.trim
     val noProto = {
       val i = trimmed.indexOf("://")
       if (i >= 0) trimmed.substring(i + 3) else trimmed
     }
-    val end = noProto.indexWhere(c => c == '/' || c == '?' || c == '#' ||
-      c == ':')
-    val domain = if (end >= 0) noProto.substring(0, end) else noProto
-    if (domain.nonEmpty) Some(domain) else None
+    val authEnd = noProto.indexWhere(c => c == '/' || c == '?' || c == '#')
+    val auth = if (authEnd >= 0) noProto.substring(0, authEnd) else noProto
+    val at = auth.lastIndexOf('@')
+    val hostPort = if (at >= 0) auth.substring(at + 1) else auth
+    val host =
+      if (hostPort.startsWith("[")) {
+        val close = hostPort.indexOf(']')
+        if (close > 1) hostPort.substring(1, close) else ""
+      } else {
+        val colon = hostPort.indexOf(':')
+        if (colon >= 0) hostPort.substring(0, colon) else hostPort
+      }
+    if (host.nonEmpty) Some(host) else None
   }
 
   def readFile(path: String): Seq[IntelEntry] =

@@ -111,4 +111,26 @@ class ReviewFixesSpec extends AnyFunSuite {
     assert(after - before <= 2,
       s"leaked checkpoints: $before -> $after persistent RDDs")
   }
+
+  test("scan_turn/scan_turn_flat reject non-string children at analysis " +
+    "time (round-5 find)") {
+    import graft.intel.IntelDb
+    import graft.model.IntelEntry
+    val dbs = Seq(
+      IntelDb.build("t", Seq(IntelEntry("evil.com", "high", "c", "s", 9))))
+    val df = Seq((1, "see evil.com")).toDF("n", "text")
+    // string child fine
+    assert(df.select(explode(graft.functions.ScanTurn.column(col("text"),
+      dbs)).as("r")).count() > 0)
+    // int child must fail ANALYSIS (or implicit-cast), never a per-task
+    // ClassCastException; Column construction + analysis happens eagerly
+    // on the action
+    val bad = df.select(graft.functions.ScanTurnFlat.column(col("n"), dbs))
+    val ok =
+      try { bad.collect(); true }
+      catch { case _: org.apache.spark.sql.AnalysisException => true
+              case _: ClassCastException => false }
+    assert(ok, "non-string child raised ClassCastException at runtime")
+  }
+
 }
