@@ -73,21 +73,50 @@ object Bench {
     s
   }
 
+  /** Cache path of the materialized transcript table: keyed by row count
+    * AND a content tag of the fixture generator, so editing Fixtures.turn
+    * invalidates the cache instead of silently benching the OLD fixture
+    * (round-5 review find). Shared by Bench/BenchCluster/HotMain/ProfMain.
+    */
+  private[graft] def turnsPath(nTurns: Long): String = {
+    val probe = (0L until 4L)
+      .map(i => Fixtures.turn(i * 997, 4096).toString).mkString("|")
+    val tag = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(probe))
+    s"/tmp/graft-bench-turns-$nTurns-$tag"
+  }
+
   /** Materialize the deterministic transcript table to parquet ONCE —
     * input prep is not scan work; the benchmarked job is the real shape:
-    * table scan -> extract -> enrich -> count (S1..A5).
+    * table scan -> extract -> enrich -> count (S1..A5). Concurrent-driver
+    * safe: each writer builds into its own temp dir and installs it with
+    * one atomic rename; the loser of a race deletes its copy and reads
+    * the winner's (the old write.mode(overwrite)-into-the-shared-path let
+    * one driver delete the directory under another's in-flight read).
     */
   private[graft] def materializeTurns(nTurns: Long, cores: Int): String = {
-    val dir = s"/tmp/graft-bench-turns-$nTurns"
+    val dir = turnsPath(nTurns)
     if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      val tmp = s"$dir.build-${ProcessHandle.current().pid()}"
+      // only stop the session if WE created it — a caller with a live
+      // session (HotMain) gets that same session back from getOrCreate
+      val preExisting = org.apache.spark.sql.SparkSession.getActiveSession
       val spark = newSession(cores)
       import spark.implicits._
       // 8 files per core: a single wave of core-count tasks would leave
       // cores idle behind stragglers at the high parallelism level
       spark.range(0L, nTurns, 1L, cores * 8)
         .map(i => Fixtures.turn(i, nTurns)).toDF()
-        .write.mode("overwrite").parquet(dir)
-      spark.stop()
+        .write.mode("overwrite").parquet(tmp)
+      if (!preExisting.contains(spark)) spark.stop()
+      if (!new java.io.File(tmp).renameTo(new java.io.File(dir))) {
+        // another driver installed first — use theirs, drop ours
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(tmp))
+      }
     }
     dir
   }
@@ -152,6 +181,31 @@ object Bench {
     val s = xs.sorted
     val n = s.length
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  /** Stall-discard rule (asymmetric-noise guard): windows more than 3x
+    * BELOW their level's own median are transient host stalls (noisy
+    * neighbor / cold page cache), not steady state. ONE definition shared
+    * by Bench and BenchCluster so the two headline estimators can never
+    * drift apart (round-5 review find — the rule was copy-pasted). Only
+    * sub-median outliers are removed (a too-fast window cannot be a stall
+    * artifact). Returns (kept, droppedCount).
+    */
+  private[graft] def discardStalls(xs: Seq[Double]): (Seq[Double], Int) = {
+    val m = median(xs)
+    val kept = xs.filter(_ >= m / 3.0)
+    (kept, xs.length - kept.length)
+  }
+
+  /** Round-kept mask for the per-round efficiency estimator: a round is
+    * kept iff NEITHER of its paired windows stalled >3x below its level's
+    * median. Shared by Bench and BenchCluster (same single-source rationale
+    * as [[discardStalls]]).
+    */
+  private[graft] def keptRoundMask(lo: Seq[Double],
+      hi: Seq[Double]): Seq[Boolean] = {
+    val (ml, mh) = (median(lo), median(hi))
+    lo.zip(hi).map { case (l, h) => l >= ml / 3.0 && h >= mh / 3.0 }
   }
 
   /** Pure-arithmetic machine-ceiling probe: ops/sec over `threads` JVM
@@ -313,17 +367,10 @@ object Bench {
     // round-2 value rested on 2 samples spreading 3.4x (VERDICT r2 #5)
     val (s8, s32) = measurePair(math.max(1, cpus / 4), cpus, primaryRounds)
 
-    // Outlier discard (asymmetric-noise guard, VERDICT r2 #4): windows more
-    // than 3x BELOW their level's own median are transient host stalls
-    // (noisy neighbor / cold page cache), not steady state — keeping them
-    // depresses whichever level they hit and can push the ratio superlinear.
-    // Discards are counted in the JSON; only sub-median outliers are
-    // removed (a too-fast window cannot be a stall artifact).
-    def discardStalls(xs: Seq[Double]): (Seq[Double], Int) = {
-      val m = median(xs)
-      val kept = xs.filter(_ >= m / 3.0)
-      (kept, xs.length - kept.length)
-    }
+    // Outlier discard (asymmetric-noise guard, VERDICT r2 #4): see the
+    // shared Bench.discardStalls — keeping stalls depresses whichever
+    // level they hit and can push the ratio superlinear. Discards are
+    // counted in the JSON.
     val (p2k, p2Drop) = discardStalls(p2)
     val (p8k, p8Drop) = discardStalls(p8)
     val (s8k, s8Drop) = discardStalls(s8)
@@ -343,10 +390,8 @@ object Bench {
     // rounds where either window stalled removes the residual case where a
     // stall lands inside one window of a round.
     val roundEffs = p2.zip(p8).map { case (lo, hi) => (hi / lo) / 4.0 }
-    val keptRoundEffs = p2.zip(p8).collect {
-      case (lo, hi) if lo >= median(p2) / 3.0 && hi >= median(p8) / 3.0 =>
-        (hi / lo) / 4.0
-    }
+    val keptRoundEffs = roundEffs.zip(keptRoundMask(p2, p8))
+      .collect { case (e, true) => e }
     val efficiency =
       median(if (keptRoundEffs.nonEmpty) keptRoundEffs else roundEffs)
     val roundsDropped = roundEffs.length - keptRoundEffs.length

@@ -137,13 +137,11 @@ object BenchCluster {
     }
 
     val factor = execHigh.toDouble / execLow
-    def discardStalls(xs: Seq[Double]): (Seq[Double], Int) = {
-      val m = Bench.median(xs)
-      val kept = xs.filter(_ >= m / 3.0)
-      (kept, xs.length - kept.length)
-    }
-    val (lowK, lowDrop) = discardStalls(lowSamples.toSeq)
-    val (highK, highDrop) = discardStalls(highSamples.toSeq)
+    // shared stall-discard + round-mask rules (Bench.discardStalls /
+    // keptRoundMask): one source so this bench's estimators can never
+    // drift from the thread-pair bench's
+    val (lowK, lowDrop) = Bench.discardStalls(lowSamples.toSeq)
+    val (highK, highDrop) = Bench.discardStalls(highSamples.toSeq)
     val thrLow = Bench.median(lowK)
     val thrHigh = Bench.median(highK)
     val effLevelMedian = (thrHigh / thrLow) / factor
@@ -153,10 +151,8 @@ object BenchCluster {
     // ONE stall mask shared by the raw and normalized estimators (a round
     // is kept iff neither of its windows stalled >3x below its level's
     // median) — keeps the two headline figures from drifting apart
-    val keptMask = lowSamples.toSeq.zip(highSamples.toSeq).map {
-      case (lo, hi) => lo >= Bench.median(lowSamples.toSeq) / 3.0 &&
-        hi >= Bench.median(highSamples.toSeq) / 3.0
-    }
+    val keptMask =
+      Bench.keptRoundMask(lowSamples.toSeq, highSamples.toSeq)
     val keptRoundEffs = roundEffs.toSeq.zip(keptMask)
       .collect { case (e, true) => e }
     val eff = Bench.median(

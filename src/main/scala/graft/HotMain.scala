@@ -26,13 +26,7 @@ object HotMain {
       .config("spark.sql.files.maxPartitionBytes", "32m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val turnsDir = s"/tmp/graft-bench-turns-$nTurns"
-    if (!new java.io.File(s"$turnsDir/_SUCCESS").exists()) {
-      import spark.implicits._
-      spark.range(0L, nTurns, 1L, cores * 8)
-        .map(i => Fixtures.turn(i, nTurns)).toDF()
-        .write.mode("overwrite").parquet(turnsDir)
-    }
+    val turnsDir = Bench.materializeTurns(nTurns, cores)
     val t = spark.read.parquet(turnsDir)
     def dbs() = Seq(
       IntelDb.build("threats", Fixtures.intelThreats),

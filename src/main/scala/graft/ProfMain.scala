@@ -35,15 +35,7 @@ object ProfMain {
     val nTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "6000000").toLong
     val windowSec =
       sys.env.getOrElse("SPARK_GRAFT_PROF_WINDOW_SEC", "5.0").toDouble
-    val turnsDir = s"/tmp/graft-bench-turns-$nTurns"
-    if (!new java.io.File(s"$turnsDir/_SUCCESS").exists()) {
-      val s = newSession(cores.max)
-      import s.implicits._
-      s.range(0L, nTurns, 1L, cores.max * 8)
-        .map(i => Fixtures.turn(i, nTurns)).toDF()
-        .write.mode("overwrite").parquet(turnsDir)
-      s.stop()
-    }
+    val turnsDir = Bench.materializeTurns(nTurns, cores.max)
 
     def dbs() = Seq(
       IntelDb.build("threats", Fixtures.intelThreats),

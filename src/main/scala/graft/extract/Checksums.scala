@@ -181,7 +181,7 @@ object Checksums {
       i += 1
     }
     if (hasLower && hasUpper) return null
-    val lower = addr.toLowerCase
+    val lower = addr.toLowerCase(java.util.Locale.ROOT)
     val sep = lower.lastIndexOf('1')
     if (sep < 1 || sep + 7 > n) return null
     val hrp = lower.substring(0, sep)
@@ -345,7 +345,7 @@ object Checksums {
     }
     if (allLower || allUpper) return true
     // mixed case => EIP-55 check over keccak256(lowercase-hex-ascii)
-    val lower = addr.substring(2).toLowerCase
+    val lower = addr.substring(2).toLowerCase(java.util.Locale.ROOT)
     val hash = keccak256(lower.getBytes("US-ASCII"))
     i = 0
     while (i < 40) {

@@ -180,7 +180,8 @@ object CleanPreScreen {
               case Some(IntelDb.LiteralEntry(k)) => k
               case _                             => m.entry
             }
-            val norm = if (db.caseInsensitive) key.toLowerCase else key
+            val norm = if (db.caseInsensitive)
+              key.toLowerCase(java.util.Locale.ROOT) else key
             if (norm.nonEmpty) {
               if (db.caseInsensitive && norm.exists(_ >= 128)) anyToken = true
               else words += norm.getBytes("UTF-8").toSeq

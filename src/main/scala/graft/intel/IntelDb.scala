@@ -95,7 +95,13 @@ object Cidr {
     * a db holding only `::/0` still matches every IPv4.
     */
   def intersectsV4Mapped(c: Cidr): Boolean =
-    if (c.prefixLen <= 96) mask(0L, 0x0000ffff00000000L, c.prefixLen) == ((c.hi, c.lo))
+    // mask BOTH sides to prefixLen: Cidr.parse does not normalize host
+    // bits, so comparing against the raw (hi, lo) would mis-report e.g.
+    // ::ffff:0:1/96 (which contains the whole v4-mapped block) as
+    // non-intersecting and drop every IPv4 match under the prescreen
+    if (c.prefixLen <= 96)
+      mask(0L, 0x0000ffff00000000L, c.prefixLen) ==
+        mask(c.hi, c.lo, c.prefixLen)
     else c.hi == 0L && (c.lo >>> 32) == 0x0000ffffL
 
   /** Mask (hi, lo) to the first `prefixLen` bits. */
@@ -229,7 +235,8 @@ final class LiteralIndex private (
     val caseInsensitive: Boolean
 ) extends Serializable {
   def lookup(value: String): Array[Int] = {
-    val key = if (caseInsensitive) value.toLowerCase else value
+    val key = if (caseInsensitive)
+      value.toLowerCase(java.util.Locale.ROOT) else value
     val r = map.get(key)
     if (r == null) LiteralIndex.empty else r
   }
@@ -243,7 +250,8 @@ object LiteralIndex {
       : LiteralIndex = {
     val m = new java.util.HashMap[String, Array[Int]](literals.size * 2)
     literals.foreach { case (lit, idx) =>
-      val key = if (caseInsensitive) lit.toLowerCase else lit
+      val key = if (caseInsensitive)
+        lit.toLowerCase(java.util.Locale.ROOT) else lit
       val prev = m.get(key)
       m.put(key, if (prev == null) Array(idx) else prev :+ idx)
     }

@@ -79,7 +79,7 @@ object MispIngest {
         val toIds = Option(a.get("to_ids")).flatMap { n =>
           if (n.isBoolean) Some(n.asBoolean())
           else if (n.isNumber) Some(n.asInt() != 0)
-          else if (n.isTextual) n.asText().trim.toLowerCase match {
+          else if (n.isTextual) n.asText().trim.toLowerCase(java.util.Locale.ROOT) match {
             case "1" | "true"  => Some(true)
             case "0" | "false" => Some(false)
             case _             => None

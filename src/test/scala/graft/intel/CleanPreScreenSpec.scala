@@ -71,6 +71,14 @@ class CleanPreScreenSpec extends AnyFunSuite {
     val narrow = CleanPreScreen.build(Seq(db("::ffff:102:304/120")))
     assert(hits(narrow, "from 1.2.3.4 port"))
     assert(!hits(narrow, "dotted.words.only v4-less"))
+    // host bits below the prefix must not defeat the intersection test:
+    // ::ffff:0:1/96 IS the whole v4-mapped block (Cidr.parse keeps host
+    // bits unmasked — round-5 review find on the first fix)
+    val hostBits = CleanPreScreen.build(Seq(db("::ffff:0:1/96")))
+    assert(hits(hostBits, "v4 9.8.7.6 text"))
+    assert(Cidr.intersectsV4Mapped(Cidr.parse("::ffff:1.2.3.4/90")))
+    assert(Cidr.intersectsV4Mapped(Cidr.parse("1.2.3.4/0")))
+    assert(!Cidr.intersectsV4Mapped(Cidr.parse("2001:db8::99/32")))
   }
 
   test("case-insensitive db: ascii fold both sides") {
