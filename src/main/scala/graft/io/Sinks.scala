@@ -14,7 +14,11 @@ object Sinks {
     */
   def ndjson(matched: DataFrame, path: String): Unit =
     matched
-      .select(to_json(struct(matched.columns.map(col): _*)).as("value"))
+      // matched.col, not functions.col: a column literally named
+      // "data.json" would otherwise parse as a nested-field path and fail
+      // resolution (IntelIngest.normalize quotes for the same reason)
+      .select(to_json(struct(matched.columns.map(matched.col): _*))
+        .as("value"))
       .write.mode(SaveMode.Overwrite).text(path)
 
   /** NDJSON match sink with the reference's EXACT field shape

@@ -96,7 +96,9 @@ final case class Matched(
     database_id: String,
     match_type: String,
     prefix_len: Int, // -1 for pattern matches
-    pattern_id: Int, // -1 for ip matches
+    pattern_id: Int, // the matched entry's index within its database —
+    // for BOTH match types (the reference reports a pattern id for string
+    // matches; ip matches carry their entry index here, not -1)
     threat_level: String,
     category: String,
     source: String,

@@ -17,4 +17,16 @@ private[graft] object Checkpoints {
         lr.rdd.unpersist(blocking = false)
       case _ => () // not a checkpointed frame; nothing to release
     }
+
+  /** Release EVERY localCheckpoint node reachable in `df`'s analyzed plan
+    * — for callers holding only a frame DERIVED from a checkpoint (e.g.
+    * the projection nearDupClusters returns over its final label table).
+    * Only safe once nothing lazy still needs any checkpoint under `df`.
+    */
+  def releaseLocalDeep(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -124,6 +124,12 @@ object Curation {
       .localCheckpoint()
     Checkpoints.releaseLocal(banded)
     Checkpoints.releaseLocal(staged)
+    // the CC label table is a live checkpoint BEHIND the clusters
+    // projection (nearDupClusters' final round) — one long per document,
+    // corpus-cardinality at scale; release it deeply now that `out` is
+    // materialized (round-5 review find: the docstring promised every
+    // staged checkpoint released, but this one had no direct handle)
+    Checkpoints.releaseLocalDeep(clusters)
     out
   }
 }

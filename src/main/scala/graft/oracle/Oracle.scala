@@ -55,10 +55,16 @@ object Oracle {
       .groupBy(m => (m.database_id, m.indicator_type, m.role))
       .map { case (k, v) => k -> v.size.toLong }
 
-  /** A1-A6 stats vector. */
-  def stats(turns: Seq[Turn], dbs: Seq[IntelDb]): Map[String, Long] = {
-    val cands = candidates(turns)
-    val m = matched(turns, dbs)
+  /** A1-A6 stats vector. `scanner` must mirror the pipeline's extractor
+    * configuration (ScanJob derives capability defaults from the dbs —
+    * pass `new IocScanner(ScanJob.capabilityConfig(dbs))` to compare
+    * against a capability-defaulted run; the default full scanner matches
+    * a run with every extractor on).
+    */
+  def stats(turns: Seq[Turn], dbs: Seq[IntelDb],
+      scanner: IocScanner = IocScanner.default): Map[String, Long] = {
+    val cands = candidates(turns, scanner)
+    val m = matched(turns, dbs, scanner)
     Map(
       "lines_processed" -> turns.size.toLong,
       "total_bytes" -> turns.map(_.text.getBytes("UTF-8").length.toLong).sum,

@@ -92,8 +92,9 @@ object Fixtures {
     arr(((r >>> 33) % arr.length).toInt)
 
   /** Deterministic text of turn i: filler + 0..3 planted tokens.
-    * Planting rates (per mille, FIXTURES.md §1): ipv4 80, domains 120,
-    * emails 40, ipv6 20, hashes 50, btc 6, eth 6, negatives 60.
+    * Planting rates (per mille, FIXTURES.md §1, each figure the COMBINED
+    * matching+clean total): ipv4 80, domains 120, emails 40, ipv6 20,
+    * hashes 50, btc 12, eth 12, negatives 60.
     */
   def text(i: Long): String = {
     val sb = new StringBuilder(96)
@@ -147,6 +148,15 @@ object Fixtures {
 
   def turn(i: Long, totalRows: Long): Turn = {
     val hotRows = math.max(1L, totalRows / 16)
+    // turn_idx is an Int per the input-table contract; a hot conversation
+    // beyond 2^31 turns would overflow into NEGATIVE, colliding
+    // (conv_id, turn_idx) keys and corrupting every distinct-turn count.
+    // Fail loudly instead of silently truncating (the generator caps at
+    // ~34e9 rows; segment the hot conversation if a larger fixture is
+    // ever needed).
+    require(hotRows <= Int.MaxValue,
+      s"fixture hot conversation would overflow Int turn_idx " +
+        s"(totalRows=$totalRows -> hotRows=$hotRows > 2^31-1)")
     val (conv, turnIdx) =
       if (i < hotRows) (0L, i)
       else {

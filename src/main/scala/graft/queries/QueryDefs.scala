@@ -21,6 +21,27 @@ object QueryDefs {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Write a small feed fixture through the session's DEFAULT Hadoop
+    * filesystem and return its qualified path. A driver-local
+    * java.io.tmpdir file (the previous form) is invisible to executors
+    * when driver and executors do not share a filesystem (HDFS/S3
+    * deployments); on local[*] the default FS is file:, so this is still
+    * /tmp. `name` carries the extension (the readers sniff it); the
+    * per-process pid keeps two drivers on one host from racing a shared
+    * path, and deleteOnExit reclaims the file.
+    */
+  private def writeFeed(s: SparkSession, name: String,
+      content: String): String = {
+    val fs = org.apache.hadoop.fs.FileSystem
+      .get(s.sparkContext.hadoopConfiguration)
+    val p = fs.makeQualified(new org.apache.hadoop.fs.Path(
+      s"/tmp/graft-${ProcessHandle.current().pid()}-$name"))
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    fs.deleteOnExit(p)
+    p.toString
+  }
+
   // shared synthesized-text columns (must mirror OracleDefs SQL exactly)
   private def e = col("event_id")
   private def u = col("user_id")
@@ -445,14 +466,8 @@ object QueryDefs {
         |host3.example.com,c2,delta,,900,2.5,
         |host4.example.com,c2,epsilon,APT-4,6442450944,0.125,true
         |""".stripMargin
-    // per-process unique name: a fixed shared path races truncate-vs-read
-    // when two drivers (e.g. Verify and Bench) run q43 on one host
-    val feedPath = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
-      s"graft-q43-feed-${ProcessHandle.current().pid()}.csv")
-    java.nio.file.Files.writeString(feedPath, csv)
-    feedPath.toFile.deleteOnExit()
-    val feed = graft.sources.IntelIngest.readCsv(s, feedPath.toString)
+    val feed = graft.sources.IntelIngest.readCsv(s,
+      writeFeed(s, "q43-feed.csv", csv))
     val db = IntelDb.build("feed",
       graft.sources.IntelIngest.toEntries(feed))
     val meta = ScanJob.intelMetaDf(s, Seq(db))
@@ -741,15 +756,10 @@ object QueryDefs {
         | {"key": "host3.example.com", "data": {"category": "c2",
         |   "big": 18446744073709551616}}]
         |""".stripMargin
-    // per-process FIXED path (q43's pattern): re-invocations (bench
-    // timing loops) overwrite one file instead of accumulating a fresh
-    // temp dir per call; deleteOnExit reclaims it
-    val p = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"graft-q56-feed-${java.lang.ProcessHandle.current().pid()}.json")
-    java.nio.file.Files.writeString(p, json)
-    p.toFile.deleteOnExit()
-    val feed = graft.sources.IntelIngest.readJson(s, p.toString)
+    // per-process FIXED path (writeFeed): re-invocations (bench timing
+    // loops) overwrite one file instead of accumulating temp dirs
+    val feed = graft.sources.IntelIngest.readJson(s,
+      writeFeed(s, "q56-feed.json", json))
     val db = IntelDb.build("feed",
       graft.sources.IntelIngest.toEntries(feed))
     val meta = ScanJob.intelMetaDf(s, Seq(db))
