@@ -48,4 +48,24 @@ class CurationSpec extends AnyFunSuite {
     assert(r.getAs[Long]("shared_ngrams") == 0L)
     assert(r.getAs[Boolean]("keep"))
   }
+
+  test("curate releases every staged checkpoint, incl. the CC label table " +
+    "behind the clusters projection (round-5 find)") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "different words entirely over here my friend today")
+    ).toDF("doc_id", "text")
+    val ev = Seq((9L, "unrelated eval words")).toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = Curation.curate(docs, ev, minTokens = 1, minMeanTokenLen = 1.0,
+      maxMeanTokenLen = 100.0, minAlnumRatio = 0.1, minStopwordHits = 0)
+    assert(out.count() == 3)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // only the returned verdict table (ONE doc-sized checkpoint) may
+    // remain pinned; tokens/banded/label checkpoints must all be released
+    assert(after - before <= 1,
+      s"curate leaked staged checkpoints: $before -> $after persistent RDDs")
+  }
+
 }
