@@ -40,6 +40,10 @@ class ScanJobSpec extends AnyFunSuite {
     val sparkCands = ScanJob.candidates(turnsDf)
       .as[graft.model.Candidate].collect().toSeq
     val oracleCands = Oracle.candidates(turnsSeq)
+    // size+set equality implies MULTISET equality only when the oracle
+    // side is duplicate-free — assert that precondition explicitly
+    // (candidates carry spans, so true duplicates are impossible)
+    assert(oracleCands.distinct.size == oracleCands.size)
     assert(sparkCands.size == oracleCands.size)
     assert(sparkCands.toSet == oracleCands.toSet)
   }
@@ -53,6 +57,7 @@ class ScanJobSpec extends AnyFunSuite {
         "source", "confidence")
       .as[graft.model.Matched].collect().toSeq
     val oracleMatched = Oracle.matched(turnsSeq, dbs)
+    assert(oracleMatched.distinct.size == oracleMatched.size)
     assert(sparkMatched.size == oracleMatched.size)
     assert(sparkMatched.toSet == oracleMatched.toSet)
   }
@@ -90,6 +95,7 @@ class ScanJobSpec extends AnyFunSuite {
         "source", "confidence")
       .as[graft.model.Matched].collect().toSeq
     val oracleMatchedRows = Oracle.matched(turnsSeq, dbs)
+    assert(oracleMatchedRows.distinct.size == oracleMatchedRows.size)
     assert(sparkMatchedRows.size == oracleMatchedRows.size)
     assert(sparkMatchedRows.toSet == oracleMatchedRows.toSet)
 
@@ -122,6 +128,12 @@ class ScanJobSpec extends AnyFunSuite {
     val stats2 = ScanJob.run(spark, turnsDf, dbs, out,
       ScanJob.RunConfig(buckets = 8, resume = true, runId = "test-run-2"))
     assert(stats2("total_matches") == stats("total_matches"))
+    // SKIP evidence, not just idempotence: the per-run observed counters
+    // are 0 on a fully-resumed run, so a resume that silently reprocessed
+    // every bucket (run() is idempotent — output comparison alone cannot
+    // tell) fails HERE (round-5 test-review find)
+    assert(stats2("total_bytes") == 0L,
+      s"resume reprocessed input: observed ${stats2("total_bytes")} bytes")
     val gold2 = spark.read.parquet(s"$out/gold_counts")
       .as[(String, String, String, Long)].collect()
       .map { case (d, t, r, c) => (d, t, r) -> c }.toMap
@@ -135,8 +147,12 @@ class ScanJobSpec extends AnyFunSuite {
       ScanJob.RunConfig(buckets = 8, runId = "shard-1",
         onlyBuckets = Some((0 until 4).toSet)))
     val partial = spark.read.parquet(s"$out/routed")
-    assert(partial.select("bucket").distinct().as[Int].collect().toSet
-      .subsetOf((0 until 4).toSet))
+    val shardBuckets = partial.select("bucket").distinct()
+      .as[Int].collect().toSet
+    // non-empty AND within range: subsetOf alone passes vacuously when a
+    // broken shard writes zero rows (round-5 test-review find)
+    assert(shardBuckets.nonEmpty && shardBuckets.subsetOf((0 until 4).toSet),
+      s"shard-1 buckets: $shardBuckets")
     // markers exist only for shard 1's buckets
     val done1 = new java.io.File(s"$out/_buckets_done").list()
       .filter(_.matches("\\d+")).map(_.toInt).toSet
@@ -158,13 +174,20 @@ class ScanJobSpec extends AnyFunSuite {
     // clean rows preserve the whole turn (tool + ts, not just text)
     assert(routed.columns.contains("tool") && routed.columns.contains("ts"))
     assert(routed.where(col("sink") === "clean" && col("ts").isNull).count() == 0)
-    val totalBefore = routed.count()
-    // rerunning shard 1 (idempotent dynamic overwrite) changes nothing
+    def routedRows() = spark.read.parquet(s"$out/routed")
+      .select("sink", "conv_id", "turn_idx", "indicator_type", "value",
+        "database_id", "bucket")
+      .collect().map(_.toSeq).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val rowsBefore = routedRows()
+    // rerunning shard 1 (idempotent dynamic overwrite) changes nothing —
+    // compared by ROW MULTISET, not count: a rerun rewriting the shard
+    // partitions with same-cardinality garbage passed the count check
+    // (round-5 test-review find)
     ScanJob.run(spark, turnsDf, dbs, out,
       ScanJob.RunConfig(buckets = 8, runId = "shard-1b",
         onlyBuckets = Some((0 until 4).toSet)))
-    val routed2 = spark.read.parquet(s"$out/routed")
-    assert(routed2.count() == totalBefore)
+    assert(routedRows() == rowsBefore)
   }
 
   test("plan shape: no shuffle before the aggregate; broadcast join used") {
@@ -186,9 +209,12 @@ class ScanJobSpec extends AnyFunSuite {
     val plan = routed.queryExecution.executedPlan.toString()
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
     assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
-    // exactly one generate (ScanTurn) + one explode of its hits — the
-    // extraction/lookup subtree is NOT duplicated
-    assert("scan_turn".r.findAllIn(plan.toLowerCase).size >= 1, plan.take(2000))
+    // exactly one ScanTurn generator + one explode of its hits — the
+    // extraction/lookup subtree is NOT duplicated ("size >= 1" could not
+    // catch a duplicated subtree; round-5 test-review find)
+    assert("scan_turn_".r.findAllIn(plan.toLowerCase).size == 1,
+      plan.take(2000))
+    assert("Generate ".r.findAllIn(plan).size == 2, plan.take(2000))
   }
 
   test("crash-injection: run() killed mid-flight at sampled fs-op budgets, " +
@@ -229,7 +255,9 @@ class ScanJobSpec extends AnyFunSuite {
         cleanRun = true
       } catch { case _: Throwable => crashed = true }
       finally graft.streaming.FaultyLocalFs.disarm()
-      assert(crashed || cleanRun)
+      // (no crashed-or-clean assert: the try/catch makes it tautological —
+      // the REAL gate is the unconditional content equality below, which
+      // runs for faulted AND unfaulted budgets alike)
       if (crashed) {
         // resume over the plain scheme: markers are written LAST, so any
         // crash point leaves either unmarked buckets (reprocessed, dynamic

@@ -91,7 +91,7 @@ class CidrLpmPropertySpec extends AnyFunSuite {
           Some(s"${(v4 >> 24) & 0xff}.${(v4 >> 16) & 0xff}.${(v4 >> 8) & 0xff}.${v4 & 0xff}")
         } else None
       } else None
-      (Seq(randomProbe) ++ insideProbe).forall { probe =>
+      val v4Ok = (Seq(randomProbe) ++ insideProbe).forall { probe =>
         val v4 = Cidr.parseV4(probe)
         val (hi, lo) = Cidr.v4ToUnified(v4)
         val expected = modelLpm(entries, toBig(hi, lo))
@@ -103,6 +103,35 @@ class CidrLpmPropertySpec extends AnyFunSuite {
           case _ => false
         }
       }
+      // v6 probes too (round-5 test-review find: v4-only probing left the
+      // v6 half of the index model-unchecked): one probe INSIDE a random
+      // feed network (host bits below its prefix) and one fully random
+      val v6Probes = {
+        val inside = if (deduped.nonEmpty) {
+          val (c, _) = deduped(rnd.nextInt(deduped.size))
+          val (mh, ml) = Cidr.mask(c.hi, c.lo, c.prefixLen)
+          val hostBig =
+            if (c.prefixLen >= 128) BigInt(0)
+            else BigInt(128 - c.prefixLen, new java.util.Random(seed))
+          Some(toBig(mh, ml) | hostBig)
+        } else None
+        val rand = BigInt(128, new java.util.Random(seed ^ 0x5deece66dL))
+        inside.toSeq :+ rand
+      }
+      val v6Ok = v6Probes.forall { big =>
+        val groups = Array.tabulate(8)(g =>
+          ((big >> ((7 - g) * 16)) & 0xffff).toInt)
+        val probe = Ipv6Format.format(groups)
+        val expected = modelLpm(entries, big)
+        val actual = Option(idx.lookupV6(probe))
+        (expected, actual) match {
+          case (None, None) => true
+          case (Some(e), Some((i, plen))) =>
+            i == e.idx && plen == e.unifiedLen
+          case _ => false
+        }
+      }
+      v4Ok && v6Ok
     })
   }
 
@@ -119,7 +148,18 @@ class CidrLpmPropertySpec extends AnyFunSuite {
         val b = LpmIndex.build(shuffled)
         val ra = Option(a.lookupV4(probe))
         val rb = Option(b.lookupV4(probe))
-        ra.map(_._1) == rb.map(_._1) && ra.map(_._2) == rb.map(_._2)
+        // v6 order-invariance probe from a feed network's base (round-5
+        // test-review find: v4-only probes made v6-confined insert-order
+        // bugs invisible — v6-only divergence agreed vacuously)
+        val v6Probe = parsed.headOption.map { c =>
+          val (mh, ml) = Cidr.mask(c.hi, c.lo, c.prefixLen)
+          Ipv6Format.format(Array.tabulate(8)(g =>
+            (((if (g < 4) mh >>> ((3 - g) * 16)
+               else ml >>> ((7 - g) * 16)) & 0xffffL)).toInt))
+        }
+        val v6Ok = v6Probe.forall(pv =>
+          Option(a.lookupV6(pv)) == Option(b.lookupV6(pv)))
+        ra.map(_._1) == rb.map(_._1) && ra.map(_._2) == rb.map(_._2) && v6Ok
     })
   }
 }

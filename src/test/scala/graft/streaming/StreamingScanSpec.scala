@@ -136,7 +136,11 @@ class StreamingScanSpec extends AnyFunSuite {
       try spark.read.parquet(s"$outDir/conv_state_final")
         .collect().map(r => r.getAs[String]("conv_id") ->
           r.getAs[Long]("turns")).toMap
-      catch { case _: Throwable => Map.empty }
+      // ONLY the sink-not-created-yet case may read as empty: a blanket
+      // Throwable catch made "nothing finalized yet" vacuously satisfiable
+      // by schema drift or corrupt output (round-5 test-review find)
+      catch { case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" => Map.empty }
 
     // wave 1: two conversations near T0 — nothing can time out yet
     Files.writeString(java.nio.file.Paths.get(inDir, "w1.json"),
@@ -176,7 +180,8 @@ class StreamingScanSpec extends AnyFunSuite {
       try spark.read.parquet(s"$outDir/conv_state_final")
         .collect().map(r => r.getAs[String]("conv_id") ->
           r.getAs[Long]("turns")).toSeq.sorted
-      catch { case _: Throwable => Seq.empty }
+      catch { case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" => Seq.empty }
 
     // ONE drain delivers turns of the same conversation separated by five
     // minutes (idleGap = 10 s): a continuous deployment would emit two
@@ -197,9 +202,12 @@ class StreamingScanSpec extends AnyFunSuite {
     Files.writeString(java.nio.file.Paths.get(inDir, "g3.json"),
       turnAt("c9", 1, "2024-01-01T00:20:01.000Z", "tick") + "\n")
     drain()
-    assert(sessions().count(_ == ("c1" -> 1L)) == 1 &&
-      sessions().count(_ == ("c1" -> 2L)) == 1,
-      s"expected two finalized c1 sessions (2 turns, then 1): ${sessions()}")
+    // EXACT equality (round-5 test-review find: counting only the two
+    // expected rows let spurious extra finalized sessions pass): c9's gap
+    // is 1 s < idleGap and nothing advances the watermark past it, so the
+    // full finalized set is exactly the two c1 sessions
+    assert(sessions() == Seq("c1" -> 1L, "c1" -> 2L),
+      s"expected exactly two finalized c1 sessions: ${sessions()}")
   }
 
   test("streaming exact dedup: first fingerprint wins across micro-batches") {
@@ -403,11 +411,19 @@ class StreamingScanSpec extends AnyFunSuite {
       turnJson("c1", 2, "another 192.0.2.56 seen") + "\n")
     val q2 = StreamingScan.conversationState(spark, inDir, outDir)
     awaitOrFail(q2)
+    // the sink is an update LOG (one row per state update per batch), so
+    // the latest state per conversation is the max-turns row. Assert the
+    // FULL latest-state map, not just the updated head row: loss of c2's
+    // state across the restart must fail (round-5 test-review find; the
+    // first exact-map form was flaky — toMap collapsed the legitimate
+    // per-batch update rows in undefined order)
     val st2 = spark.read.parquet(s"$outDir/conv_state")
-      .orderBy(org.apache.spark.sql.functions.col("turns").desc)
       .collect().map(r => r.getAs[String]("conv_id") ->
-        (r.getAs[Long]("turns"), r.getAs[Long]("turnsWithCandidates"))).toSeq
-    assert(st2.head == ("c1" -> ((3L, 2L)))) // state carried across restart
+        (r.getAs[Long]("turns"), r.getAs[Long]("turnsWithCandidates")))
+    val latest = st2.groupBy(_._1).view
+      .mapValues(_.map(_._2).maxBy(_._1)).toMap
+    assert(latest == Map("c1" -> ((3L, 2L)), "c2" -> ((1L, 0L))),
+      s"latest state across restart: $latest (rows: ${st2.toSeq})")
   }
 
   test("poison-pill immunity: malformed JSON lines and null fields do not " +
