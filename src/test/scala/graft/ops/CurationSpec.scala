@@ -66,6 +66,14 @@ class CurationSpec extends AnyFunSuite {
     // remain pinned; tokens/banded/label checkpoints must all be released
     assert(after - before <= 1,
       s"curate leaked staged checkpoints: $before -> $after persistent RDDs")
+    // release the one LEGITIMATE pin (the returned verdict checkpoint) and
+    // require the exact baseline back: the <=1 slack alone could mask one
+    // leaked staged checkpoint if the verdict pin were ever removed
+    // (round-5 test-review find)
+    Checkpoints.releaseLocalDeep(out)
+    val released = spark.sparkContext.getPersistentRDDs.size
+    assert(released == before,
+      s"a non-verdict checkpoint stayed pinned: $before -> $released")
   }
 
 }

@@ -82,9 +82,14 @@ class DefaultCapsSpec extends AnyFunSuite {
     import Similarity.{AutoCap, resolveCap}
     // floor dominates for small corpora
     assert(resolveCap(AutoCap, 1024, 64, 1000L) == 1024)
-    // large corpus: 8x the average bucket load — far above uniform
-    assert(resolveCap(AutoCap, 1024, 64, 200000L) ==
-      8 * ((200000 + 63) / 64))
+    // large corpus: 8x the ceil-average bucket load — the expected value
+    // is an INDEPENDENT hand-derived constant (ceil(200000/64) = 3125
+    // exactly, x8 = 25000), not the implementation's formula re-spelled
+    // (round-5 test-review find: the textual formula drifted with any
+    // shared mistake)
+    assert(resolveCap(AutoCap, 1024, 64, 200000L) == 25000)
+    // a non-dividing corpus rounds UP: ceil(200001/64) = 3126, x8 = 25008
+    assert(resolveCap(AutoCap, 1024, 64, 200001L) == 25008)
     // explicit opt-out and absolute caps pass through untouched
     assert(resolveCap(0, 1024, 64, 1000000L) == 0)
     assert(resolveCap(50, 1024, 64, 1000000L) == 50)
@@ -113,7 +118,10 @@ class DefaultCapsSpec extends AnyFunSuite {
   test("semDedup: default cap present; capped-out vectors stay keepers") {
     val out = Similarity.semDedup(vecFlood, threshold = 0.99, nlist = 2)
     assert(hasCapWindow(out))
-    // coverage invariant: every vector appears exactly once regardless
-    assert(out.count() == 60)
+    // coverage invariant: every vector appears EXACTLY once — by id set,
+    // not count alone (round-5 test-review find: a join fanning one id out
+    // while dropping another kept count() == 60)
+    val ids = out.select("vec_id").as[Long].collect().sorted.toSeq
+    assert(ids == (0L until 60L), s"vec_ids: $ids")
   }
 }

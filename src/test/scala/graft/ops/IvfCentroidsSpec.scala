@@ -45,7 +45,26 @@ class IvfCentroidsSpec extends AnyFunSuite {
     val cents = Similarity.ivfCentroids(vecs, nlist = 4096, lloydRounds = 1)
     assert(cents.count() == 120)
     // ids renumbered 0..n-1 even though vec_ids start at 500
-    assert(asMap(cents).keySet == (0L until 120L).toSet)
+    val cm = asMap(cents)
+    assert(cm.keySet == (0L until 120L).toSet)
+    // centroid VALUES pinned (round-5 test-review find: count/key-only
+    // checks passed under arbitrary vector corruption in the DF-path
+    // joins): with nlist > corpus, centroid k must be the quantized
+    // vector of the k-th-smallest vec_id ITSELF — duplicates (the fixture
+    // repeats every 15 ids) tie-assign to the lowest duplicate's centroid
+    // whose floor-mean update over identical copies reproduces the vector,
+    // and the emptied centroids keep their init, which is also the vector
+    val expected = (0 until 120).map { i =>
+      val c = i % 3
+      val base = Array.fill(8)(0.0f)
+      base(c) = 1.0f
+      base((c + 3) % 8) = 0.1f * (i / 3 % 5)
+      i.toLong -> base.map(x => math.round(x.toDouble * 1000))
+    }.toMap
+    cm.foreach { case (k, v) =>
+      assert(v.sameElements(expected(k)),
+        s"centroid $k: ${v.mkString(",")} vs ${expected(k).mkString(",")}")
+    }
     // ivfTopK through the large-nlist quantizer still yields every query
     val topk = Similarity.ivfTopK(vecs, k = 2, nlist = 4096, nprobe = 2,
       lloydRounds = 1)

@@ -55,10 +55,35 @@ class OpsSpec extends AnyFunSuite {
     val ivf1 = Similarity.ivfTopK(vecs, k = 3, nlist = 4, nprobe = 1)
       .as[(Long, Int, Long, Double)].collect()
     assert(ivf1.map(_._1).distinct.length == 30)
+    // nprobe is APPLIED, not just survived (round-5 test-review find —
+    // the distinct-count asserts above pass even if every list is
+    // scanned): 6 one-hot vectors with nlist = 6 make every vector its
+    // own centroid/list, so nprobe = 1 probes ONLY the query's own list
+    // (self excluded) => zero rows, while nprobe = 2 reaches exactly one
+    // neighbor per query (the lowest-id other list, all ties at cosine 0).
+    // An implementation that ignores nprobe returns k = 2 rows per query.
+    val oneHot = (0L until 6L).map { i =>
+      val b = Array.fill(8)(0.0f); b(i.toInt) = 1.0f; (i, b)
+    }.toDF("vec_id", "embedding")
+    assert(Similarity.ivfTopK(oneHot, k = 2, nlist = 6, nprobe = 1)
+      .count() == 0)
+    val one2 = Similarity.ivfTopK(oneHot, k = 2, nlist = 6, nprobe = 2)
+      .groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(one2.keySet == (0L until 6L).toSet && one2.values.forall(_ == 1L))
     // per-centroid cap bounds a hot list without dropping queries
     val capped = Similarity.ivfTopK(vecs, k = 3, nlist = 4, nprobe = 2,
       maxBucketSize = 5)
     assert(capped.select("query_id").distinct().count() == 30)
+    // the cap is APPLIED (round-5 test-review find — distinct-query
+    // counting passes with the cap ignored): maxBucketSize = 1 leaves each
+    // probed list one corpus vector, so no query can produce more than
+    // nprobe x 1 = 2 results — strictly under k = 3, which every query
+    // reaches uncapped — and every query still appears with >= 1
+    val cap1 = Similarity.ivfTopK(vecs, k = 3, nlist = 4, nprobe = 2,
+      maxBucketSize = 1).groupBy("query_id").count()
+      .as[(Long, Long)].collect()
+    assert(cap1.length == 30 && cap1.forall(c => c._2 >= 1 && c._2 <= 2),
+      cap1.sortBy(_._1).mkString(","))
     // sparse/offset id spaces still get nlist centroids (ORDER BY + LIMIT,
     // not `vec_id < nlist` which would select NOTHING here)
     val shifted = vecs.withColumn("vec_id", col("vec_id") + 1000L)
@@ -84,17 +109,40 @@ class OpsSpec extends AnyFunSuite {
     val ivfL = Similarity.ivfTopK(vecs, k = 3, nlist = 4, nprobe = 4,
       lloydRounds = 2).as[(Long, Int, Long, Double)].collect().toSet
     assert(ivfL == brute)
-    // determinism: the refined centroid table is identical across runs
+    // determinism: the refined centroid table is identical across runs —
+    // the second run REPARTITIONS the input (different partition count and
+    // row order), so partition-order-dependent accumulation in the update
+    // diverges here (round-5 test-review find: an identical-plan rerun in
+    // the same JVM reproduced even order-dependent results)
     val c1 = Similarity.ivfCentroids(vecs, nlist = 4, lloydRounds = 3)
       .as[(Long, Array[Long])].collect().toMap
-    val c2 = Similarity.ivfCentroids(vecs, nlist = 4, lloydRounds = 3)
-      .as[(Long, Array[Long])].collect().toMap
+    val c2 = Similarity.ivfCentroids(vecs.repartition(7), nlist = 4,
+      lloydRounds = 3).as[(Long, Array[Long])].collect().toMap
     assert(c1.keySet == c2.keySet &&
       c1.forall { case (k, v) => v.sameElements(c2(k)) })
     // 4 centroids over 3 tight clusters: at least one pair of init
     // centroids shares a cluster, so after refinement one centroid may own
     // no points — it must keep its previous position, never vanish
     assert(c1.size == 4)
+    // empty-cluster VALUE pinned (round-5 test-review find: size == 4 is
+    // structurally guaranteed by the update's size-preserving map, so it
+    // cannot catch a corrupted fallback): v0 == v1 exactly, so assignment
+    // ties send EVERY point to centroid 0 and centroid 1 owns nothing
+    // after the round — it must keep its INIT position (= quantized v1),
+    // not zeros or garbage; centroid 0 is the hand-derived floor-mean of
+    // all four quantized vectors
+    val dupInit = Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f)),
+      (1L, Array(1.0f, 0f, 0f, 0f)),
+      (2L, Array(0f, 1.0f, 0f, 0f)),
+      (3L, Array(0f, 0.9f, 0.1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val cd = Similarity.ivfCentroids(dupInit, nlist = 2, lloydRounds = 1)
+      .as[(Long, Array[Long])].collect().toMap
+    assert(cd(1L).sameElements(Array(1000L, 0L, 0L, 0L)),
+      cd(1L).mkString(","))
+    assert(cd(0L).sameElements(Array(500L, 475L, 25L, 0L)),
+      cd(0L).mkString(","))
     // a refined centroid list still yields all 30 queries at nprobe=1
     val ivf1 = Similarity.ivfTopK(vecs, k = 3, nlist = 4, nprobe = 1,
       lloydRounds = 2)
@@ -139,10 +187,19 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("simhash: identical token sets share a fingerprint") {
+    val fps = Dedup.simhashFingerprints(docs)
+      .as[(Long, Long)].collect().toMap
+    assert(fps(0L) == fps(1L)) // identical docs collide
+    // negative control (round-5 test-review find: the exists-only group
+    // assert passed under a constant-fingerprint regression): the
+    // distinct doc hashes APART from the dup pair
+    assert(fps(3L) != fps(0L), s"fingerprints: $fps")
     val groups = Dedup.simhashGroups(docs).collect()
     // docs 0 and 1 are identical => same fingerprint group
     assert(groups.exists(g => g.getAs[Long]("n_docs") >= 2 &&
       g.getAs[Long]("canonical_doc_id") == 0L))
+    // and no group carries the distinct doc's fingerprint
+    assert(groups.forall(_.getAs[Long]("fingerprint") != fps(3L)))
   }
 
   test("ngram jaccard: exact dup scores 1.0, near dup is high") {
@@ -217,11 +274,42 @@ class OpsSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(media, stride = 2).collect()
     assert(frames.nonEmpty)
     assert(frames.forall(_.frame_bytes.length <= 64))
-    // deterministic: same id => same payload
-    val again = Multimodal.decodeMeta(Multimodal.synthesize(spark, 30))
+    // stride SAMPLING gated, not just "some frames" (round-5 test-review
+    // find: nonEmpty + length<=64 passed with stride ignored or frames
+    // detached from their media): every video contributes exactly
+    // ceil(n_frames / 2) frames at indices 0, 2, 4, …, and each frame's
+    // bytes are the actual payload slice at its offset
+    val payloads = media.collect().map(m => m.media_id -> m.payload).toMap
+    val videos = meta.filter(_.kind == "video")
+    val byMedia = frames.groupBy(_.media_id)
+    assert(byMedia.keySet == videos.map(_.media_id).toSet)
+    videos.foreach { v =>
+      val fs = byMedia(v.media_id).sortBy(_.frame_idx)
+      assert(fs.length == (v.n_frames + 1) / 2, s"media ${v.media_id}")
+      assert(fs.map(_.frame_idx).toSeq == (0 until v.n_frames by 2),
+        s"media ${v.media_id}")
+      val p = payloads(v.media_id)
+      fs.foreach { f =>
+        assert(f.offset == 8 + f.frame_idx * 64)
+        assert(java.util.Arrays.equals(f.frame_bytes,
+          java.util.Arrays.copyOfRange(p, f.offset,
+            math.min(f.offset + 64, p.length))),
+          s"media ${v.media_id} frame ${f.frame_idx}")
+      }
+    }
+    // deterministic: same id => same payload BYTES and same full metadata
+    // (round-5 test-review find: only (id, width, height) was compared)
+    val again = Multimodal.synthesize(spark, 30).collect()
+    assert(again.forall(m =>
+      java.util.Arrays.equals(m.payload, payloads(m.media_id))))
+    val againMeta = Multimodal.decodeMeta(Multimodal.synthesize(spark, 30))
       .collect()
-    assert(meta.map(m => (m.media_id, m.width, m.height)).toSet ==
-      again.map(m => (m.media_id, m.width, m.height)).toSet)
+    assert(meta.map(m =>
+        (m.media_id, m.kind, m.byte_len, m.width, m.height, m.n_frames))
+      .toSet ==
+      againMeta.map(m =>
+        (m.media_id, m.kind, m.byte_len, m.width, m.height, m.n_frames))
+      .toSet)
     val withMeta = Multimodal.withMeta(spark, media)
     assert(withMeta.schema("payload").dataType.typeName == "binary")
     assert(withMeta.schema("meta").dataType.typeName == "struct")
