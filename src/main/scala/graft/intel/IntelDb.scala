@@ -584,7 +584,9 @@ object IntelDb {
 
   /** L7 memo geometry: 16k direct-mapped slots per thread per path. */
   private val MemoSlots = 16384
-  private def memoSlot(value: String): Int = {
+  // package-visible so the memo spec can construct REAL slot collisions
+  // (a blind key flood provably never evicted the hot keys it meant to)
+  private[intel] def memoSlot(value: String): Int = {
     // String.hashCode is cached in the String; spread the high bits like
     // java.util.HashMap does so patterned feed values don't cluster slots
     val h = value.hashCode

@@ -51,6 +51,11 @@ class IocScannerSpec extends AnyFunSuite {
   }
   test("uppercase TLD does not validate (byte-exact PSL compare)") {
     assert(values("SHOUTY.COM is loud", T.Domain).isEmpty)
+    // positive control (round-5 test-review find: with no mixed-case
+    // vector anywhere in the suite, a scanner that case-rejected the
+    // WHOLE candidate — not just the byte-exact TLD compare — passed):
+    // an uppercase label with a lowercase TLD must still extract
+    assert(values("Visit Example.com now", T.Domain) == Seq("Example.com"))
   }
   // ---- full-PSL vectors (round 2: snapshot is the reference's complete
   // 10,496-line file, not the round-1 curated subset)
@@ -225,8 +230,11 @@ class IocScannerSpec extends AnyFunSuite {
     while (i < 65) { payload(i) = ((i * 11 + 5) & 0x7f).toByte; i += 1 }
     val full = payload ++ Checksums.keccak256(payload).take(4)
     val addr = Checksums.base58Encode(full)
-    assume(addr.length >= 90 && addr.length <= 110 &&
-      (addr.head == '4' || addr.head == '8'))
+    // assert, not assume (round-5 test-review find: a drift in
+    // base58Encode/keccak256 CANCELED this test — silently dropping the
+    // only scanner-level Monero coverage — instead of failing the gate)
+    assert(addr.length >= 90 && addr.length <= 110 &&
+      (addr.head == '4' || addr.head == '8'), addr)
     assert(values(s"xmr $addr end", T.Monero) == Seq(addr))
     val bad = addr.substring(0, addr.length - 1) +
       (if (addr.last == '2') '3' else '2')

@@ -126,6 +126,9 @@ class CleanPreScreenSpec extends AnyFunSuite {
     val turns = graft.pipeline.Fixtures.turns(5000)
     val matched = graft.oracle.Oracle.matched(turns, dbs)
       .map(m => (m.conv_id, m.turn_idx)).toSet
+    // the soundness loop below is vacuous if the oracle finds nothing
+    // (round-5 test-review find)
+    assert(matched.nonEmpty, "oracle found no matches in the fixture")
     var rejected = 0
     turns.foreach { t =>
       val p = hits(s, t.text)

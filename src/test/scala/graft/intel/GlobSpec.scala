@@ -77,6 +77,11 @@ class GlobSpec extends AnyFunSuite {
   test("backtracking step cap terminates") {
     val p = g("*a*a*a*a*a*a*a*a*a*b")
     assert(!p.matchesAnchored("a" * 300))
+    // the cap must not cause FALSE NEGATIVES on deep-but-matching inputs
+    // (round-5 test-review find: cap exhaustion reports "no match", so a
+    // collapsed cap was indistinguishable from the legitimate failure
+    // above — the only cap-exercising assert expected false)
+    assert(p.matchesAnchored("a" * 300 + "b"))
   }
   test("unicode chars count as one") {
     assert(g("h?llo").matches("héllo"))

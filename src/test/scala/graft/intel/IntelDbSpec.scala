@@ -98,6 +98,13 @@ class IntelDbSpec extends AnyFunSuite {
     val db = IntelDb.build("t", Seq(entry("*b*"), entry("*a*")))
     val hits = db.lookupString("ab")
     assert(hits.toSeq == hits.sorted.toSeq && hits.length == 2)
+    // dedup through the MULTI-word prefilter path (round-5 test-review
+    // find: a single-meta-word pattern cannot produce duplicates even
+    // with the seenP generation stamp deleted): '*xx*yy*' is reachable
+    // via BOTH its literal words, so without dedup its id appears twice
+    val db2 = IntelDb.build("t", Seq(entry("*xx*yy*"), entry("*xx*")))
+    val h2 = db2.lookupString("axxbyyc")
+    assert(h2.toSeq == h2.sorted.toSeq && h2.length == 2, h2.mkString(","))
   }
   test("L7 lookup memo: repeat and flooded lookups stay correct") {
     val db = IntelDb.build("t", Seq(entry("evil.com"), entry("*.bad.org"),
@@ -106,16 +113,39 @@ class IntelDbSpec extends AnyFunSuite {
     val first = db.lookupString("evil.com").toSeq
     assert(first.nonEmpty)
     (1 to 3).foreach(_ => assert(db.lookupString("evil.com").toSeq == first))
-    assert(db.lookupIp("192.0.2.1", isV6 = false) ==
-      db.lookupIp("192.0.2.1", isV6 = false))
+    // bind + non-null FIRST (round-5 test-review find: x == x was
+    // null == null if the /32 hit regressed to a miss): most-specific
+    // wins, so the /32 beats the /24
+    val ip1 = db.lookupIp("192.0.2.1", isV6 = false)
+    assert(ip1 != null && ip1._2 == 32, String.valueOf(ip1))
+    assert(db.lookupIp("192.0.2.1", isV6 = false) == ip1)
     assert(db.lookupIp("203.0.113.9", isV6 = false) == null)
     assert(db.lookupIp("203.0.113.9", isV6 = false) == null) // cached miss
-    // flood past the memo bound (8192) so the flush path runs, then
-    // verify hot keys still resolve correctly afterwards
+    // flood 9000 distinct misses through the direct-mapped memo (blind
+    // slot overwrites), then verify the hot keys still resolve
     (0 until 9000).foreach(i => db.lookupString(s"miss$i.example.com"))
     assert(db.lookupString("evil.com").toSeq == first)
     assert(db.lookupString("x.bad.org").nonEmpty)
-    assert(db.lookupIp("192.0.2.77", isV6 = false) != null) // /24 via memo
+    assert(db.lookupIp("192.0.2.77", isV6 = false) != null) // /24, first look
+    // REAL eviction/refill (round-5 test-review find: the blind flood
+    // provably never landed on the hot keys' slots, so slot replacement
+    // was untested): construct a missing key that SHARES evil.com's slot
+    // and alternate — each lookup evicts the other and must re-resolve;
+    // a stale-value-on-replace bug returns wrong ids here
+    val collide = Iterator.from(0).map(i => s"c$i.example.net")
+      .find(k => IntelDb.memoSlot(k) == IntelDb.memoSlot("evil.com")).get
+    (0 until 4).foreach { _ =>
+      assert(db.lookupString(collide).isEmpty)
+      assert(db.lookupString("evil.com").toSeq == first)
+    }
+    // same for the ip memo: a missing v4 sharing the /32 hit's slot
+    val ipCollide = Iterator.from(0)
+      .map(i => s"203.${i / 62500 % 250}.${i / 250 % 250}.${i % 250}")
+      .find(k => IntelDb.memoSlot(k) == IntelDb.memoSlot("192.0.2.1")).get
+    (0 until 4).foreach { _ =>
+      assert(db.lookupIp(ipCollide, isV6 = false) == null, ipCollide)
+      assert(db.lookupIp("192.0.2.1", isV6 = false) == ip1)
+    }
   }
   test("L7 ip memo: wrong-family probe cannot poison the right family") {
     val db = IntelDb.build("t", Seq(entry("192.0.2.0/24")))

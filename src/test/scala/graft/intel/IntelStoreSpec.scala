@@ -195,6 +195,8 @@ class IntelStoreSpec extends AnyFunSuite {
     val turns = Fixtures.turns(3000)
     val matchedKeys = graft.oracle.Oracle.matched(turns, dbs)
       .map(m => (m.conv_id, m.turn_idx)).toSet
+    // non-empty, or the soundness loop never runs (round-5 review find)
+    assert(matchedKeys.nonEmpty, "oracle found no matches in the fixture")
     turns.foreach { t =>
       val passes = screen.mightMatch(t.text.getBytes("UTF-8"))
       if (matchedKeys((t.conv_id, t.turn_idx)))

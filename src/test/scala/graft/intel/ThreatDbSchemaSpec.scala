@@ -28,10 +28,16 @@ class ThreatDbSchemaSpec extends AnyFunSuite {
     assert(ThreatDbSchema.isValid(e(conf = 100)))
   }
   test("validate reports entry + violation") {
-    val r = ThreatDbSchema.validate(Seq(e(), e(tl = "bogus")))
+    // DISTINCT keys (round-5 test-review find: identical keys meant a
+    // violation paired with the wrong entry still read "1.2.3.4"), and
+    // the violation text itself must name the failing field
+    val r = ThreatDbSchema.validate(
+      Seq(e(), e(tl = "bogus").copy(entry = "9.9.9.9")))
     assert(r.isLeft)
     val Left(bad) = r: @unchecked
-    assert(bad.size == 1 && bad.head._1 == "1.2.3.4")
+    assert(bad.size == 1 && bad.head._1 == "9.9.9.9", bad)
+    assert(bad.head._2.contains("threat_level") &&
+      bad.head._2.contains("bogus"), bad.head._2)
   }
   test("fixture feeds are schema-valid") {
     assert(ThreatDbSchema.validate(graft.pipeline.Fixtures.intelThreats).isRight)
