@@ -120,6 +120,9 @@ class MediaCodecsSpec extends AnyFunSuite {
     // resize every decodable image to 16x16 and re-decode
     val resized = Multimodal.resizeImages(media, 16, 16)
     val rf = Multimodal.decodeFeatures(resized).collect()
+    // row-preserving (round-5 test-review find: the pass-through foralls
+    // below are vacuous if resize drops non-image or corrupt rows)
+    assert(rf.length == 30)
     assert(rf.filter(f => f.media_id % 3 == 0)
       .forall(f => f.decoded && f.width == 16 && f.height == 16))
     assert(rf.filter(f => f.media_id % 3 == 2).forall(!_.decoded))

@@ -73,14 +73,26 @@ class ReviewFixesSpec extends AnyFunSuite {
     // the staged (checkpointed) banded table must leave exactly one scan
     // below the checkpoint and the self-join must read the LogicalRDD —
     // i.e. no FileScan/LocalTableScan of the source remains in the plan
+    // positive anchor + absence (round-5 test-review find: the md5/
+    // substring ABSENCE checks pass vacuously if the signature function
+    // is ever renamed): the plan must read the staged checkpoint ("Scan
+    // ExistingRDD") and must NOT re-scan the source ("LocalTableScan") —
+    // a dropped stage re-plans the whole sweep from the local source and
+    // fails the positive check regardless of what the hash is called
+    def staged(plan: String): Boolean =
+      plan.contains("Scan ExistingRDD") && !plan.contains("LocalTableScan")
     val pairs = Dedup.minhashLshPairs(docs)
     val plan = pairs.queryExecution.executedPlan.toString
+    assert(staged(plan), plan.take(1500))
     assert(!plan.contains("md5"), "signature sweep leaked above the stage")
     assert(pairs.as[(Long, Long)].collect().toSet.contains((0L, 1L)))
     val sim = Dedup.simhashNearDupPairs(docs)
-    assert(!sim.queryExecution.executedPlan.toString.contains("md5"))
+    val simPlan = sim.queryExecution.executedPlan.toString
+    assert(staged(simPlan), simPlan.take(1500))
+    assert(!simPlan.contains("md5"))
     val jac = Dedup.ngramJaccardPairs(docs, minJaccard = 0.3)
     val jacPlan = jac.queryExecution.executedPlan.toString
+    assert(staged(jacPlan), jacPlan.take(1500))
     assert(!jacPlan.toLowerCase.contains("substring"),
       "shingling leaked above the stage")
     assert(jac.where(col("doc_a") === 0 && col("doc_b") === 1)
@@ -110,6 +122,15 @@ class ReviewFixesSpec extends AnyFunSuite {
     val after = sc.getPersistentRDDs.size
     assert(after - before <= 2,
       s"leaked checkpoints: $before -> $after persistent RDDs")
+    // release the two LEGITIMATE pins (the pruned-assignment stages the
+    // results still reference) and require the exact baseline back — the
+    // <=2 slack alone is exactly the size of the centroid-checkpoint
+    // leak this test exists to prevent (round-5 test-review find)
+    Checkpoints.releaseLocalDeep(topk)
+    Checkpoints.releaseLocalDeep(sem)
+    val released = sc.getPersistentRDDs.size
+    assert(released == before,
+      s"non-result checkpoints stayed pinned: $before -> $released")
   }
 
   test("scan_turn/scan_turn_flat reject non-string children at analysis " +
@@ -125,12 +146,21 @@ class ReviewFixesSpec extends AnyFunSuite {
     // int child must fail ANALYSIS (or implicit-cast), never a per-task
     // ClassCastException; Column construction + analysis happens eagerly
     // on the action
-    val bad = df.select(graft.functions.ScanTurnFlat.column(col("n"), dbs))
+    val bad = df.select(graft.functions.ScanTurnFlat.column(col("n"), dbs)
+      .as("r"))
     val ok =
-      try { bad.collect(); true }
+      try {
+        val rows = bad.collect()
+        // on the implicit-cast path the expression must EVALUATE the cast
+        // string "1" — a no-hit scan returns an EMPTY array, never null.
+        // A defensive eval that swallows non-string input returns null
+        // and previously counted as a pass (round-5 test-review find)
+        rows.length == 1 && !rows.head.isNullAt(0) &&
+          rows.head.getSeq[Any](0).isEmpty
+      }
       catch { case _: org.apache.spark.sql.AnalysisException => true
               case _: ClassCastException => false }
-    assert(ok, "non-string child raised ClassCastException at runtime")
+    assert(ok, "non-string child: runtime CCE or a swallowed (null) eval")
   }
 
 }

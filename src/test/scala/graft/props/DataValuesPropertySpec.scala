@@ -126,4 +126,52 @@ class DataValuesPropertySpec extends AnyFunSuite {
       isValidJsonLiteral(DataValues.renderJson(v, t))
     })
   }
+
+  test("inference + rendering match hand-pinned reference vectors") {
+    // INDEPENDENT fixed expectations, derived by hand from the reference
+    // semantics (match_cmd.rs:83-93 cascade, the `as i32` truncation,
+    // as_u64 bound, as_f64 fallback, serde_json escaping) — round-5
+    // test-review find: the cascade property's model shares the
+    // implementation's grammar verbatim, so a mistranscription of the
+    // Rust grammars passed both sides; these constants do not.
+    val vectors = Seq(
+      ("0", "i32", "0"),
+      ("42", "i32", "42"),
+      ("+7", "i32", "7"), // Rust i64::from_str accepts a leading '+'
+      ("-1", "i32", "-1"),
+      ("007", "i32", "7"),
+      ("2147483648", "i32", "-2147483648"), // i64 in range; `as i32` wraps
+      ("6442450944", "i32", "-2147483648"), // the q43 truncation vector
+      ("9223372036854775807", "i32", "-1"), // i64::MAX low 32 bits
+      ("9223372036854775808", "u64", "9223372036854775808"), // > i64::MAX
+      ("18446744073709551615", "u64", "18446744073709551615"), // u64::MAX
+      ("18446744073709551616", "f64", "1.8446744073709552E19"), // > u64
+      ("3.5", "f64", "3.5"),
+      ("-0.25", "f64", "-0.25"),
+      ("1e3", "f64", "1000.0"),
+      (".5", "f64", "0.5"),
+      ("5.", "f64", "5.0"),
+      ("true", "bool", "true"),
+      ("false", "bool", "false"),
+      ("True", "str", "\"True\""), // Rust bool::from_str is case-exact
+      ("NaN", "str", "\"NaN\""), // non-finite stays a string (JSON safety)
+      ("inf", "str", "\"inf\""),
+      ("1e999", "str", "\"1e999\""), // overflows f64 to +inf -> string
+      ("0x10", "str", "\"0x10\""), // no hex grammar in from_str
+      ("1_000", "str", "\"1_000\""), // no Rust literal separators either
+      ("12abc", "str", "\"12abc\""),
+      (" 1", "str", "\" 1\""), // from_str takes no whitespace
+      ("", "str", "\"\""),
+      ("a\"b\\c", "str", "\"a\\\"b\\\\c\""),
+      ("tab\there", "str", "\"tab\\there\""),
+      ("new\nline", "str", "\"new\\nline\""),
+      ("ctrl\u0001x", "str", "\"ctrl\\u0001x\"")
+    )
+    vectors.foreach { case (cell, tag, json) =>
+      assert(DataValues.inferTag(cell) == tag,
+        s"tag of '$cell': got ${DataValues.inferTag(cell)}, want $tag")
+      assert(DataValues.renderJson(cell, tag) == json,
+        s"json of '$cell': got ${DataValues.renderJson(cell, tag)}")
+    }
+  }
 }
