@@ -109,7 +109,11 @@ class ReviewFixesSpec extends AnyFunSuite {
       (i, Array((math.cos(i * 0.37) * 2).toFloat,
         (math.sin(i * 0.53) * 2).toFloat, ((i % 7) - 3).toFloat))
     }.toDF("vec_id", "embedding")
-    val before = sc.getPersistentRDDs.size
+    // track RDD ID SETS, not counts: the async ContextCleaner may collect
+    // PRE-EXISTING pinned RDDs from earlier suites mid-test, which made a
+    // count-based exact-baseline compare flaky under the full suite —
+    // new-id differences are immune to concurrent cleanup of old entries
+    val beforeIds = sc.getPersistentRDDs.keySet.toSet
     val topk = Similarity.ivfTopK(vecs, k = 1, nlist = nlist, nprobe = 2,
       lloydRounds = 1)
     assert(topk.count() > 0)
@@ -119,18 +123,18 @@ class ReviewFixesSpec extends AnyFunSuite {
     // the centroid tables' checkpoint blocks must be gone; only the two
     // pruned-assignment stages (held by the still-referenced results)
     // may remain
-    val after = sc.getPersistentRDDs.size
-    assert(after - before <= 2,
-      s"leaked checkpoints: $before -> $after persistent RDDs")
+    val newIds = sc.getPersistentRDDs.keySet.toSet -- beforeIds
+    assert(newIds.size <= 2,
+      s"leaked checkpoints: new persistent RDDs $newIds")
     // release the two LEGITIMATE pins (the pruned-assignment stages the
-    // results still reference) and require the exact baseline back — the
-    // <=2 slack alone is exactly the size of the centroid-checkpoint
-    // leak this test exists to prevent (round-5 test-review find)
+    // results still reference) and require every NEW pin gone — the <=2
+    // slack alone is exactly the size of the centroid-checkpoint leak
+    // this test exists to prevent (round-5 test-review find)
     Checkpoints.releaseLocalDeep(topk)
     Checkpoints.releaseLocalDeep(sem)
-    val released = sc.getPersistentRDDs.size
-    assert(released == before,
-      s"non-result checkpoints stayed pinned: $before -> $released")
+    val leftover = sc.getPersistentRDDs.keySet.toSet -- beforeIds
+    assert(leftover.isEmpty,
+      s"non-result checkpoints stayed pinned: $leftover")
   }
 
   test("scan_turn/scan_turn_flat reject non-string children at analysis " +
