@@ -153,14 +153,22 @@ object Glob {
           if (pos0 >= text.length) false
           else {
             val ch = text.codePointAt(pos0)
-            val chN = if (caseInsensitive) asciiLowerCp(ch) else ch
             val in = cc.items.exists {
               case One(c) =>
-                chN == (if (caseInsensitive) asciiLowerCp(c) else c)
+                ch == c || (caseInsensitive &&
+                  asciiLowerCp(ch) == asciiLowerCp(c))
               case Range(lo, hi) =>
-                val l = if (caseInsensitive) asciiLowerCp(lo) else lo
-                val h = if (caseInsensitive) asciiLowerCp(hi) else hi
-                chN >= l && chN <= h
+                // CI ranges keep their RAW bounds and test the char plus
+                // its ASCII case sibling against them (fnmatch CASEFOLD
+                // semantics). Folding each bound independently corrupted
+                // ranges spanning the case/non-letter boundary: "[A-_]"
+                // (65-95) folded to the EMPTY range (97, 95) — dropping
+                // real matches — and "[?-Z]" folded to (63, 122), newly
+                // matching the never-included 91-96 block (round-5 fix).
+                (ch >= lo && ch <= hi) || (caseInsensitive && {
+                  val sib = asciiSwapCp(ch)
+                  sib != ch && sib >= lo && sib <= hi
+                })
             }
             if (in != cc.negated)
               matchImpl(text, pos0 + Character.charCount(ch), rest, steps)
@@ -183,6 +191,12 @@ object Glob {
 
   @inline private def asciiLowerCp(c: Int): Int =
     if (c >= 'A' && c <= 'Z') c + 32 else c
+
+  /** The ASCII case sibling: 'A'<->'a'. Identity for non-letters. */
+  @inline private def asciiSwapCp(c: Int): Int =
+    if (c >= 'A' && c <= 'Z') c + 32
+    else if (c >= 'a' && c <= 'z') c - 32
+    else c
   private[intel] def asciiLower(s: String): String = {
     var i = 0
     var needs = false

@@ -67,7 +67,7 @@ object Curation {
       textCol: String = "text"): DataFrame = {
     // --- THE single corpus pass: tokenize once, grade quality in the same
     // projection, checkpoint (doc_id, quality_fail, toks)
-    val nToks = TextStats.nTokensOfStaged(col("__text"), col("toks"))
+    val nToks = TextStats.nTokensOfStaged(col("toks"))
     val staged = docs
       .select(col("doc_id"), col(textCol).as("__text"),
         Decontaminate.tokens(col(textCol)).as("toks"))

@@ -36,8 +36,18 @@ object Decontaminate {
     * `TextStats`/simhash tokenization so "overlap" means the same thing
     * across ops). Materialize this as a column BEFORE feeding it to
     * [[ngramsOfTokens]].
+    *
+    * Empty tokens are filtered out, NOT trimmed away: Spark `trim` strips
+    * only 0x20 spaces while `split` keeps boundary empties, so
+    * "the answer\n" used to tokenize to [the, answer, ""] — a phantom
+    * token shared by every newline-terminated document, inflating minhash
+    * Jaccard, fabricating cross-doc n-grams through concat_ws, and
+    * padding token counts (round-5 fix; the filter also makes empty text
+    * yield [] instead of split("")'s [""], and its lambda touches only
+    * the lambda var, so the HOF re-evaluation rule is not violated).
     */
-  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
   private def explodedGrams(df: DataFrame, textCol: String, n: Int,
       keep: Column*): DataFrame =
@@ -62,10 +72,20 @@ object Decontaminate {
     */
   def decontaminate(docs: DataFrame, evalDocs: DataFrame, n: Int = 13,
       minShared: Int = 1, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame =
-    docs.join(
-      contaminationScores(docs, evalDocs, n, textCol, idCol)
-        .where(col("shared_ngrams") >= minShared)
-        .select(idCol),
-      Seq(idCol), "left_anti")
+      idCol: String = "doc_id"): DataFrame = {
+    // NULL-SAFE anti join: a contaminated doc with a null id must still be
+    // dropped — plain equality never matches null keys, so such docs
+    // previously sailed through the "clean" output (round-5 fix). The
+    // contaminated side stays tiny (it is bounded by the matched grams),
+    // so the null-safe condition costs nothing extra at scale.
+    // NOTE `idCol` is a KEY by contract; null ids all conflate to one
+    // group, so if ANY null-id doc is contaminated, EVERY null-id doc is
+    // dropped — deliberately conservative (never leak eval data because
+    // the ingest broke its own key), not per-row precise.
+    val dropIds = contaminationScores(docs, evalDocs, n, textCol, idCol)
+      .where(col("shared_ngrams") >= minShared)
+      .select(col(idCol).as("__graft_contaminated_id"))
+    docs.join(dropIds, docs(idCol) <=> dropIds("__graft_contaminated_id"),
+      "left_anti")
+  }
 }

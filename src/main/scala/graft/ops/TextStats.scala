@@ -10,10 +10,18 @@ import org.apache.spark.sql.functions._
   */
 object TextStats {
 
-  /** Occurrences of `needle` in `hay` (non-overlapping, by replace). */
-  def occurrences(hay: Column, needle: String): Column =
-    ((length(hay) - length(regexp_replace(hay, java.util.regex.Pattern.quote(needle), ""))) /
-      needle.length).cast("int")
+  /** Occurrences of `needle` in `hay` (non-overlapping, by replace).
+    * Spark `length` counts CODE POINTS, so the divisor must too — a
+    * UTF-16-unit divisor (`needle.length`) halves or zeroes counts for
+    * needles containing supplementary characters; an empty needle would
+    * be 0/0 -> NaN -> ANSI cast crash (round-5 fix).
+    */
+  def occurrences(hay: Column, needle: String): Column = {
+    require(needle.nonEmpty, "occurrences: empty needle")
+    ((length(hay) - length(regexp_replace(hay,
+      java.util.regex.Pattern.quote(needle), ""))) /
+      needle.codePointCount(0, needle.length)).cast("int")
+  }
 
   /** Marker words per language — tiny n-gram-ish heuristic. Scores are
     * marker hit counts over the lowercased, space-padded text; the argmax
@@ -85,10 +93,15 @@ object TextStats {
     langIdFromScores(scores.map { case (l, s) => l -> s })
   }
 
-  /** Whitespace token count. */
+  /** Whitespace token count. Boundary empties are filtered, not trimmed:
+    * `trim` strips only 0x20, so "foo\n" used to count 2 tokens (the
+    * phantom "" after split) and "\n" counted 2 instead of 0 — trailing
+    * newlines are ubiquitous, so token counts were systematically
+    * inflated and mean_token_len deflated, flipping qualityFilter
+    * verdicts near the thresholds (round-5 fix; null text stays null).
+    */
   def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "\\s+")))
+    size(filter(split(text, "\\s+"), t => length(t) > 0))
 
   /** BPE-ish subword count: word-piece segments of <= 4 chars, i.e.
     * ceil(len/4) summed over whitespace tokens — a deterministic proxy for
@@ -138,9 +151,14 @@ object TextStats {
 
   /** Document fingerprint: md5 of whitespace-normalized lowercase text —
     * the canonical key for fuzzy-exact dedup across formatting variants.
+    * Collapse FIRST, then trim: `trim` strips only 0x20 spaces, so
+    * trim-then-collapse left "foo\n" fingerprinting as "foo " — a
+    * distinct md5 from the "foo" it is a formatting variant of, silently
+    * keeping duplicates (round-5 fix; after the collapse all whitespace
+    * IS spaces, so the trim is total).
     */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+    md5(trim(regexp_replace(lower(text), "\\s+", " ")))
 
   /** Gopher-style quality FILTER (Rae et al. 2021, appendix A — the public
     * heuristic rule family): the keep/drop decision a training-data
@@ -194,13 +212,12 @@ object TextStats {
   // formulas must never drift between the two, or curate's verdicts
   // silently diverge from qualityFilter's and only the oracle notices)
 
-  /** Token count from an already-staged token-array column plus the raw
-    * text (the empty-text special case: split("") yields [""], size 1, but
-    * an empty document has ZERO tokens) — value-identical to
-    * [[tokenCount]] over the same text.
+  /** Token count from an already-staged [[Decontaminate.tokens]] array —
+    * value-identical to [[tokenCount]] over the same text (the staged
+    * array is empty-token-free since the round-5 tokenizer fix, so the
+    * size IS the count; lowercasing never changes token boundaries).
     */
-  def nTokensOfStaged(text: Column, toks: Column): Column =
-    when(length(trim(text)) === 0, 0).otherwise(size(toks))
+  def nTokensOfStaged(toks: Column): Column = size(toks)
 
   /** chars / tokens with the zero-token guard. */
   def meanTokenLenExpr(text: Column, nTokens: Column): Column =

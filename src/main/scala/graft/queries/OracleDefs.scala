@@ -226,7 +226,7 @@ object OracleDefs {
   private def duckSimhashToks(from: String): String =
     s"""SELECT doc_id,
        |    list_transform(
-       |      list_distinct(string_split_regex(trim(lower(text)), '\\s+')),
+       |      list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)),
        |      t -> CAST('0x'||substr(md5(t),1,15) AS BIGINT)) AS hs
        |  FROM $from""".stripMargin
 
@@ -274,12 +274,11 @@ object OracleDefs {
     val stop = Seq(" the ", " and ", " a ", " of ")
       .map(w => occ("(' '||lower(text)||' ')", w)).mkString(" + ")
     s"""SELECT doc_id,
-       |    CASE WHEN length(trim(text)) = 0 THEN 0
-       |         ELSE length(string_split_regex(trim(text), '\\s+')) END
-       |      AS n_tokens,
+       |    len(list_filter(string_split_regex(text, '\\s+'),
+       |                    t -> len(t) > 0)) AS n_tokens,
        |    CAST(length(text) AS DOUBLE) /
-       |      CAST(greatest(CASE WHEN length(trim(text)) = 0 THEN 0
-       |        ELSE length(string_split_regex(trim(text), '\\s+')) END, 1)
+       |      CAST(greatest(len(list_filter(string_split_regex(text, '\\s+'),
+       |        t -> len(t) > 0)), 1)
        |        AS DOUBLE) AS mean_token_len,
        |    CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))
        |      AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)
@@ -328,7 +327,7 @@ object OracleDefs {
     val bandRows = duckBandRows(numHashes, bands)
     s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 500),
        |sh_t AS (SELECT doc_id, ${duckWordShingles(5)} AS sh
-       |         FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM d)),
+       |         FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS w FROM d)),
        |$duckHsCte,
        |sigs AS (SELECT doc_id, $sig AS sig FROM hs_t),
        |banded AS (
@@ -661,7 +660,7 @@ object OracleDefs {
     val bandRows = duckBandRows(numHashes, bands)
     s"""WITH d AS ($floodDocsSql),
        |sh_t AS (SELECT doc_id, ${duckWordShingles(5)} AS sh
-       |         FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM d)),
+       |         FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS w FROM d)),
        |$duckHsCte,
        |sigs AS (SELECT doc_id, $sig AS sig FROM hs_t),
        |banded AS (
@@ -685,7 +684,7 @@ object OracleDefs {
     val bandRows = duckBandRows(numHashes, bands)
     s"""WITH RECURSIVE d AS ($floodDocsSql),
        |sh_t AS (SELECT doc_id, ${duckWordShingles(5)} AS sh
-       |         FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM d)),
+       |         FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS w FROM d)),
        |$duckHsCte,
        |sigs AS (SELECT doc_id, $sig AS sig FROM hs_t),
        |banded AS (
@@ -775,8 +774,8 @@ object OracleDefs {
       .map(w => occ("(' '||lower(text)||' ')", w)).mkString(" + ")
     s"""SELECT doc_id,
        |  length(text) AS n_chars_m,
-       |  CASE WHEN length(trim(text)) = 0 THEN 0
-       |       ELSE length(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+       |  len(list_filter(string_split_regex(text, '\\s+'),
+       |      t -> len(t) > 0)) AS n_tokens,
        |  CASE WHEN length(trim(text)) = 0 THEN 0
        |       ELSE CAST(list_sum(list_transform(
        |         string_split_regex(trim(text), '\\s+'),
@@ -790,8 +789,8 @@ object OracleDefs {
        |    / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
        |  $stop AS stopword_hits,
        |  CAST(length(text) AS DOUBLE) /
-       |    CAST(greatest(CASE WHEN length(trim(text)) = 0 THEN 0
-       |      ELSE length(string_split_regex(trim(text), '\\s+')) END, 1) AS DOUBLE)
+       |    CAST(greatest(len(list_filter(string_split_regex(text, '\\s+'),
+       |      t -> len(t) > 0)), 1) AS DOUBLE)
        |    AS mean_token_len
        |FROM documents ORDER BY doc_id""".stripMargin
   }
@@ -808,8 +807,8 @@ object OracleDefs {
 
   val textTokens: String =
     """SELECT doc_id,
-      |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-      |       ELSE length(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+      |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+      |       t -> len(t) > 0)) AS BIGINT)
       |    AS n_ws_tokens,
       |  CAST(length(regexp_extract_all(text,
       |       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT)
@@ -817,7 +816,7 @@ object OracleDefs {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   val textFingerprint: String =
-    """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+    """SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
       |       count(*) AS n_docs, min(doc_id) AS canonical_doc_id
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -942,7 +941,7 @@ object OracleDefs {
       |         [array_to_string(list_slice(w, i, i+3), ' ')
       |          for i in generate_series(1, greatest(len(w)-3, 0))] AS grams
       |  FROM (SELECT doc_id,
-      |               string_split_regex(lower(trim(text)), '\s+') AS w
+      |               list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS w
       |        FROM documents)
       |),
       |eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id%11=0),
@@ -986,7 +985,7 @@ object OracleDefs {
       |),
       |tok AS (
       |  SELECT g, length(txt) AS doc_len,
-      |         string_split_regex(lower(trim(txt)), '\s+') AS w
+      |         list_filter(string_split_regex(lower(txt), '\s+'), t -> len(t) > 0) AS w
       |  FROM corpus
       |),
       |grams AS (
@@ -1128,7 +1127,7 @@ object OracleDefs {
        |    ${duckQualityCase(25, 90, 4.8, 6.0, 0.81, 1)} AS quality_fail
        |  FROM f),
        |sh_t AS (SELECT doc_id, ${duckWordShingles(5)} AS sh
-       |         FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM d)),
+       |         FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS w FROM d)),
        |$duckHsCte,
        |sigs AS (SELECT doc_id, $sig AS sig FROM hs_t),
        |banded AS (
@@ -1154,7 +1153,7 @@ object OracleDefs {
        |         [array_to_string(list_slice(w, i, i+3), ' ')
        |          for i in generate_series(1, greatest(len(w)-3, 0))] AS grams
        |  FROM (SELECT doc_id,
-       |               string_split_regex(lower(trim(text)), '\\s+') AS w
+       |               list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS w
        |        FROM documents)
        |),
        |eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id%11=0),
@@ -1226,7 +1225,7 @@ object OracleDefs {
        |    ${duckQualityCase(740, 920, 7.6, 8.3, 0.80, 0)} AS quality_fail
        |  FROM f),
        |sh_t AS (SELECT doc_id, ${duckWordShingles(7)} AS sh
-       |         FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w FROM d)),
+       |         FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS w FROM d)),
        |$duckHsCte,
        |sigs AS (SELECT doc_id, $sig AS sig FROM hs_t),
        |banded AS (
@@ -1253,7 +1252,7 @@ object OracleDefs {
        |          for i in generate_series(1, greatest(len(w)-12, 0))]
        |           AS grams
        |  FROM (SELECT doc_id,
-       |               string_split_regex(lower(trim(text)), '\\s+') AS w
+       |               list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS w
        |        FROM tr)
        |),
        |eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g

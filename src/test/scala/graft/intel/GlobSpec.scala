@@ -51,6 +51,17 @@ class GlobSpec extends AnyFunSuite {
     assert(g("*.EVIL.com", ci = true).matches("x.evil.COM"))
     assert(g("MAL[a-c]", ci = true).matches("malB"))
     assert(g("lit", ci = true).matches("xxLITyy"))
+    // CI ranges keep RAW bounds; the char's ASCII case sibling is tested
+    // against them (round-5 fix: folding each bound independently made
+    // "[A-_]" the EMPTY range (97,95) and widened "[?-Z]" to (63,122))
+    assert(g("[A-_]", ci = true).matchesAnchored("B"))
+    assert(g("[A-_]", ci = true).matchesAnchored("b")) // sibling B in range
+    assert(g("[A-_]", ci = true).matchesAnchored("_"))
+    assert(!g("[A-_]", ci = true).matchesAnchored("{")) // no letter sibling
+    assert(!g("[?-Z]", ci = true).matchesAnchored("^")) // 94: widened-bug hit
+    assert(g("[?-Z]", ci = true).matchesAnchored("a")) // sibling A in range
+    assert(!g("[a-z]", ci = false).matchesAnchored("B")) // CS untouched
+    assert(g("[a-z]", ci = true).matchesAnchored("B"))
   }
   test("anchored semantics") {
     assert(!g("evil*").matches("xevil")) // has literal prefilter + anchor

@@ -33,4 +33,22 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(kept(2) == Set(2L, 3L, 5L))
     assert(kept(4) == Set(1L, 2L, 3L, 4L, 5L)) // nobody shares 4+
   }
+
+  test("a contaminated doc with a NULL id is still dropped (round-5 fix: " +
+    "plain anti-join equality never matches null keys)") {
+    val withNull = train.unionByName(Seq(
+      (Option.empty[Long], "the quick brown fox jumps over dogs"), // contam
+      (Option.empty[Long], "null id but perfectly clean words")    // clean
+    ).toDF("doc_id", "text"))
+    val kept = Decontaminate.decontaminate(withNull, eval, n = 3)
+      .select("doc_id", "text").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0),
+        r.getString(1).take(12))).toSet
+    // null ids conflate to ONE group (idCol is a key by contract), so one
+    // contaminated null-id doc drops every null-id doc — conservative by
+    // design: eval leakage never survives a broken ingest key. Non-null
+    // behavior unchanged.
+    assert(kept == Set((3L, "completely d"), (5L, "too short")),
+      kept.toString)
+  }
 }

@@ -218,6 +218,17 @@ class OpsSpec extends AnyFunSuite {
     assert(fp(0L) == fp(1L))
     assert(fp(0L) == fp(4L)) // case/whitespace normalized
     assert(fp(0L) != fp(2L))
+    // NON-SPACE boundary whitespace normalizes too (round-5 fix: trim
+    // strips only 0x20, so "foo\n" used to fingerprint as "foo " — a
+    // distinct md5 from its own formatting variant)
+    val variants = Seq((0L, "foo bar"), (1L, "foo bar\n"), (2L, "\tfoo bar"),
+      (3L, "foo\nbar"), (4L, "other"))
+      .toDF("doc_id", "text")
+      .withColumn("fp", TextStats.fingerprint(col("text")))
+      .select("doc_id", "fp").as[(Long, String)].collect().toMap
+    assert(Seq(1L, 2L, 3L).forall(i => variants(i) == variants(0L)),
+      variants.toString)
+    assert(variants(4L) != variants(0L))
   }
 
   private lazy val vecs = Seq(
@@ -254,8 +265,26 @@ class OpsSpec extends AnyFunSuite {
     assert(r(0L) == "en" && r(1L) == "de" && r(2L) == "es" && r(3L) == "und")
   }
 
+  test("occurrences counts code points (supplementary needles; round-5 fix)") {
+    // U+1D538 is 2 UTF-16 units but ONE code point: a UTF-16-unit divisor
+    // reads 2/2=1 for two hits (and 1/2=0 for one)
+    val sup = "𝔸"
+    val r = Seq((0L, s"x${sup}y$sup"), (1L, s"just $sup once"), (2L, "none"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextStats.occurrences(col("text"), sup).as("n"))
+      .as[(Long, Int)].collect().toMap
+    assert(r == Map(0L -> 2, 1L -> 1, 2L -> 0), r.toString)
+    intercept[IllegalArgumentException] {
+      TextStats.occurrences(col("text"), "")
+    }
+  }
+
   test("token and subword counts") {
-    val r = Seq((0L, "hello world abcdefgh"), (1L, ""), (2L, "  a  "))
+    val r = Seq((0L, "hello world abcdefgh"), (1L, ""), (2L, "  a  "),
+      // non-space boundary whitespace (round-5 fix: trim strips only
+      // 0x20, so the phantom "" after split inflated counts — "foo\n"
+      // counted 2 tokens, "\n" counted 2 instead of 0)
+      (3L, "foo\n"), (4L, "\n"), (5L, "\tfoo\tbar\n"))
       .toDF("doc_id", "text")
       .select($"doc_id", TextStats.tokenCount(col("text")).as("t"),
         TextStats.subwordCount(col("text")).as("s"))
@@ -263,6 +292,18 @@ class OpsSpec extends AnyFunSuite {
     assert(r(0L) == ((3, 2 + 2 + 2))) // 5->2, 5->2, 8->2
     assert(r(1L) == ((0, 0L)))
     assert(r(2L) == ((1, 1L)))
+    assert(r(3L) == ((1, 1L)), r(3L).toString)
+    assert(r(4L) == ((0, 0L)), r(4L).toString)
+    assert(r(5L) == ((2, 2L)), r(5L).toString)
+    // the shared tokenizer never emits empty tokens and agrees with
+    // tokenCount on every vector
+    val toks = Seq((0L, "foo\n"), (1L, "\n"), (2L, " A  b\tc "), (3L, ""))
+      .toDF("doc_id", "text")
+      .select($"doc_id", Decontaminate.tokens(col("text")).as("toks"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(toks(0L) == Seq("foo") && toks(1L) == Seq.empty &&
+      toks(2L) == Seq("a", "b", "c") && toks(3L) == Seq.empty,
+      toks.toString)
   }
 
   test("multimodal: decode stub, metadata, frame sampling") {

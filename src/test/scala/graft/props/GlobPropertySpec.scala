@@ -28,9 +28,14 @@ class GlobPropertySpec extends AnyFunSuite {
   private case object Star extends Seg
   private case object Question extends Seg
   private case class Cls(chars: Seq[Char], negated: Boolean) extends Seg
+  private case class Rng(lo: Char, hi: Char, negated: Boolean) extends Seg
 
   private val litChar = Gen.oneOf("abcde.xZ-".toSeq)
   private val clsChar = Gen.oneOf("abcdexZ".toSeq)
+  // range bounds deliberately STRADDLE the letter/non-letter boundaries
+  // ('?' 63 < 'A'..'Z' < '_' 95 < 'a'..'z') — CI ranges spanning them are
+  // where fold-the-bounds implementations break (round-5 fix)
+  private val rngChar = Gen.oneOf("?AKZ_akz".toSeq)
 
   private val segGen: Gen[Seg] = Gen.frequency(
     4 -> Gen.choose(1, 4).flatMap(n =>
@@ -41,7 +46,11 @@ class GlobPropertySpec extends AnyFunSuite {
       n <- Gen.choose(1, 3)
       cs <- Gen.listOfN(n, clsChar)
       neg <- Gen.oneOf(true, false)
-    } yield Cls(cs.distinct, neg))
+    } yield Cls(cs.distinct, neg)),
+    1 -> (for {
+      a <- rngChar; b <- rngChar
+      neg <- Gen.oneOf(true, false)
+    } yield Rng(if (a <= b) a else b, if (a <= b) b else a, neg))
   )
 
   private val patternGen: Gen[List[Seg]] =
@@ -52,6 +61,7 @@ class GlobPropertySpec extends AnyFunSuite {
     case Star => "*"
     case Question => "?"
     case Cls(cs, neg) => "[" + (if (neg) "!" else "") + cs.mkString + "]"
+    case Rng(lo, hi, neg) => "[" + (if (neg) "!" else "") + lo + "-" + hi + "]"
   }.mkString
 
   /** Independent translation: segments -> anchored java regex. */
@@ -69,6 +79,11 @@ class GlobPropertySpec extends AnyFunSuite {
           else sb.append("\\").append(c)
         }
         sb.append("]")
+      case Rng(lo, hi, neg) =>
+        def esc(c: Char): String =
+          if (Character.isLetterOrDigit(c)) c.toString else "\\" + c
+        sb.append("[").append(if (neg) "^" else "")
+          .append(esc(lo)).append("-").append(esc(hi)).append("]")
     }
     java.util.regex.Pattern.compile(sb.toString,
       java.util.regex.Pattern.DOTALL | flags)
@@ -87,6 +102,8 @@ class GlobPropertySpec extends AnyFunSuite {
       case Question => "abcz".charAt(rnd.nextInt(4)).toString
       case Cls(cs, false) => cs(rnd.nextInt(cs.length)).toString
       case Cls(_, true) => "q"
+      case Rng(lo, hi, false) => ((lo + hi) / 2).toChar.toString
+      case Rng(_, _, true) => "q"
     }.mkString
   }
 
@@ -105,7 +122,7 @@ class GlobPropertySpec extends AnyFunSuite {
 
   test("case-insensitive glob == CASE_INSENSITIVE regex") {
     val mixedText = Gen.choose(0, 16).flatMap(n =>
-      Gen.listOfN(n, Gen.oneOf("aAbBcCdDeExXzZ.".toSeq)).map(_.mkString))
+      Gen.listOfN(n, Gen.oneOf("aAbBcCdDeExXzZ._?^{K".toSeq)).map(_.mkString))
     checkProp("glob-ci-vs-regex",
       Prop.forAllNoShrink(patternGen, mixedText) { (segs, text) =>
         val glob = renderGlob(segs)

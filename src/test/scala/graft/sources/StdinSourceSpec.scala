@@ -59,4 +59,34 @@ class StdinSourceSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions == 4)
     assert(df.count() == 100)
   }
+
+  test("stdin: pipes beyond the chunk bound spool to parquet with driver " +
+    "residency of ONE chunk; rows, order, and values intact (round-5 fix)") {
+    val n = 357
+    val many = (0 until n).map(i => s"spool line $i").mkString("\n") + "\n"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stdin-spool-spec").toString
+    val df = StdinSource.readTurns(spark, stream(many),
+      tsMillis = Some(1700000000000L),
+      spoolChunkLines = 100, spoolDir = Some(dir))
+    // the frame is a real file scan over the spool, not a parallelize
+    assert(df.queryExecution.executedPlan.toString.contains("FileScan"))
+    // 4 chunk files of <= 100 lines each landed in the spool
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet")) >= 4)
+    val rows = df.orderBy("turn_idx")
+      .select("turn_idx", "text", "conv_id").collect()
+    assert(rows.length == n)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getInt(0) == i && r.getString(1) == s"spool line $i" &&
+        r.getString(2) == "stdin", s"row $i: $r")
+    }
+    // exactly-chunk-sized input also round-trips (boundary)
+    val exact = StdinSource.readTurns(spark,
+      stream((0 until 100).map(i => s"x$i").mkString("\n") + "\n"),
+      spoolChunkLines = 100,
+      spoolDir = Some(java.nio.file.Files
+        .createTempDirectory("graft-stdin-spool-spec2").toString))
+    assert(exact.count() == 100)
+  }
 }
