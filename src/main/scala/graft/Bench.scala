@@ -79,10 +79,14 @@ object Bench {
     * (round-5 review find). Shared by Bench/BenchCluster/HotMain/ProfMain.
     */
   private[graft] def turnsPath(nTurns: Long): String = {
-    val probe = (0L until 4L)
-      .map(i => Fixtures.turn(i * 997, 4096).toString).mkString("|")
+    // pool digest (EVERY token pool, exact) + a 64-row structural probe
+    // (slot layout / planting-rate / skew changes): the original 4-row
+    // probe missed most single-pool edits, silently benching the stale
+    // cached table (round-5 review find)
+    val probe = (0L until 64L)
+      .map(i => Fixtures.turn(i * 61, 4096).toString).mkString("|")
     val tag = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(probe))
+      scala.util.hashing.MurmurHash3.stringHash(probe) ^ Fixtures.poolTag)
     s"/tmp/graft-bench-turns-$nTurns-$tag"
   }
 
@@ -259,6 +263,9 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // JSON artifacts use %-formatting: pin the locale or a comma-decimal
+    // JVM default renders 0,954 and the driver's json parse fails
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val nTurns = sys.env.getOrElse("SPARK_GRAFT_BENCH_TURNS", "6000000").toLong
@@ -414,15 +421,21 @@ object Bench {
         val r = SparkEntry.queries.toSeq.sortBy(_._1)
           .filter { case (name, _) =>
             qFilter.isEmpty || qFilter.exists(name.contains) }
-          .map { case (name, fn) =>
+          .flatMap { case (name, fn) =>
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).count()
-          catch {
+          // failure-honest: a broken query lands ONLY in `errors` — its
+          // elapsed-until-failure must not pollute the per-query map,
+          // total, n_queries, or the slowest top-10 (round-5 review find:
+          // the old map recorded the partial time alongside the error)
+          try {
+            fn(spark, sfDir).count()
+            Some(name -> (System.nanoTime() - t0) / 1e9)
+          } catch {
             case e: Throwable =>
               errors += name ->
                 e.toString.replaceAll("[\"\\\\\n\r\t]", " ").take(160)
+              None
           }
-          name -> (System.nanoTime() - t0) / 1e9
         }
         spark.stop()
         r

@@ -67,6 +67,7 @@ object BenchCluster {
       sys.env.contains("SPARK_SCALA_VERSION"),
       "local-cluster executors need SPARK_HOME (=/opt/spark) and " +
         "SPARK_SCALA_VERSION (=2.13) in the environment")
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // %-format JSON safety
     val nTurns =
       sys.env.getOrElse("SPARK_GRAFT_CLUSTER_TURNS", "3000000").toLong
     val rounds =

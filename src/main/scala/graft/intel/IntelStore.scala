@@ -175,6 +175,20 @@ object IntelStore {
       return ValidationReport(
         Seq(s"missing required columns: ${missing.mkString(", ")}"),
         Nil, Nil, 0, 0, 0)
+    // column TYPES must match too, or the typed row reads below throw
+    // ClassCastException out of the diagnoser on exactly the malformed
+    // store it exists to report (round-5 review find: an external writer
+    // with confidence as int64 crashed validate instead of failing it)
+    val expectedTypes = Map(
+      "confidence" -> "integer", "case_insensitive" -> "boolean"
+    ).withDefaultValue("string")
+    val drifted = required.flatMap { c =>
+      val actual = df.schema(c).dataType.typeName
+      if (actual == expectedTypes(c)) None
+      else Some(s"column '$c' has type $actual, expected ${expectedTypes(c)}")
+    }
+    if (drifted.nonEmpty)
+      return ValidationReport(drifted, Nil, Nil, 0, 0, 0)
     val rows = df.select(required.head, required.tail: _*).collect()
     // sidecar consistency (the analog of the header/metadata checks)
     val fs = org.apache.hadoop.fs.FileSystem.get(
