@@ -104,7 +104,10 @@ object SparkEntry {
     // composed curation audit (round 5)
     "q55_conv_curate" -> (QueryDefs.qConvCurate _),
     // JSON-feed per-VALUE DataValue typing through the lookup flow (round 5)
-    "q56_lookup_extras_json" -> (QueryDefs.qLookupExtrasJson _)
+    "q56_lookup_extras_json" -> (QueryDefs.qLookupExtrasJson _),
+    // ExactSubstr duplicate-span statistics (round 5): the verbatim-run
+    // half of the dedup family, distributed via positional n-gram windows
+    "q57_dedup_substr" -> (QueryDefs.qDedupSubstr _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -163,6 +166,7 @@ object SparkEntry {
     "q53_split" -> OracleDefs.split,
     "q54_sample" -> OracleDefs.sample,
     "q55_conv_curate" -> OracleDefs.convCurate,
-    "q56_lookup_extras_json" -> OracleDefs.lookupExtrasJson
+    "q56_lookup_extras_json" -> OracleDefs.lookupExtrasJson,
+    "q57_dedup_substr" -> OracleDefs.dedupSubstr
   )
 }

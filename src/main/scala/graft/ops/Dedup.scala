@@ -510,4 +510,79 @@ object Dedup {
         Similarity.cosineQ(col("a.qv"), col("b.qv")).as("cosine"))
       .where(col("cosine") >= minCosine)
   }
+
+  /** POSITIONAL word n-gram windows over an already-materialized token
+    * array: element i (0-based via posexplode) = the space-joined window
+    * toks[i, i+n). Unlike [[Decontaminate.ngramsOfTokens]] this keeps
+    * every occurrence AND its position (needed for span coverage), and is
+    * empty — not a short gram — when the doc has fewer than n tokens.
+    * Space-join is injective here: tokens are whitespace-split so they
+    * contain no spaces, and every window has exactly n of them.
+    */
+  private def gramWindows(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - lit(n)),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** ExactSubstr-style duplicate-span statistics (the verbatim-run half of
+    * the dedup family, after Lee et al. 2022 "Deduplicating Training Data
+    * Makes Language Models Better"): per document, the number of tokens
+    * covered by verbatim runs of >= n tokens that also appear in at least
+    * one OTHER document, plus the covered fraction. A shared run of
+    * length L >= n contributes all L tokens (its length-n windows overlap;
+    * coverage is the interval union, not a window count).
+    *
+    * The reference algorithm is a corpus-wide suffix array — inherently
+    * single-machine. The Spark-native equivalence: a verbatim cross-doc
+    * run of >= n tokens exists iff some positional n-gram window occurs in
+    * >= 2 distinct documents, so
+    *   1. explode positional n-gram windows (one md5 per window);
+    *   2. flag hashes spanning >= 2 docs via min(doc)!=max(doc) — an
+    *      ALGEBRAIC aggregate (map-side combine, no distinct-count, no
+    *      pairwise join: a boilerplate gram shared by 10^6 docs costs one
+    *      combined row, never 10^12 pairs — this family's skew guard is
+    *      structural, not a cap);
+    *   3. join the flags back on gram hash (AQE splits a skewed hash) and
+    *      union the per-doc [pos, pos+n) intervals with one sorted window
+    *      pass: sum(least(n, pos - lag(pos))), first row counting n.
+    * Three linear shuffles total (gram agg, flag join, doc window); the
+    * corpus text itself is tokenized once and never re-shuffled.
+    *
+    * Output: (doc_id, n_tokens, dup_tokens, dup_frac), one row per input
+    * document (docs with no shared run report 0). `dup_frac` is one
+    * integer/integer division — bit-reproducible across engines.
+    */
+  def exactSubstrStats(docs: DataFrame, n: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, "window length n must be >= 1")
+    val toks = docs.select(col(idCol),
+      Decontaminate.tokens(col(textCol)).as("__graft_toks"))
+    val grams = toks
+      .select(col(idCol),
+        posexplode(gramWindows(col("__graft_toks"), n))
+          .as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos"), md5(col("gram")).as("gh"))
+    val dupGrams = grams.groupBy("gh")
+      .agg(min(idCol).as("__mn"), max(idCol).as("__mx"))
+      .where(col("__mn") =!= col("__mx"))
+      .select("gh")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("pos").asc)
+    val covered = grams.join(dupGrams, Seq("gh"))
+      .select(col(idCol),
+        coalesce(least(lit(n.toLong), col("pos") - lag("pos", 1).over(w)),
+          lit(n.toLong)).as("c"))
+      .groupBy(idCol).agg(sum("c").as("__dup"))
+    toks
+      .select(col(idCol),
+        coalesce(size(col("__graft_toks")), lit(0)).cast("long")
+          .as("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("__dup"), lit(0L)).as("dup_tokens"),
+        when(col("n_tokens") > 0,
+          coalesce(col("__dup"), lit(0L)) / col("n_tokens"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
 }

@@ -1278,6 +1278,43 @@ object OracleDefs {
        |FROM verdict ORDER BY doc_id""".stripMargin
   }
 
+  /** q57: ExactSubstr duplicate-span statistics — positional word-8-gram
+    * windows (one md5 per window, the Spark side's gram hash), cross-doc
+    * flag via min(doc_id) <> max(doc_id), and interval-union coverage by
+    * the same sorted lag window as Dedup.exactSubstrStats. `dup_frac` is
+    * one integer/integer division — bit-identical doubles.
+    */
+  val dedupSubstr: String = {
+    val n = 8
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS w
+       |  FROM documents),
+       |pg AS (
+       |  SELECT doc_id, w,
+       |    unnest(generate_series(1, greatest(len(w)-${n - 1}, 0))) AS i
+       |  FROM toks),
+       |grams AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    md5(array_to_string(list_slice(w, i, i+${n - 1}), ' ')) AS gh
+       |  FROM pg),
+       |dup AS (
+       |  SELECT gh FROM grams GROUP BY gh HAVING min(doc_id) <> max(doc_id)),
+       |cov AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS dup_tokens FROM (
+       |    SELECT doc_id,
+       |      coalesce(least($n, pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)), $n) AS c
+       |    FROM grams JOIN dup USING (gh)) GROUP BY doc_id)
+       |SELECT t.doc_id,
+       |  CAST(coalesce(len(w), 0) AS BIGINT) AS n_tokens,
+       |  coalesce(dup_tokens, 0) AS dup_tokens,
+       |  CASE WHEN coalesce(len(w), 0) > 0
+       |       THEN CAST(coalesce(dup_tokens, 0) AS DOUBLE) / len(w)
+       |       ELSE 0.0 END AS dup_frac
+       |FROM toks t LEFT JOIN cov USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** q54: deterministic downsample keep set, same integer threshold. */
   val sample: String = {
     val bound = graft.ops.Sampling.rateBound(0.25)

@@ -824,6 +824,19 @@ object QueryDefs {
     out.orderBy("doc_id")
   }
 
+  /** q57: ExactSubstr-style duplicate-span statistics (Lee et al. 2022,
+    * the verbatim-run half of the dedup family next to the minhash/simhash
+    * approximations) — per document, tokens covered by cross-document
+    * verbatim runs of >= 8 tokens, as an interval UNION (a 20-token shared
+    * run counts 20 tokens, not 13 windows). The fixture's planted near-dup
+    * groups give ~47 of 500 sf0.01 docs a non-zero span with partial
+    * fractions (0.91..1.0), so both the coverage union and the zero path
+    * are oracle-checked.
+    */
+  def qDedupSubstr(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactSubstrStats(t(s, dir, "documents"), n = 8)
+      .orderBy("doc_id")
+
   /** q53: deterministic hash-based train/val/test split assignment —
     * 80/10/10 under salt "v1"; reproducible (md5 + integer thresholds,
     * every engine agrees bit-exactly) and growth-stable (a document's
