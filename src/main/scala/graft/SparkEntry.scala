@@ -107,7 +107,9 @@ object SparkEntry {
     "q56_lookup_extras_json" -> (QueryDefs.qLookupExtrasJson _),
     // ExactSubstr duplicate-span statistics (round 5): the verbatim-run
     // half of the dedup family, distributed via positional n-gram windows
-    "q57_dedup_substr" -> (QueryDefs.qDedupSubstr _)
+    "q57_dedup_substr" -> (QueryDefs.qDedupSubstr _),
+    // deterministic per-key quota cap under skew: domain balancing (round 5)
+    "q58_sample_cap_key" -> (QueryDefs.qSampleCapKey _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -167,6 +169,7 @@ object SparkEntry {
     "q54_sample" -> OracleDefs.sample,
     "q55_conv_curate" -> OracleDefs.convCurate,
     "q56_lookup_extras_json" -> OracleDefs.lookupExtrasJson,
-    "q57_dedup_substr" -> OracleDefs.dedupSubstr
+    "q57_dedup_substr" -> OracleDefs.dedupSubstr,
+    "q58_sample_cap_key" -> OracleDefs.sampleCapKey
   )
 }

@@ -84,4 +84,39 @@ object Sampling {
   def sample(docs: DataFrame, rate: Double, salt: String = "s1",
       idCol: String = "doc_id"): DataFrame =
     docs.where(hashPoint(col(idCol), salt) < rateBound(rate))
+
+  /** Deterministic per-key quota cap — the domain-balancing step of
+    * C4/RefinedWeb-style curation ("keep at most `maxPerKey` documents per
+    * registered domain", so one mega-site cannot dominate the corpus):
+    * within each key group, rank rows by their (salt, id) hash point — a
+    * reproducible uniform shuffle, NOT ingest order (which is neither
+    * stable across runs nor unbiased) — and keep the first `maxPerKey`.
+    * Ties on the hash point break by id, so the kept set is a total
+    * deterministic function of (salt, corpus). Unlike [[sample]] this is
+    * necessarily growth-sensitive AT the quota boundary (a new doc with a
+    * smaller hash point can displace the group's current boundary doc);
+    * below-quota groups are growth-stable (every member kept).
+    *
+    * NULL keys conflate into one group and share one quota (consistent
+    * with groupBy semantics); NULL ids hash to NULL and sort first —
+    * deterministic, but callers with broken keys should repair upstream.
+    *
+    * 100 TB shape: one hash-shuffle on the key + a per-group sort — the
+    * same shape as any groupBy, no global order, no driver state. A
+    * pathologically hot key (10^8 docs on one domain) sorts inside one
+    * task: pre-thin such keys with [[sample]] first (rate ~ quota x 100 /
+    * group size keeps the result exact with overwhelming probability) —
+    * the composition stays deterministic because both stages are pure
+    * hash functions of (salt, id).
+    */
+  def capPerKey(docs: DataFrame, keyCol: String, maxPerKey: Int,
+      salt: String = "k1", idCol: String = "doc_id"): DataFrame = {
+    require(maxPerKey >= 1, "maxPerKey must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol)
+      .orderBy(hashPoint(col(idCol), salt).asc, col(idCol).asc)
+    docs.withColumn("__graft_rank", row_number().over(w))
+      .where(col("__graft_rank") <= maxPerKey)
+      .drop("__graft_rank")
+  }
 }

@@ -1325,4 +1325,19 @@ object OracleDefs {
        |WHERE h < $bound
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** q58: per-key quota cap — the same hash-point rank (md5('d1:'||id)
+    * 60-bit draw, id tie-break) inside each derived key group, quota 15.
+    */
+  val sampleCapKey: String =
+    """SELECT doc_id, k FROM (
+      |  SELECT doc_id, k,
+      |    row_number() OVER (PARTITION BY k
+      |      ORDER BY CAST('0x'||substr(md5('d1:'||doc_id),1,15) AS BIGINT) ASC,
+      |               doc_id ASC) AS r
+      |  FROM (SELECT doc_id,
+      |          CASE WHEN doc_id < 250 THEN 'hot' ELSE source END AS k
+      |        FROM documents))
+      |WHERE r <= 15
+      |ORDER BY doc_id""".stripMargin
 }

@@ -856,4 +856,22 @@ object QueryDefs {
       salt = "s1")
       .select("doc_id")
       .orderBy("doc_id")
+
+  /** q58: deterministic per-key quota cap (domain balancing) under SKEW —
+    * the first half of the corpus is funneled onto one "hot" key (250 of
+    * 500 sf0.01 docs; NOT doc_id parity, which correlates with `source` =
+    * src(doc_id%20) and would push every group over quota), the rest keep
+    * their `source` (12-13 docs each). Quota 15: the hot key is cut
+    * 250 -> 15 by hash-point rank while every below-quota source survives
+    * whole, so the oracle checks both the bite and the no-bite path plus
+    * the exact hash-ranked membership.
+    */
+  def qSampleCapKey(s: SparkSession, dir: String): DataFrame = {
+    val keyed = t(s, dir, "documents")
+      .withColumn("k",
+        when(col("doc_id") < 250, lit("hot")).otherwise(col("source")))
+    graft.ops.Sampling.capPerKey(keyed, "k", maxPerKey = 15, salt = "d1")
+      .select("doc_id", "k")
+      .orderBy("doc_id")
+  }
 }

@@ -67,6 +67,50 @@ class SamplingSpec extends AnyFunSuite {
     assert(frac > 0.7 && frac < 0.9, s"coupled draws? train frac $frac")
   }
 
+  test("capPerKey: quota bites hot keys only, membership is hash-ranked " +
+    "and deterministic") {
+    // key "hot" gets 60 docs, "cold" 5 — quota 10 cuts hot to 10, keeps
+    // cold whole
+    val docs = spark.range(0, 65).select(col("id").as("doc_id"),
+      when(col("id") < 60, "hot").otherwise("cold").as("k"))
+    val kept = Sampling.capPerKey(docs, "k", maxPerKey = 10, salt = "d1")
+      .select("doc_id", "k").as[(Long, String)].collect()
+    val byKey = kept.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byKey("cold") == (60L until 65L).toSet, "below-quota key cut")
+    assert(byKey("hot").size == 10)
+    // the kept hot docs are EXACTLY the 10 smallest by hash point — the
+    // independent model re-ranks driver-side with the same md5 derivation
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hp(id: Long): Long = {
+      val hex = md.digest(s"d1:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val expected = (0L until 60L).sortBy(id => (hp(id), id)).take(10).toSet
+    assert(byKey("hot") == expected)
+    // re-running yields the identical set (no RNG state)
+    val again = Sampling.capPerKey(docs, "k", maxPerKey = 10, salt = "d1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept.map(_._1).toSet)
+    // a different salt picks a different (still size-10) hot subset
+    val other = Sampling.capPerKey(docs, "k", maxPerKey = 10, salt = "d2")
+      .where(col("k") === "hot").select("doc_id").as[Long].collect().toSet
+    assert(other.size == 10 && other != byKey("hot"))
+  }
+
+  test("capPerKey: null keys conflate to one shared quota; maxPerKey >= 1 " +
+    "enforced") {
+    val docs = Seq((1L, Some("a")), (2L, None), (3L, None), (4L, None))
+      .toDF("doc_id", "k")
+    val kept = Sampling.capPerKey(docs, "k", maxPerKey = 2, salt = "d1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.size == 3 && kept.contains(1L),
+      s"null group must keep exactly 2 of its 3 docs: $kept")
+    intercept[IllegalArgumentException] {
+      Sampling.capPerKey(docs, "k", maxPerKey = 0)
+    }
+  }
+
   test("null ids: NULL split from assignSplits, dropped by sample — " +
     "consistent verdicts (round-5 find)") {
     val docs = Seq(Some(1L), None, Some(2L)).toDF("doc_id")
