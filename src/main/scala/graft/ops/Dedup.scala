@@ -537,7 +537,9 @@ object Dedup {
     * single-machine. The Spark-native equivalence: a verbatim cross-doc
     * run of >= n tokens exists iff some positional n-gram window occurs in
     * >= 2 distinct documents, so
-    *   1. explode positional n-gram windows (one md5 per window);
+    *   1. explode positional n-gram windows (one md5 per window; the FULL
+    *      128-bit digest — a truncated draw would birthday-collide at
+    *      10^13 windows and flag false duplicates);
     *   2. flag hashes spanning >= 2 docs via min(doc)!=max(doc) — an
     *      ALGEBRAIC aggregate (map-side combine, no distinct-count, no
     *      pairwise join: a boilerplate gram shared by 10^6 docs costs one
@@ -546,8 +548,13 @@ object Dedup {
     *   3. join the flags back on gram hash (AQE splits a skewed hash) and
     *      union the per-doc [pos, pos+n) intervals with one sorted window
     *      pass: sum(least(n, pos - lag(pos))), first row counting n.
-    * Three linear shuffles total (gram agg, flag join, doc window); the
-    * corpus text itself is tokenized once and never re-shuffled.
+    * Three linear shuffles total (gram agg, flag join, doc window). The
+    * scan + tokenize + md5 window sweep runs ONCE and is staged (eager
+    * localCheckpoint, the minhashLshPairs convention): three consumers
+    * read the staged table — the flag aggregate, the join-back, and the
+    * per-doc n_tokens base — where the lazy form re-ran the full sweep
+    * per consumer. Blocks are reclaimed by the ContextCleaner once the
+    * returned frame is unreachable.
     *
     * Output: (doc_id, n_tokens, dup_tokens, dup_frac), one row per input
     * document (docs with no shared run report 0). `dup_frac` is one
@@ -556,13 +563,22 @@ object Dedup {
   def exactSubstrStats(docs: DataFrame, n: Int = 8,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(n >= 1, "window length n must be >= 1")
-    val toks = docs.select(col(idCol),
-      Decontaminate.tokens(col(textCol)).as("__graft_toks"))
-    val grams = toks
+    // staged sweep: (id, n_tokens, ghs) with ghs = md5 per positional
+    // window. The token array must be a materialized column before
+    // gramWindows touches it (the HOF re-evaluation rule).
+    val staged = docs
       .select(col(idCol),
-        posexplode(gramWindows(col("__graft_toks"), n))
-          .as(Seq("pos", "gram")))
-      .select(col(idCol), col("pos"), md5(col("gram")).as("gh"))
+        Decontaminate.tokens(col(textCol)).as("__graft_toks"))
+      .select(col(idCol),
+        coalesce(size(col("__graft_toks")), lit(0)).cast("long")
+          .as("n_tokens"),
+        gramWindows(col("__graft_toks"), n).as("__graft_w"))
+      .select(col(idCol), col("n_tokens"),
+        transform(col("__graft_w"), g => md5(g)).as("__graft_ghs"))
+      .localCheckpoint()
+    val grams = staged
+      .select(col(idCol),
+        posexplode(col("__graft_ghs")).as(Seq("pos", "gh")))
     val dupGrams = grams.groupBy("gh")
       .agg(min(idCol).as("__mn"), max(idCol).as("__mx"))
       .where(col("__mn") =!= col("__mx"))
@@ -574,10 +590,7 @@ object Dedup {
         coalesce(least(lit(n.toLong), col("pos") - lag("pos", 1).over(w)),
           lit(n.toLong)).as("c"))
       .groupBy(idCol).agg(sum("c").as("__dup"))
-    toks
-      .select(col(idCol),
-        coalesce(size(col("__graft_toks")), lit(0)).cast("long")
-          .as("n_tokens"))
+    staged.select(col(idCol), col("n_tokens"))
       .join(covered, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
         coalesce(col("__dup"), lit(0L)).as("dup_tokens"),

@@ -87,6 +87,19 @@ class ExactSubstrSpec extends AnyFunSuite {
     assert(got(1L) == (10L, 8L, 0.8))
   }
 
+  test("the md5 window sweep is staged: plan reads the checkpoint, never " +
+    "re-scans the source (three consumers, one sweep)") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
+    val out = Dedup.exactSubstrStats(docs, n = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    // positive anchor + absence (the ReviewFixesSpec convention): the plan
+    // must read the staged checkpoint and must NOT re-scan the local
+    // source or re-run the digest sweep above the stage
+    assert(plan.contains("Scan ExistingRDD"), plan.take(1500))
+    assert(!plan.contains("LocalTableScan"), plan.take(1500))
+    assert(!plan.contains("md5"), "window sweep leaked above the stage")
+  }
+
   test("randomized corpora match the brute-force model") {
     val rnd = new scala.util.Random(42)
     val vocab = Vector("aa", "bb", "cc", "dd", "ee")
