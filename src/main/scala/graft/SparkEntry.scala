@@ -109,7 +109,10 @@ object SparkEntry {
     // half of the dedup family, distributed via positional n-gram windows
     "q57_dedup_substr" -> (QueryDefs.qDedupSubstr _),
     // deterministic per-key quota cap under skew: domain balancing (round 5)
-    "q58_sample_cap_key" -> (QueryDefs.qSampleCapKey _)
+    "q58_sample_cap_key" -> (QueryDefs.qSampleCapKey _),
+    // corpus-level line dedup: boilerplate removal + ordered reassembly
+    // (round 5)
+    "q59_text_line_dedup" -> (QueryDefs.qTextLineDedup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -170,6 +173,7 @@ object SparkEntry {
     "q55_conv_curate" -> OracleDefs.convCurate,
     "q56_lookup_extras_json" -> OracleDefs.lookupExtrasJson,
     "q57_dedup_substr" -> OracleDefs.dedupSubstr,
-    "q58_sample_cap_key" -> OracleDefs.sampleCapKey
+    "q58_sample_cap_key" -> OracleDefs.sampleCapKey,
+    "q59_text_line_dedup" -> OracleDefs.textLineDedup
   )
 }

@@ -511,6 +511,62 @@ object Dedup {
       .where(col("cosine") >= minCosine)
   }
 
+  /** Corpus-level line deduplication (MassiveText/RefinedWeb-style
+    * boilerplate removal; C4 removes three-sentence spans the same way):
+    * delete every line that occurs >= `minCount` times across the WHOLE
+    * corpus (navigation chrome, cookie banners, boilerplate headers) and
+    * reassemble each document from its surviving lines in original order.
+    *
+    * Shape: one staged scan (eager localCheckpoint: split + per-line md5
+    * run once; the hot-line aggregate and the anti-join both read the
+    * stage), then three linear shuffles — count(*) per line hash (an
+    * ALGEBRAIC aggregate: a banner on 10^9 pages costs one combined row),
+    * a left-anti join on the hash (AQE splits hot keys), and one doc-keyed
+    * groupBy for reassembly. Lines are keyed by their full 128-bit md5 —
+    * 60-bit draws would birthday-collide at web scale and delete innocent
+    * lines.
+    *
+    * Output: (idCol, textCol cleaned, n_lines, n_removed) — one row per
+    * input document; a document whose every line was boilerplate comes
+    * back with empty text, never vanishes.
+    */
+  def dedupLines(docs: DataFrame, minCount: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(minCount >= 2, "minCount must be >= 2 (1 would drop every line)")
+    val staged = docs
+      .select(col(idCol), split(col(textCol), "\n").as("__graft_ls"))
+      .select(col(idCol),
+        coalesce(size(col("__graft_ls")), lit(0)).cast("long")
+          .as("n_lines"),
+        col("__graft_ls"),
+        transform(col("__graft_ls"), l => md5(l)).as("__graft_lh"))
+      .localCheckpoint()
+    val lines = staged
+      .select(col(idCol),
+        posexplode(arrays_zip(col("__graft_lh"), col("__graft_ls")))
+          .as(Seq("pos", "z")))
+      .select(col(idCol), col("pos"), col("z.__graft_lh").as("lh"),
+        col("z.__graft_ls").as("line"))
+    val hot = lines.groupBy("lh").agg(count(lit(1)).as("__c"))
+      .where(col("__c") >= minCount)
+      .select("lh")
+    val rebuilt = lines.join(hot, Seq("lh"), "left_anti")
+      .groupBy(idCol)
+      .agg(sort_array(collect_list(struct(col("pos"), col("line"))))
+        .as("__arr"))
+      .select(col(idCol),
+        concat_ws("\n", transform(col("__arr"), x => x.getField("line")))
+          .as(textCol),
+        size(col("__arr")).cast("long").as("__kept"))
+    staged.select(col(idCol), col("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col(textCol), lit("")).as(textCol),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("__kept"), lit(0L)))
+          .as("n_removed"))
+  }
+
   /** POSITIONAL word n-gram windows over an already-materialized token
     * array: element i (0-based via posexplode) = the space-joined window
     * toks[i, i+n). Unlike [[Decontaminate.ngramsOfTokens]] this keeps

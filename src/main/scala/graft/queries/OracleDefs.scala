@@ -1326,6 +1326,41 @@ object OracleDefs {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** q59: corpus-level line dedup over q48's derived corpus — per-line
+    * md5 keys, count(*) >= 2 hot set, anti-join, ordered reassembly. The
+    * cleaned text compares byte-exactly.
+    */
+  val textLineDedup: String =
+    """WITH c AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id, text FROM documents WHERE doc_id < 60
+      |),
+      |corpus AS (
+      |  SELECT doc_id % 40 AS doc_id,
+      |         string_agg(text, chr(10) ORDER BY doc_id, text) AS text
+      |  FROM c GROUP BY 1
+      |),
+      |sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus),
+      |lx AS (
+      |  SELECT doc_id, pos, ls[pos] AS line, md5(ls[pos]) AS lh
+      |  FROM (SELECT doc_id, ls,
+      |          unnest(generate_series(1, len(ls))) AS pos
+      |        FROM sp)
+      |),
+      |hot AS (SELECT lh FROM lx GROUP BY lh HAVING count(*) >= 2),
+      |reb AS (
+      |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+      |         count(*) AS n_kept
+      |  FROM lx ANTI JOIN hot USING (lh)
+      |  GROUP BY 1
+      |)
+      |SELECT s.doc_id,
+      |  coalesce(r.text, '') AS text,
+      |  CAST(len(s.ls) AS BIGINT) AS n_lines,
+      |  CAST(len(s.ls) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+      |FROM sp s LEFT JOIN reb r USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** q58: per-key quota cap — the same hash-point rank (md5('d1:'||id)
     * 60-bit draw, id tie-break) inside each derived key group, quota 15.
     */

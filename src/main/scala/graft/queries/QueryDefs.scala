@@ -837,6 +837,27 @@ object QueryDefs {
     Dedup.exactSubstrStats(t(s, dir, "documents"), n = 8)
       .orderBy("doc_id")
 
+  /** q59: corpus-level line dedup (boilerplate removal) over q48's derived
+    * multi-line corpus (docs grouped 40-ways, docs 0..59 appended once
+    * more, so their lines occur >= 2 times corpus-wide). minCount=2
+    * removes exactly those duplicated lines — plus any pre-existing
+    * exact-duplicate document texts (the fixture's planted dup groups) —
+    * and the oracle checks the REASSEMBLED text byte-exactly, so line
+    * order preservation is gated, not just the counts.
+    */
+  def qTextLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.unionAll(docs.where(col("doc_id") < 60))
+      .withColumn("g", pmod(col("doc_id"), lit(40)))
+      .groupBy("g")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("text"))))
+        .as("arr"))
+      .select(col("g").as("doc_id"),
+        concat_ws("\n", transform(col("arr"), x => x.getField("text")))
+          .as("text"))
+    Dedup.dedupLines(corpus, minCount = 2).orderBy("doc_id")
+  }
+
   /** q53: deterministic hash-based train/val/test split assignment —
     * 80/10/10 under salt "v1"; reproducible (md5 + integer thresholds,
     * every engine agrees bit-exactly) and growth-stable (a document's
