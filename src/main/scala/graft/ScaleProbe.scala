@@ -53,8 +53,11 @@ object ScaleProbe {
     }
     probe("cap_per_key") {
       // ~n/1000 keys, ~1000 docs each, quota 100 -> cap bites every key
+      // (floor of 1 key: pmod by 0 is an ANSI ArithmeticException for
+      // sub-1000 smoke runs)
+      val keys = math.max(1L, n / 1000)
       graft.ops.Sampling.capPerKey(
-        docs.withColumn("k", pmod(col("doc_id"), lit(n / 1000)).cast("string")),
+        docs.withColumn("k", pmod(col("doc_id"), lit(keys)).cast("string")),
         "k", maxPerKey = 100).count()
     }
     spark.stop()

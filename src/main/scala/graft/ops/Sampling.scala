@@ -98,8 +98,14 @@ object Sampling {
     * below-quota groups are growth-stable (every member kept).
     *
     * NULL keys conflate into one group and share one quota (consistent
-    * with groupBy semantics); NULL ids hash to NULL and sort first —
-    * deterministic, but callers with broken keys should repair upstream.
+    * with groupBy semantics). NULL ids are DROPPED (review find): a null
+    * id has no hash point, so every null-id row in a group ties on both
+    * sort keys and row_number would keep an arbitrary physical-order
+    * subset — the consistent verdict is [[sample]]'s ("no hash point, no
+    * membership"; `assignSplits` likewise refuses them a split). `idCol`
+    * must be UNIQUE per the module's key contract: duplicate ids tie the
+    * same way at the quota boundary, and which of two identical-key rows
+    * survives is then partition-layout-dependent.
     *
     * 100 TB shape: one hash-shuffle on the key + a per-group sort — the
     * same shape as any groupBy, no global order, no driver state. A
@@ -115,7 +121,8 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCol)
       .orderBy(hashPoint(col(idCol), salt).asc, col(idCol).asc)
-    docs.withColumn("__graft_rank", row_number().over(w))
+    docs.where(col(idCol).isNotNull)
+      .withColumn("__graft_rank", row_number().over(w))
       .where(col("__graft_rank") <= maxPerKey)
       .drop("__graft_rank")
   }

@@ -931,6 +931,23 @@ object OracleDefs {
       |  FROM events GROUP BY 2
       |) ORDER BY indicator_type, value""".stripMargin
 
+  /** The q48/q59 shared derived multi-line corpus CTE pair (`c`,
+    * `corpus`) — the SQL mirror of QueryDefs.derivedLineCorpus, single-
+    * sourced so the two fixtures cannot drift (review find: this shape
+    * previously lived in four places). string_agg ORDER BY (doc_id, text)
+    * mirrors the Spark side's array_sort over struct(doc_id, text).
+    */
+  private def duckDerivedCorpus(idAs: String, textAs: String): String =
+    s"""c AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id, text FROM documents WHERE doc_id < 60
+       |),
+       |corpus AS (
+       |  SELECT doc_id % 40 AS $idAs,
+       |         string_agg(text, chr(10) ORDER BY doc_id, text) AS $textAs
+       |  FROM c GROUP BY 1
+       |)""".stripMargin
+
   /** q47: word-4-gram decontamination counts, closed form in DuckDB (list
     * comprehension over generate_series; normalization mirrors the
     * simhash/tokenizer whitespace split).
@@ -958,15 +975,7 @@ object OracleDefs {
     * so the doubles hash-match Spark's.
     */
   val textRepetition: String =
-    """WITH c AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL SELECT doc_id, text FROM documents WHERE doc_id < 60
-      |),
-      |corpus AS (
-      |  SELECT doc_id % 40 AS g,
-      |         string_agg(text, chr(10) ORDER BY doc_id, text) AS txt
-      |  FROM c GROUP BY 1
-      |),
+    s"""WITH ${duckDerivedCorpus("g", "txt")},
       |lines AS (
       |  SELECT g, unnest(string_split(txt, chr(10))) AS line FROM corpus
       |),
@@ -985,7 +994,7 @@ object OracleDefs {
       |),
       |tok AS (
       |  SELECT g, length(txt) AS doc_len,
-      |         list_filter(string_split_regex(lower(txt), '\s+'), t -> len(t) > 0) AS w
+      |         list_filter(string_split_regex(lower(txt), '\\s+'), t -> len(t) > 0) AS w
       |  FROM corpus
       |),
       |grams AS (
@@ -1331,15 +1340,7 @@ object OracleDefs {
     * cleaned text compares byte-exactly.
     */
   val textLineDedup: String =
-    """WITH c AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL SELECT doc_id, text FROM documents WHERE doc_id < 60
-      |),
-      |corpus AS (
-      |  SELECT doc_id % 40 AS doc_id,
-      |         string_agg(text, chr(10) ORDER BY doc_id, text) AS text
-      |  FROM c GROUP BY 1
-      |),
+    s"""WITH ${duckDerivedCorpus("doc_id", "text")},
       |sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus),
       |lx AS (
       |  SELECT doc_id, pos, ls[pos] AS line, md5(ls[pos]) AS lh

@@ -657,15 +657,7 @@ object QueryDefs {
     * deterministic tie-break).
     */
   def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val corpus = docs.unionAll(docs.where(col("doc_id") < 60))
-      .withColumn("g", pmod(col("doc_id"), lit(40)))
-      .groupBy("g")
-      .agg(array_sort(collect_list(struct(col("doc_id"), col("text"))))
-        .as("arr"))
-      .withColumn("txt",
-        concat_ws("\n", transform(col("arr"), x => x.getField("text"))))
-      .select(col("g"), col("txt"))
+    val corpus = derivedLineCorpus(s, dir, idName = "g", textName = "txt")
     val rep = TextStats.repetitionSignals(corpus, "txt")
       .select(col("g"), col("n_lines").cast("long").as("n_lines"),
         col("dup_line_frac"), col("dup_line_char_frac"))
@@ -845,17 +837,34 @@ object QueryDefs {
     * and the oracle checks the REASSEMBLED text byte-exactly, so line
     * order preservation is gated, not just the counts.
     */
-  def qTextLineDedup(s: SparkSession, dir: String): DataFrame = {
+  def qTextLineDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupLines(
+      derivedLineCorpus(s, dir, idName = "doc_id", textName = "text"),
+      minCount = 2).orderBy("doc_id")
+
+  /** The q48/q59 shared derived MULTI-LINE corpus (the fixture tables are
+    * single-line): documents grouped 40-ways on doc_id, docs 0..59
+    * appended once more (so groups carry duplicated lines and those lines
+    * occur >= 2 times corpus-wide), ordered-concatenated with \n.
+    * Single-sourced so the two fixtures cannot drift; the SQL mirror is
+    * OracleDefs.duckDerivedCorpus (review find: this shape previously
+    * lived in four places).
+    */
+  private def derivedLineCorpus(s: SparkSession, dir: String,
+      idName: String, textName: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-    val corpus = docs.unionAll(docs.where(col("doc_id") < 60))
-      .withColumn("g", pmod(col("doc_id"), lit(40)))
-      .groupBy("g")
+    // the group id lives under a RESERVED name until after the aggregate:
+    // an idName of "doc_id" would otherwise overwrite the original id
+    // BEFORE the struct sort and silently reorder every group's lines
+    // (caught by the q59 crosscheck when this helper was extracted)
+    docs.unionAll(docs.where(col("doc_id") < 60))
+      .withColumn("__graft_gid", pmod(col("doc_id"), lit(40)))
+      .groupBy("__graft_gid")
       .agg(array_sort(collect_list(struct(col("doc_id"), col("text"))))
         .as("arr"))
-      .select(col("g").as("doc_id"),
+      .select(col("__graft_gid").as(idName),
         concat_ws("\n", transform(col("arr"), x => x.getField("text")))
-          .as("text"))
-    Dedup.dedupLines(corpus, minCount = 2).orderBy("doc_id")
+          .as(textName))
   }
 
   /** q53: deterministic hash-based train/val/test split assignment —

@@ -98,7 +98,8 @@ class SamplingSpec extends AnyFunSuite {
     assert(other.size == 10 && other != byKey("hot"))
   }
 
-  test("capPerKey: null keys conflate to one shared quota; maxPerKey >= 1 " +
+  test("capPerKey: null keys conflate to one shared quota; null IDS are " +
+    "dropped (no hash point => no reproducible rank); maxPerKey >= 1 " +
     "enforced") {
     val docs = Seq((1L, Some("a")), (2L, None), (3L, None), (4L, None))
       .toDF("doc_id", "k")
@@ -106,6 +107,14 @@ class SamplingSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(kept.size == 3 && kept.contains(1L),
       s"null group must keep exactly 2 of its 3 docs: $kept")
+    // null-ID rows tie on BOTH sort keys — an arbitrary physical-order
+    // subset would survive; the consistent verdict is sample's (dropped)
+    val withNullIds = Seq((Some(1L), "a"), (None, "a"), (None, "a"))
+      .toDF("doc_id", "k")
+    val keptIds = Sampling.capPerKey(withNullIds, "k", maxPerKey = 2)
+      .select("doc_id").collect().map(r => r.isNullAt(0)).toSeq
+    assert(keptIds == Seq(false), "null-id rows must be dropped, not " +
+      s"arbitrarily ranked: $keptIds")
     intercept[IllegalArgumentException] {
       Sampling.capPerKey(docs, "k", maxPerKey = 0)
     }
