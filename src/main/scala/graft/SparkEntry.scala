@@ -112,7 +112,9 @@ object SparkEntry {
     "q58_sample_cap_key" -> (QueryDefs.qSampleCapKey _),
     // corpus-level line dedup: boilerplate removal + ordered reassembly
     // (round 5)
-    "q59_text_line_dedup" -> (QueryDefs.qTextLineDedup _)
+    "q59_text_line_dedup" -> (QueryDefs.qTextLineDedup _),
+    // gap-based batch sessionization of the telemetry table (round 5)
+    "q60_sessionize" -> (QueryDefs.qSessionize _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -174,6 +176,7 @@ object SparkEntry {
     "q56_lookup_extras_json" -> OracleDefs.lookupExtrasJson,
     "q57_dedup_substr" -> OracleDefs.dedupSubstr,
     "q58_sample_cap_key" -> OracleDefs.sampleCapKey,
-    "q59_text_line_dedup" -> OracleDefs.textLineDedup
+    "q59_text_line_dedup" -> OracleDefs.textLineDedup,
+    "q60_sessionize" -> OracleDefs.sessionize
   )
 }

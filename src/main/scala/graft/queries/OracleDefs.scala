@@ -1362,6 +1362,32 @@ object OracleDefs {
       |FROM sp s LEFT JOIN reb r USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** q60: gap-based sessionization — the same boundary rule (first event
+    * or >2h since the previous one) via lag + running sum over integer
+    * microseconds, then the per-session rollup.
+    */
+  val sessionize: String =
+    """WITH b AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 7200000000
+      |         THEN 1 ELSE 0 END AS nb
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |    sum(nb) OVER (PARTITION BY user_id ORDER BY ts
+      |                  ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM b
+      |)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |  count(*) AS n_events,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      |FROM sess GROUP BY 1, 2
+      |ORDER BY user_id, session_idx""".stripMargin
+
   /** q58: per-key quota cap — the same hash-point rank (md5('d1:'||id)
     * 60-bit draw, id tie-break) inside each derived key group, quota 15.
     */

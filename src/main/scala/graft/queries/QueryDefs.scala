@@ -842,6 +842,18 @@ object QueryDefs {
       derivedLineCorpus(s, dir, idName = "doc_id", textName = "text"),
       minCount = 2).orderBy("doc_id")
 
+  /** q60: gap-based batch sessionization of the events table — 2-hour
+    * inactivity gap, per-session rollup (count, start/end, integer-cents
+    * value sum; a float sum is order-dependent and would not reproduce in
+    * the oracle). 150 users x ~67 events over weeks of synthetic ts give
+    * thousands of sessions with both single-event and long sessions.
+    */
+  def qSessionize(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sessionize.stats(t(s, dir, "events"), gapSeconds = 7200,
+      extraAggs = Seq(
+        sum(round(col("value") * 100, 0).cast("bigint")).as("cents")))
+      .orderBy("user_id", "session_idx")
+
   /** The q48/q59 shared derived MULTI-LINE corpus (the fixture tables are
     * single-line): documents grouped 40-ways on doc_id, docs 0..59
     * appended once more (so groups carry duplicated lines and those lines
