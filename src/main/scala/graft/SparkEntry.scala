@@ -114,7 +114,9 @@ object SparkEntry {
     // (round 5)
     "q59_text_line_dedup" -> (QueryDefs.qTextLineDedup _),
     // gap-based batch sessionization of the telemetry table (round 5)
-    "q60_sessionize" -> (QueryDefs.qSessionize _)
+    "q60_sessionize" -> (QueryDefs.qSessionize _),
+    // nearest-rank percentiles per group: the SLA rollup (round 5)
+    "q61_percentiles" -> (QueryDefs.qPercentiles _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -177,6 +179,7 @@ object SparkEntry {
     "q57_dedup_substr" -> OracleDefs.dedupSubstr,
     "q58_sample_cap_key" -> OracleDefs.sampleCapKey,
     "q59_text_line_dedup" -> OracleDefs.textLineDedup,
-    "q60_sessionize" -> OracleDefs.sessionize
+    "q60_sessionize" -> OracleDefs.sessionize,
+    "q61_percentiles" -> OracleDefs.percentiles
   )
 }

@@ -1388,6 +1388,22 @@ object OracleDefs {
       |FROM sess GROUP BY 1, 2
       |ORDER BY user_id, session_idx""".stripMargin
 
+  /** q61: nearest-rank percentiles — the same integer-permille rank
+    * ((p*n + 999) // 1000) over the same per-type value sort; selected
+    * values are actual parquet doubles, bit-exact in any engine.
+    */
+  val percentiles: String =
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events WHERE value IS NOT NULL)
+      |SELECT event_type,
+      |  max(CASE WHEN rk = (500 * n + 999) // 1000 THEN value END) AS p_50,
+      |  max(CASE WHEN rk = (900 * n + 999) // 1000 THEN value END) AS p_90,
+      |  max(CASE WHEN rk = (990 * n + 999) // 1000 THEN value END) AS p_99
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q58: per-key quota cap — the same hash-point rank (md5('d1:'||id)
     * 60-bit draw, id tie-break) inside each derived key group, quota 15.
     */

@@ -854,6 +854,17 @@ object QueryDefs {
         sum(round(col("value") * 100, 0).cast("bigint")).as("cents")))
       .orderBy("user_id", "session_idx")
 
+  /** q61: nearest-rank percentiles of event value per event_type (the
+    * SLA-rollup shape). The selected values are ACTUAL parquet doubles
+    * (both engines pick, never interpolate), so the compare is bit-exact
+    * by construction; ranks are pure integer permille arithmetic.
+    */
+  def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Percentiles.nearestRank(t(s, dir, "events"),
+      Seq("event_type"), "value",
+      Seq("50" -> 500, "90" -> 900, "99" -> 990))
+      .orderBy("event_type")
+
   /** The q48/q59 shared derived MULTI-LINE corpus (the fixture tables are
     * single-line): documents grouped 40-ways on doc_id, docs 0..59
     * appended once more (so groups carry duplicated lines and those lines
