@@ -116,7 +116,19 @@ object SparkEntry {
     // gap-based batch sessionization of the telemetry table (round 5)
     "q60_sessionize" -> (QueryDefs.qSessionize _),
     // nearest-rank percentiles per group: the SLA rollup (round 5)
-    "q61_percentiles" -> (QueryDefs.qPercentiles _)
+    "q61_percentiles" -> (QueryDefs.qPercentiles _),
+    // sliding-window event rates: the overlapping-window telemetry rollup
+    // (round 5)
+    "q62_sliding_rates" -> (QueryDefs.qSlidingRates _),
+    // MAD-based robust anomaly flags per event type (round 5)
+    "q63_anomaly_mad" -> (QueryDefs.qAnomalyMad _),
+    // TF-IDF distinctive terms per document (round 5)
+    "q64_tfidf_terms" -> (QueryDefs.qTfidfTerms _),
+    // grok-parse of a structured-log stream + dead-letter rollup (round 5)
+    "q65_grok_parse" -> (QueryDefs.qGrokParse _),
+    // stratified per-language downsample: the training-mix rebalance
+    // (round 5)
+    "q66_stratified_sample" -> (QueryDefs.qStratifiedSample _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -180,6 +192,11 @@ object SparkEntry {
     "q58_sample_cap_key" -> OracleDefs.sampleCapKey,
     "q59_text_line_dedup" -> OracleDefs.textLineDedup,
     "q60_sessionize" -> OracleDefs.sessionize,
-    "q61_percentiles" -> OracleDefs.percentiles
+    "q61_percentiles" -> OracleDefs.percentiles,
+    "q62_sliding_rates" -> OracleDefs.slidingRates,
+    "q63_anomaly_mad" -> OracleDefs.anomalyMad,
+    "q64_tfidf_terms" -> OracleDefs.tfidfTerms,
+    "q65_grok_parse" -> OracleDefs.grokParse,
+    "q66_stratified_sample" -> OracleDefs.stratifiedSample
   )
 }

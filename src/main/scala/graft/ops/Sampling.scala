@@ -85,6 +85,41 @@ object Sampling {
       idCol: String = "doc_id"): DataFrame =
     docs.where(hashPoint(col(idCol), salt) < rateBound(rate))
 
+  /** Deterministic STRATIFIED downsample: an independent [[sample]] rate
+    * per stratum (e.g. per language: keep 100% of the low-resource
+    * languages, 5% of English) — the rebalancing step between a raw crawl
+    * and a training mix. Rates are converted to integer hash-point bounds
+    * ONCE driver-side ([[rateBound]]) and dispatched by a literal CASE
+    * over the stratum column, so membership stays a pure integer compare:
+    * growth-stable, engine-reproducible, and independent across strata
+    * (same salt, same id ⇒ same hash point, but each stratum applies its
+    * own threshold to it).
+    *
+    * Strata absent from `rates` get `defaultRate` (0.0 = drop, the safe
+    * default for an explicit mix; pass 1.0 for keep-through). NULL
+    * stratum values take `defaultRate` too (they are a real population a
+    * mix must decide about, not an error). NULL ids are never kept
+    * ([[sample]]'s null-false compare).
+    *
+    * 100 TB shape: map-side expression per row, zero shuffles — the CASE
+    * has one branch per declared stratum, fine for the O(10²) strata of
+    * a language/source mix (a 10⁶-stratum mix wants a broadcast-join
+    * rate table instead; at that point the mix itself is data).
+    */
+  def stratifiedSample(docs: DataFrame, stratumCol: String,
+      rates: Seq[(String, Double)], defaultRate: Double = 0.0,
+      salt: String = "s1", idCol: String = "doc_id"): DataFrame = {
+    require(rates.nonEmpty, "at least one stratum rate")
+    require(rates.map(_._1).distinct.size == rates.size,
+      "duplicate stratum in rates")
+    val bound = rates.foldRight(lit(rateBound(defaultRate)): Column) {
+      case ((stratum, rate), rest) =>
+        when(col(stratumCol) === lit(stratum), lit(rateBound(rate)))
+          .otherwise(rest)
+    }
+    docs.where(hashPoint(col(idCol), salt) < bound)
+  }
+
   /** Deterministic per-key quota cap — the domain-balancing step of
     * C4/RefinedWeb-style curation ("keep at most `maxPerKey` documents per
     * registered domain", so one mega-site cannot dominate the corpus):

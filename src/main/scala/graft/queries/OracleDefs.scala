@@ -1418,4 +1418,106 @@ object OracleDefs {
       |        FROM documents))
       |WHERE r <= 15
       |ORDER BY doc_id""".stripMargin
+
+  /** q62: sliding windows — every event covers exactly width/slide = 4
+    * epoch-aligned starts (floor(us/slide)*slide - k*slide, k in 0..3);
+    * integer-microsecond arithmetic, make_timestamp keeps NTZ naive like
+    * Spark's window() on an NTZ column.
+    */
+  val slidingRates: String =
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value*100, 0) AS BIGINT) AS cents,
+      |         epoch_us(ts) AS us
+      |  FROM events),
+      |w AS (
+      |  SELECT event_type, cents,
+      |    make_timestamp((us // 900000000) * 900000000 - k * 900000000)
+      |      AS window_start
+      |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k))
+      |SELECT window_start,
+      |       window_start + INTERVAL 1 HOUR AS window_end,
+      |       event_type, count(*) AS n, sum(cents) AS cents
+      |FROM w GROUP BY 1, 2, 3
+      |ORDER BY window_start, event_type""".stripMargin
+
+  /** q63: MAD outliers — the same nearest-rank medians (integer permille
+    * rank over the same sorts) and the same IEEE ops in the same order
+    * (abs(value - med); mad * 3000 / 1000.0), so the flag set and every
+    * carried double are bit-exact.
+    */
+  val anomalyMad: String =
+    """WITH v AS (SELECT event_id, event_type, value FROM events
+      |           WHERE value IS NOT NULL),
+      |r1 AS (SELECT *,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+      |  count(*) OVER (PARTITION BY event_type) AS n FROM v),
+      |m1 AS (SELECT event_id, event_type, value,
+      |  max(CASE WHEN rk = (500*n + 999) // 1000 THEN value END)
+      |    OVER (PARTITION BY event_type) AS group_median FROM r1),
+      |d AS (SELECT *, abs(value - group_median) AS abs_dev FROM m1),
+      |r2 AS (SELECT *,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY abs_dev) AS rk2,
+      |  count(*) OVER (PARTITION BY event_type) AS n2 FROM d),
+      |m2 AS (SELECT event_id, event_type, value, group_median, abs_dev,
+      |  max(CASE WHEN rk2 = (500*n2 + 999) // 1000 THEN abs_dev END)
+      |    OVER (PARTITION BY event_type) AS group_mad FROM r2)
+      |SELECT event_id, event_type, value, group_median, group_mad, abs_dev
+      |FROM m2 WHERE abs_dev > group_mad * 3000 / 1000.0
+      |ORDER BY event_id""".stripMargin
+
+  /** q64: TF-IDF distinctive terms — the shared whitespace tokenizer
+    * (q47's form), tf per (doc, term), df per term over the tf table
+    * (documents, not occurrences), integer rank (tf DESC, df ASC,
+    * term ASC), top 5.
+    */
+  val tfidfTerms: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+      |       WHERE len(term) >= 2 GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |  row_number() OVER (PARTITION BY tf.doc_id
+      |    ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rk
+      |  FROM tf JOIN df USING (term))
+      |SELECT doc_id, term, tf, df, CAST(rk AS INT) AS rank
+      |FROM r WHERE rk <= 5
+      |ORDER BY doc_id, rank""".stripMargin
+
+  /** q65: grok-parse rollup in CLOSED FORM — the oracle re-derives each
+    * parsed field from the same event columns the Spark side used to
+    * BUILD the log line, so any field the grok regex mis-parses (or any
+    * garbage line that fails to dead-letter) breaks a count or sum.
+    */
+  val grokParse: String =
+    """SELECT CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'INFO' END
+      |         AS level,
+      |       event_type AS type, count(*) AS n,
+      |       sum(CAST(round(value*100, 0) AS BIGINT)) AS sum_cents,
+      |       CAST(0 AS BIGINT) AS unparsed
+      |FROM events GROUP BY 1, 2
+      |UNION ALL
+      |SELECT NULL, NULL, count(*), NULL, count(*)
+      |FROM events WHERE event_id % 250 = 0
+      |ORDER BY level, type""".stripMargin
+
+  /** q66: stratified sample — the q54 hash point under salt "mix1" with
+    * per-language integer bounds embedded from Sampling.rateBound (no
+    * float re-derivation in SQL).
+    */
+  val stratifiedSample: String = {
+    val en = graft.ops.Sampling.rateBound(0.5)
+    val de = graft.ops.Sampling.rateBound(1.0)
+    val fr = graft.ops.Sampling.rateBound(0.25)
+    val dflt = graft.ops.Sampling.rateBound(0.1)
+    s"""SELECT doc_id, lang
+       |FROM (SELECT doc_id, lang,
+       |        CAST('0x'||substr(md5('mix1:'||doc_id),1,15) AS BIGINT) AS h
+       |      FROM documents)
+       |WHERE h < CASE lang WHEN 'en' THEN $en WHEN 'de' THEN $de
+       |                    WHEN 'fr' THEN $fr ELSE $dflt END
+       |ORDER BY doc_id""".stripMargin
+  }
 }

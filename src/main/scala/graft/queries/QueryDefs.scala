@@ -927,4 +927,83 @@ object QueryDefs {
       .select("doc_id", "k")
       .orderBy("doc_id")
   }
+
+  /** q62: sliding-window event rates — 1-hour windows every 15 minutes
+    * per event_type (each event covers exactly 4 windows, epoch-aligned).
+    * Counts and integer-cents sums only (a float sum is order-dependent);
+    * window bounds stay TIMESTAMP_NTZ so both engines compare them naive.
+    */
+  def qSlidingRates(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Windows.slidingAgg(t(s, dir, "events"),
+      widthSeconds = 3600, slideSeconds = 900, tsCol = "ts",
+      keyCols = Seq("event_type"),
+      aggs = Seq(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("bigint")).as("cents")))
+      .select("window_start", "window_end", "event_type", "n", "cents")
+      .orderBy("window_start", "event_type")
+
+  /** q63: MAD-based robust anomaly flags per event_type (3×MAD rule).
+    * Both medians are nearest-rank DATA values and the only float ops are
+    * one IEEE subtract/multiply/compare, so the flag set is engine-exact;
+    * the fixture's uniform value distribution still flags a tail (MAD of
+    * a uniform is ~range/4, values near the edges exceed 3×).
+    */
+  def qAnomalyMad(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Anomaly.madOutliers(t(s, dir, "events"),
+      Seq("event_type"), "value", kPermille = 3000)
+      .select("event_id", "event_type", "value", "group_median",
+        "group_mad", "abs_dev")
+      .orderBy("event_id")
+
+  /** q64: TF-IDF distinctive terms — top 5 per document by the integer
+    * rank (tf DESC, df ASC, term ASC); tf/df ride along so the oracle
+    * gates the counts, not just the term picks. Shares the corpus-wide
+    * tokenizer with decontamination/minhash (one definition of "word").
+    */
+  def qTfidfTerms(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Tfidf.topTerms(t(s, dir, "documents"), k = 5)
+      .orderBy("doc_id", "rank")
+
+  /** q65: grok-parse of a synthesized structured-log stream — log lines
+    * are BUILT deterministically from the events table (ISO timestamp,
+    * level derived from event_type, user/type/cents/quoted-msg fields),
+    * plus planted garbage lines (every 250th event id) that must land in
+    * the dead-letter group (NULL fields, counted as unparsed), never
+    * throw. The rollup re-aggregates the PARSED fields, so a mis-parse of
+    * any field breaks the closed-form oracle.
+    */
+  def qGrokParse(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("value") * 100, 0).cast("bigint")
+    val lines = t(s, dir, "events").select(concat(
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), lit(" "),
+      when(col("event_type") === "error", "ERROR").otherwise("INFO"),
+      lit(" user="), col("user_id"),
+      lit(" type="), col("event_type"),
+      lit(" cents="), cents,
+      lit(" msg=\"evt-"), col("event_id"), lit("\"")).as("line"))
+      .unionAll(t(s, dir, "events").where(col("event_id") % 250 === 0)
+        .select(concat(lit("garbage line "), col("event_id")).as("line")))
+    val pat = "%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:level} " +
+      "user=%{INT:user} type=%{WORD:type} cents=%{INT:cents} " +
+      "msg=%{QUOTEDSTRING:msg}"
+    graft.ops.LogParse.parse(lines, "line", pat)
+      .groupBy("level", "type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents").cast("long")).as("sum_cents"),
+        count(when(!col("_grok_matched"), 1)).as("unparsed"))
+      .orderBy("level", "type")
+  }
+
+  /** q66: stratified downsample of documents by language — the training-
+    * mix rebalance (keep all German, half the English, a quarter of the
+    * French; es/zh fall to the 10% default). Membership is the same
+    * 60-bit hash point as q54 with per-stratum integer bounds, so the
+    * oracle embeds [[graft.ops.Sampling.rateBound]]'s exact literals.
+    */
+  def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.stratifiedSample(t(s, dir, "documents"), "lang",
+      Seq("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25), defaultRate = 0.1,
+      salt = "mix1")
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
 }

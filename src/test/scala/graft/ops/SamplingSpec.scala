@@ -133,4 +133,39 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.sample(docs, 1.0).count() == 2L)
   }
 
+  test("stratifiedSample: per-stratum keep sets EQUAL the single-rate " +
+    "sample of that stratum (same salt) — independence by construction") {
+    val docs = (0L until 400L)
+      .map(i => (i, if (i % 4 == 0) "en" else if (i % 4 == 1) "de" else "fr"))
+      .toDF("doc_id", "lang")
+    val got = Sampling.stratifiedSample(docs, "lang",
+      Seq("en" -> 0.25, "de" -> 1.0), defaultRate = 0.0, salt = "s7")
+      .select("doc_id", "lang").as[(Long, String)].collect().toSeq
+    val byLang = got.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    import org.apache.spark.sql.functions.col
+    def plain(lang: String, rate: Double): Set[Long] =
+      Sampling.sample(docs.where(col("lang") === lang), rate, salt = "s7")
+        .select("doc_id").as[Long].collect().toSet
+    assert(byLang("en") == plain("en", 0.25))
+    assert(byLang("de") == plain("de", 1.0) && byLang("de").size == 100)
+    assert(!byLang.contains("fr"), "undeclared stratum must take " +
+      "defaultRate 0.0")
+  }
+
+  test("stratifiedSample: NULL strata take defaultRate; null ids never " +
+    "kept; duplicate strata rejected") {
+    val docs = Seq((Some(1L), Some("en")), (Some(2L), None),
+      (None, Some("en"))).toDF("doc_id", "lang")
+    val kept = Sampling.stratifiedSample(docs, "lang",
+      Seq("en" -> 1.0), defaultRate = 1.0)
+      .select("doc_id").collect().map(r => r.isNullAt(0)).toSeq
+    assert(kept == Seq(false, false),
+      s"null stratum keeps via defaultRate, null id never keeps: $kept")
+    assert(Sampling.stratifiedSample(docs, "lang", Seq("en" -> 1.0),
+      defaultRate = 0.0).count() == 1L)
+    intercept[IllegalArgumentException](
+      Sampling.stratifiedSample(docs, "lang",
+        Seq("en" -> 0.5, "en" -> 0.7)))
+  }
+
 }
