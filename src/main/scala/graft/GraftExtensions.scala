@@ -1,10 +1,11 @@
 package graft
 
 import graft.extract.ScanConfig
-import graft.functions.{ExtractIoCs, RedactIoCs, RefangText}
+import graft.functions.{ExtractIoCs, GrokParse, RedactIoCs, RefangText}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.types.StringType
 
 /** `spark.sql.extensions`-injectable registration of the engine's SQL
   * functions — the zero-code spark-submit path:
@@ -15,8 +16,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * }}}
   *
   * Registers the broadcast-free scalar expressions (`extract_iocs`,
-  * `redact_iocs`, `refang_text`) as permanent built-ins on every session
-  * built with the extension. The broadcast-backed expressions
+  * `redact_iocs`, `refang_text`, `grok_parse`) as permanent built-ins on
+  * every session built with the extension. The broadcast-backed expressions
   * (`scan_turn`, `intel_lookup`) need a compiled `IntelDb` handle and so
   * stay Column-API / `GraftFunctions.register`-only by design.
   *
@@ -54,6 +55,36 @@ object GraftExtensions {
       build(exprs.head)
     }
 
+  private def wrongArgs(name: String, expected: String, actual: Int) =
+    new org.apache.spark.sql.AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map(
+        "functionName" -> s"`$name`",
+        "expectedNum" -> expected,
+        "actualNum" -> actual.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"))
+
+  /** `grok_parse(text, pattern)` — the pattern must be a foldable string
+    * (it compiles ONCE at analysis; a per-row pattern would mean a regex
+    * compile per row). A bad grok pattern surfaces as an analysis error
+    * via GrokParse's constructor-time compile.
+    */
+  private val grokBuilder: Seq[Expression] => Expression = exprs => {
+    if (exprs.length != 2) throw wrongArgs("grok_parse", "2", exprs.length)
+    val patExpr = exprs(1)
+    if (!patExpr.foldable || patExpr.dataType != StringType)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "NON_FOLDABLE_ARGUMENT",
+        messageParameters = Map(
+          "funcName" -> "`grok_parse`",
+          "paramName" -> "`pattern`",
+          "paramType" -> "\"STRING\""))
+    val pat = patExpr.eval()
+    if (pat == null)
+      throw new IllegalArgumentException("grok_parse pattern must not be NULL")
+    GrokParse(exprs.head, pat.toString)
+  }
+
   /** (identifier, info, builder) triples shared by the extension. */
   val descriptions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
@@ -68,6 +99,10 @@ object GraftExtensions {
     (FunctionIdentifier("refang_text"),
       info("refang_text",
         "_FUNC_(text) - normalize defanged indicator forms (hxxp, [.], (at), ...)."),
-      one("refang_text")(RefangText(_)))
+      one("refang_text")(RefangText(_))),
+    (FunctionIdentifier("grok_parse"),
+      info("grok_parse",
+        "_FUNC_(text, pattern) - one-match grok parse; returns array<string> of the pattern's fields in order, NULL when the line does not match."),
+      grokBuilder)
   )
 }

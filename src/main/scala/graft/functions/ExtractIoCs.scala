@@ -270,6 +270,13 @@ object GraftFunctions {
   def refang_text(text: Column): Column =
     ExpressionUtils.column(RefangText(ExpressionUtils.expression(text)))
 
+  /** One-match grok parse (see [[graft.ops.LogParse]] for the
+    * field-splaying DataFrame form).
+    */
+  def grok_parse(text: Column, pattern: String): Column =
+    ExpressionUtils.column(
+      GrokParse(ExpressionUtils.expression(text), pattern))
+
   /** Register SQL-callable functions on a session (used by tests/jobs).
     * Shares GraftExtensions' builders so the temp-function path gets the
     * SAME analysis-time arity errors as the extension path — a bare

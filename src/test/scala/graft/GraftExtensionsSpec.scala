@@ -40,10 +40,39 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect().head.getString(0)
     assert(ref == "see http://bad.example.com")
 
+    val grok = spark.sql(
+      """SELECT g[0] AS lvl, g[1] AS usr FROM (SELECT
+        |  grok_parse('INFO user=42', '%{LOGLEVEL:level} user=%{INT:user}')
+        |    AS g)""".stripMargin).collect().head
+    assert((grok.getString(0), grok.getString(1)) == (("INFO", "42")))
+    assert(spark.sql(
+      "SELECT grok_parse('garbage', '%{LOGLEVEL:l} user=%{INT:u}')")
+      .collect().head.isNullAt(0), "non-matching line must yield NULL")
+
     // a fresh newSession must NOT see the temp registrations (isolation)
     val other = SparkTestBase.spark.newSession()
     intercept[Exception] {
       other.sql("SELECT refang_text('x')").collect()
+    }
+  }
+
+  test("grok_parse: pattern must be a foldable string literal and a " +
+    "known vocabulary — all analysis-time errors, arity checked") {
+    val spark = SparkTestBase.spark.newSession()
+    graft.functions.GraftFunctions.register(spark)
+    val nonFoldable = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT grok_parse('a', concat('x', rand()))").collect()
+    }
+    assert(nonFoldable.getCondition == "NON_FOLDABLE_ARGUMENT",
+      nonFoldable.getMessage)
+    val arity = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT grok_parse('a')").collect()
+    }
+    assert(arity.getCondition != null &&
+      arity.getCondition.startsWith("WRONG_NUM_ARGS"))
+    // unknown %{NAME} comes from GrokParse's constructor-time compile
+    intercept[IllegalArgumentException] {
+      spark.sql("SELECT grok_parse('a', '%{NOPE:x}')").collect()
     }
   }
 
