@@ -128,7 +128,10 @@ object SparkEntry {
     "q65_grok_parse" -> (QueryDefs.qGrokParse _),
     // stratified per-language downsample: the training-mix rebalance
     // (round 5)
-    "q66_stratified_sample" -> (QueryDefs.qStratifiedSample _)
+    "q66_stratified_sample" -> (QueryDefs.qStratifiedSample _),
+    // the composed parse -> enrich -> route -> aggregate bridge over
+    // structured logs (round 5)
+    "q67_grok_enrich" -> (QueryDefs.qGrokEnrich _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -197,6 +200,7 @@ object SparkEntry {
     "q63_anomaly_mad" -> OracleDefs.anomalyMad,
     "q64_tfidf_terms" -> OracleDefs.tfidfTerms,
     "q65_grok_parse" -> OracleDefs.grokParse,
-    "q66_stratified_sample" -> OracleDefs.stratifiedSample
+    "q66_stratified_sample" -> OracleDefs.stratifiedSample,
+    "q67_grok_enrich" -> OracleDefs.grokEnrich
   )
 }

@@ -1520,4 +1520,27 @@ object OracleDefs {
        |                    WHEN 'fr' THEN $fr ELSE $dflt END
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** q67: parse→enrich→route→aggregate in closed form — the level/action
+    * fields re-derive from event_type (gating the parse), the LPM pick is
+    * q11's most-specific-wins CASE (gating the enrich), and the o2<=24
+    * split mirrors the feed's nation-key coverage (gating the route).
+    */
+  val grokEnrich: String =
+    """WITH base AS (
+      |  SELECT CASE WHEN event_type = 'error' THEN 'ERROR' ELSE 'INFO' END
+      |           AS level,
+      |         CASE WHEN event_type = 'click' THEN 'allow' ELSE 'deny' END
+      |           AS action,
+      |         user_id%200 AS o2, event_id%250 AS o3
+      |  FROM events)
+      |SELECT 'matched' AS sink, level, action,
+      |       CASE WHEN o3 = o2*3 THEN '10.'||o2||'.'||o2*3||'.0/24'
+      |            ELSE '10.'||o2||'.0.0/16' END AS entry,
+      |       count(*) AS n
+      |FROM base WHERE o2 <= 24 GROUP BY 1,2,3,4
+      |UNION ALL
+      |SELECT 'clean', level, action, CAST(NULL AS VARCHAR), count(*)
+      |FROM base WHERE o2 > 24 GROUP BY 1,2,3,4
+      |ORDER BY sink, level, action, entry""".stripMargin
 }

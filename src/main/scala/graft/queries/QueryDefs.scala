@@ -1006,4 +1006,49 @@ object QueryDefs {
       salt = "mix1")
       .select("doc_id", "lang")
       .orderBy("doc_id")
+
+  /** q67: the full north-rule chain over STRUCTURED logs — grok-parse a
+    * synthesized firewall-ish stream, LPM-enrich the parsed src address
+    * against the q11 feed (most-specific-wins), route matched vs clean,
+    * and aggregate per (sink, level, action, entry). Every stage's output
+    * feeds the next, so a mis-parse, a wrong LPM pick, or a routing error
+    * each breaks a different oracle row. Map-side until the single final
+    * aggregate: parse is shuffle-free, the lookup is a broadcast compiled
+    * db, routing is a column verdict — the flagship pipeline's shape in
+    * one query.
+    */
+  def qGrokEnrich(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ks = t(s, dir, "nation").select(col("n_nationkey").cast("int"))
+      .as[Int].collect().toSeq.sorted
+    val entries = ks.map(k => IntelEntry(s"10.$k.0.0/16", "high", "c2",
+      "feed", 80)) ++
+      ks.map(k => IntelEntry(s"10.$k.${k * 3}.0/24", "critical", "c2",
+        "feed", 95))
+    val db = IntelDb.build("lpm", entries)
+    val lines = t(s, dir, "events").select(concat(
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), lit(" "),
+      when(col("event_type") === "error", "ERROR").otherwise("INFO"),
+      lit(" src=10."), col("user_id") % 200,
+      lit("."), col("event_id") % 250, lit("."), col("event_id") % 100,
+      lit(" action="),
+      when(col("event_type") === "click", "allow").otherwise("deny"))
+      .as("line"))
+    val pat = "%{TIMESTAMP_ISO8601:ts} %{LOGLEVEL:level} " +
+      "src=%{IPV4:src} action=%{WORD:action}"
+    val meta = ScanJob.intelMetaDf(s, Seq(db))
+    graft.ops.LogParse.parse(lines, "line", pat)
+      .where(col("_grok_matched"))
+      .withColumn("hits",
+        IntelLookup.column(col("src"), lit("ipv4"), db))
+      .withColumn("sink",
+        when(size(col("hits")) > 0, "matched").otherwise("clean"))
+      .withColumn("hit", explode_outer(col("hits")))
+      .withColumn("entry_idx", col("hit.entry_idx"))
+      .join(broadcast(meta.select("entry_idx", "entry")), Seq("entry_idx"),
+        "left")
+      .groupBy("sink", "level", "action", "entry")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("sink", "level", "action", "entry")
+  }
 }
