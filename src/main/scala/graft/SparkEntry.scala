@@ -131,7 +131,9 @@ object SparkEntry {
     "q66_stratified_sample" -> (QueryDefs.qStratifiedSample _),
     // the composed parse -> enrich -> route -> aggregate bridge over
     // structured logs (round 5)
-    "q67_grok_enrich" -> (QueryDefs.qGrokEnrich _)
+    "q67_grok_enrich" -> (QueryDefs.qGrokEnrich _),
+    // greedy ordered-funnel conversion counts (round 5)
+    "q68_funnel" -> (QueryDefs.qFunnel _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -201,6 +203,7 @@ object SparkEntry {
     "q64_tfidf_terms" -> OracleDefs.tfidfTerms,
     "q65_grok_parse" -> OracleDefs.grokParse,
     "q66_stratified_sample" -> OracleDefs.stratifiedSample,
-    "q67_grok_enrich" -> OracleDefs.grokEnrich
+    "q67_grok_enrich" -> OracleDefs.grokEnrich,
+    "q68_funnel" -> OracleDefs.funnel
   )
 }

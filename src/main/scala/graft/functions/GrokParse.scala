@@ -134,14 +134,16 @@ object GrokParse {
 
   /** Invocation counter — a TEST hook: GrokParseSpec asserts codegen
     * subexpression elimination runs ONE match per row, not per field.
+    * LongAdder, not AtomicLong: a contended CAS cache line would tax
+    * every scan thread on the hot path; striped adds are ~free.
     */
-  val invocations = new java.util.concurrent.atomic.AtomicLong
+  val invocations = new java.util.concurrent.atomic.LongAdder
 
   /** Static entry shared by interpreted eval and generated code: one
     * full-line match; group array on success, null on parse failure.
     */
   def matchGroups(text: UTF8String, regex: String): ArrayData = {
-    invocations.incrementAndGet()
+    invocations.increment()
     val p = patternCache.computeIfAbsent(regex,
       r => java.util.regex.Pattern.compile(r))
     val m = p.matcher(text.toString)

@@ -1543,4 +1543,35 @@ object OracleDefs {
       |SELECT 'clean', level, action, CAST(NULL AS VARCHAR), count(*)
       |FROM base WHERE o2 > 24 GROUP BY 1,2,3,4
       |ORDER BY sink, level, action, entry""".stripMargin
+
+  /** q68: greedy funnel — the same (ts, event_id)-ordered per-user type
+    * list and the same earliest-match-after-previous position arithmetic
+    * (list_position over a 1-based slice, 0 = absent).
+    */
+  val funnel: String =
+    """WITH u AS (
+      |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS types
+      |  FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+      |s1 AS (SELECT types, list_position(types, 'view') AS p1 FROM u),
+      |s2 AS (SELECT types, p1,
+      |  CASE WHEN p1 > 0 AND list_position(types[p1+1:], 'click') > 0
+      |       THEN p1 + list_position(types[p1+1:], 'click')
+      |       ELSE -1 END AS p2 FROM s1),
+      |s3 AS (SELECT p1, p2,
+      |  CASE WHEN p2 > 0 AND list_position(types[p2+1:], 'purchase') > 0
+      |       THEN p2 + list_position(types[p2+1:], 'purchase')
+      |       ELSE -1 END AS p3 FROM s2)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS INT) AS step_idx, 'view' AS step,
+      |         CAST(sum(CASE WHEN p1 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS users FROM s3
+      |  UNION ALL
+      |  SELECT 2, 'click',
+      |         CAST(sum(CASE WHEN p2 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         FROM s3
+      |  UNION ALL
+      |  SELECT 3, 'purchase',
+      |         CAST(sum(CASE WHEN p3 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |         FROM s3)
+      |ORDER BY step_idx""".stripMargin
 }

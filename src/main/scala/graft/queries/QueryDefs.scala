@@ -1051,4 +1051,17 @@ object QueryDefs {
       .agg(count(lit(1)).as("n"))
       .orderBy("sink", "level", "action", "entry")
   }
+
+  /** q68: greedy ordered-funnel conversion counts (view → click →
+    * purchase) over the events table — per-user event streams fold by
+    * (ts, event_id), so the counts are a pure function of the data even
+    * under equal timestamps. 150 users × ~67 events at sf0.01 means
+    * essentially every user reaches every step EVENTUALLY — except the
+    * handful whose stream starts too late or ends too early, which is
+    * exactly what makes the greedy positions worth gating.
+    */
+  def qFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Funnel.reachedCounts(t(s, dir, "events"),
+      Seq("view", "click", "purchase"))
+      .orderBy("step_idx")
 }

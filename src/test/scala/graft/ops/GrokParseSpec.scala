@@ -65,9 +65,9 @@ class GrokParseSpec extends AnyFunSuite {
         lit(" msg=\"m\"")).as("line"))
     val q = LogParse.parse(df, "line", Pat)
       .select("ts", "level", "user", "msg", "_grok_matched")
-    val before = GrokParse.invocations.get()
+    val before = GrokParse.invocations.sum()
     val rows = q.collect()
-    val calls = GrokParse.invocations.get() - before
+    val calls = GrokParse.invocations.sum() - before
     assert(rows.length == n)
     // 5 projected columns read the array; CSE must keep it ONE match per
     // row (allow a small constant slop for plan-probe evaluations)
