@@ -72,13 +72,24 @@ object GraftExtensions {
   private val grokBuilder: Seq[Expression] => Expression = exprs => {
     if (exprs.length != 2) throw wrongArgs("grok_parse", "2", exprs.length)
     val patExpr = exprs(1)
-    if (!patExpr.foldable || patExpr.dataType != StringType)
+    if (!patExpr.foldable)
       throw new org.apache.spark.sql.AnalysisException(
         errorClass = "NON_FOLDABLE_ARGUMENT",
         messageParameters = Map(
           "funcName" -> "`grok_parse`",
           "paramName" -> "`pattern`",
           "paramType" -> "\"STRING\""))
+    // a foldable non-string (grok_parse(x, 42)) is a TYPE error, not a
+    // foldability error — report it as one (review find)
+    if (patExpr.dataType != StringType)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE",
+        messageParameters = Map(
+          "sqlExpr" -> "\"grok_parse\"",
+          "paramIndex" -> "second",
+          "requiredType" -> "\"STRING\"",
+          "inputSql" -> s"\"${patExpr.sql}\"",
+          "inputType" -> s"\"${patExpr.dataType.sql}\""))
     val pat = patExpr.eval()
     if (pat == null)
       throw new IllegalArgumentException("grok_parse pattern must not be NULL")

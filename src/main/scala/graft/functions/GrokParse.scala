@@ -39,20 +39,27 @@ case class GrokParse(child: Expression, grokPattern: String)
   @transient private lazy val compiled = GrokParse.compile(grokPattern)
   locally { val _ = compiled.fields } // force: bad patterns fail on the driver
 
+  // the compiled Pattern rides the codegen reference array / task binary
+  // directly (java.util.regex.Pattern is Serializable), so the hot path
+  // pays ZERO per-row cache probes (review find: a ConcurrentHashMap get
+  // per row keyed by the full regex string is pure overhead)
+  @transient private lazy val pattern: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(compiled.regex)
+
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def nullable: Boolean = true // non-matching lines yield NULL
   override def prettyName: String = "grok_parse"
 
   override def nullSafeEval(input: Any): Any =
-    GrokParse.matchGroups(input.asInstanceOf[UTF8String], compiled.regex)
+    GrokParse.matchGroups(input.asInstanceOf[UTF8String], pattern)
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
-    val regexRef = ctx.addReferenceObj("grokRegex", compiled.regex,
-      "java.lang.String")
+    val patRef = ctx.addReferenceObj("grokPattern", pattern,
+      "java.util.regex.Pattern")
     val code = nullSafeCodeGen(ctx, ev, c =>
-      s"""${ev.value} = graft.functions.GrokParse.matchGroups($c, $regexRef);
+      s"""${ev.value} = graft.functions.GrokParse.matchGroups($c, $patRef);
          |${ev.isNull} = ${ev.value} == null;""".stripMargin)
     code
   }
@@ -114,6 +121,14 @@ object GrokParse {
     val f = fields.result()
     require(f.nonEmpty, s"grok pattern captures no fields: $grok")
     require(f.distinct.size == f.size, s"duplicate field names in: $grok")
+    // a %{...} the token grammar could NOT parse (dotted field names,
+    // type suffixes like %{INT:n:int}, unclosed braces) must be a loud
+    // error, not literal text that can never match a line (review find)
+    val leftover = "%\\{".r.findFirstMatchIn(
+      grok.replaceAll(tokenRe.pattern(), ""))
+    require(leftover.isEmpty,
+      s"malformed %{...} token in grok pattern (supported form: " +
+        s"%{NAME} or %{NAME:field}, \\w+ names only): $grok")
     Compiled(out.toString, f)
   }
 
@@ -126,12 +141,6 @@ object GrokParse {
     b.toString
   }
 
-  // one compiled Pattern per distinct regex per JVM (executors compile
-  // once, not per task); patterns come from query literals so the map
-  // stays O(distinct patterns in the workload)
-  private val patternCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.regex.Pattern]
-
   /** Invocation counter — a TEST hook: GrokParseSpec asserts codegen
     * subexpression elimination runs ONE match per row, not per field.
     * LongAdder, not AtomicLong: a contended CAS cache line would tax
@@ -141,11 +150,11 @@ object GrokParse {
 
   /** Static entry shared by interpreted eval and generated code: one
     * full-line match; group array on success, null on parse failure.
+    * Takes the COMPILED Pattern (carried by the expression itself) — no
+    * per-row cache probes.
     */
-  def matchGroups(text: UTF8String, regex: String): ArrayData = {
+  def matchGroups(text: UTF8String, p: java.util.regex.Pattern): ArrayData = {
     invocations.increment()
-    val p = patternCache.computeIfAbsent(regex,
-      r => java.util.regex.Pattern.compile(r))
     val m = p.matcher(text.toString)
     if (!m.matches()) return null
     val n = m.groupCount()

@@ -42,6 +42,14 @@ object Anomaly {
   def madOutliers(df: DataFrame, keyCols: Seq[String], valCol: String,
       kPermille: Int = 3000): DataFrame = {
     require(kPermille > 0, "kPermille must be positive")
+    // the output attaches these three: silently replacing a caller's
+    // same-named column (plausible after an upstream stats pass) would
+    // hand downstream readers OUR intermediate as THEIR data
+    val clash = Seq("group_median", "group_mad", "abs_dev")
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input already has column(s) ${clash.mkString(", ")} — rename " +
+        "them (madOutliers attaches group_median/group_mad/abs_dev)")
     val keys = keyCols.map(col)
     val part = Window.partitionBy(keys: _*)
     def medianOf(in: DataFrame, c: String, out: String): DataFrame = {

@@ -17,20 +17,28 @@ import org.apache.spark.sql.functions._
   * arithmetic over the per-user event-type array (array_position over a
   * slice), all codegen'd builtins, no UDF.
   *
-  * 100 TB shape: ONE hash shuffle on the user key building the per-user
-  * ordered array (collect_list with map-side partial aggregation), then
-  * a scalar reduce (one count row per partition). The per-user array is
-  * the same per-entity working-set bound as sessionization — a user's
-  * own history fits a task; pre-split pathological entities upstream.
-  * Steps are matched map-side after the shuffle; adding steps adds
+  * 100 TB shape: non-step events are dropped BEFORE the shuffle (greedy
+  * matching depends only on the step events' relative order, so the
+  * counts are identical and the shuffle shrinks by the non-step share —
+  * 3 steps out of hundreds of event types is the common case), then ONE
+  * hash shuffle on the user key building the per-user ordered array
+  * (collect_list with map-side partial aggregation), then a scalar
+  * reduce (one count row per partition). The per-user array is the same
+  * per-entity working-set bound as sessionization — a user's own step
+  * history fits a task; pre-split pathological entities upstream. Steps
+  * are matched map-side after the shuffle; adding steps adds
   * projections, never passes.
   */
 object Funnel {
 
   /** One row per step: `(step_idx, step, users)` — users whose ordered
     * event stream contains the step sequence up to and including
-    * `step_idx` (so `users` is non-increasing in `step_idx`). NULL event
-    * types are ignored (they can never match a step).
+    * `step_idx` (so `users` is non-increasing in `step_idx`; an empty
+    * input yields 0 per step, never NULL). NULL event types can never
+    * match a step; NULL users are DROPPED — conflating every anonymous
+    * event into one phantom "user" whose unrelated events complete the
+    * funnel would inflate each step count (the same no-identity-no-
+    * membership verdict as [[Sampling]]'s null-id rule).
     */
   def reachedCounts(events: DataFrame, steps: Seq[String],
       userCol: String = "user_id", typeCol: String = "event_type",
@@ -40,7 +48,7 @@ object Funnel {
       "repeated step names are ambiguous under greedy matching — " +
         "disambiguate upstream (e.g. suffix occurrence numbers)")
     val ordered = events
-      .where(col(typeCol).isNotNull)
+      .where(col(userCol).isNotNull && col(typeCol).isin(steps: _*))
       .groupBy(col(userCol))
       .agg(array_sort(collect_list(struct(col(tsCol).as("__graft_ts"),
         col(idCol).as("__graft_id"), col(typeCol).as("__graft_t"))))
@@ -61,14 +69,20 @@ object Funnel {
           df.withColumn(s"__graft_p${i + 1}",
             when(prev >= 0 && rel > 0, prev + rel).otherwise(lit(-1L)))
       }
+    // coalesce: a global sum over zero rows is NULL — an empty day
+    // partition must read 0 reached, not NULL (review find)
     val aggs = steps.indices.map(i =>
-      sum(when(col(s"__graft_p${i + 1}") > 0, 1L).otherwise(0L))
-        .as(s"__graft_s${i + 1}"))
+      coalesce(sum(when(col(s"__graft_p${i + 1}") > 0, 1L).otherwise(0L)),
+        lit(0L)).as(s"__graft_s${i + 1}"))
     val one = withPos.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = steps.zipWithIndex.map { case (s, i) =>
-      s"${i + 1}, '${s.replace("'", "''")}', __graft_s${i + 1}"
-    }.mkString(", ")
-    one.selectExpr(
-      s"stack(${steps.size}, $stackArgs) AS (step_idx, step, users)")
+    // typed unpivot — no SQL string assembly, so step names with quotes,
+    // backslashes, or newlines survive verbatim (review find)
+    one.select(explode(array(steps.zipWithIndex.map { case (s, i) =>
+      struct(lit(i + 1).as("step_idx"), lit(s).as("step"),
+        col(s"__graft_s${i + 1}").as("users"))
+    }: _*)).as("__graft_row"))
+      .select(col("__graft_row.step_idx").as("step_idx"),
+        col("__graft_row.step").as("step"),
+        col("__graft_row.users").as("users"))
   }
 }

@@ -31,13 +31,26 @@ object LogParse {
     ExpressionUtils.column(
       GrokParse(ExpressionUtils.expression(text), grok))
 
-  /** `df` plus one string column per grok field and `_grok_matched`. */
+  /** `df` plus one string column per grok field and `_grok_matched`.
+    * The parsed array is staged ONCE under a reserved name and every
+    * field reads from the staged column — a field named like the text
+    * column (or any input column) replaces that column in the output
+    * without corrupting the later fields (review find: an unresolved
+    * `grok_parse(text)` Column re-resolves against the ALREADY-REPLACED
+    * frame, silently parsing the first field's value instead of the
+    * line).
+    */
   def parse(df: DataFrame, textCol: String, grok: String): DataFrame = {
     val fields = GrokParse.compile(grok).fields
-    val arr = grokCol(col(textCol), grok)
-    val withFields = fields.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
-      d.withColumn(f, arr.getItem(i))
+    require(!fields.contains("_grok_matched") &&
+      fields.forall(!_.startsWith("__graft")),
+      s"reserved field name in grok pattern: $fields")
+    val staged = df.withColumn("__graft_grok", grokCol(col(textCol), grok))
+    val withFields = fields.zipWithIndex.foldLeft(staged) {
+      case (d, (f, i)) => d.withColumn(f, col("__graft_grok").getItem(i))
     }
-    withFields.withColumn("_grok_matched", arr.isNotNull)
+    withFields
+      .withColumn("_grok_matched", col("__graft_grok").isNotNull)
+      .drop("__graft_grok")
   }
 }

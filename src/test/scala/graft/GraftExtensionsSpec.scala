@@ -70,6 +70,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
     assert(arity.getCondition != null &&
       arity.getCondition.startsWith("WRONG_NUM_ARGS"))
+    // a foldable non-string is a TYPE error, not a foldability error
+    val wrongType = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT grok_parse('a', 42)").collect()
+    }
+    assert(wrongType.getCondition == "DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE",
+      wrongType.getMessage)
     // unknown %{NAME} comes from GrokParse's constructor-time compile
     intercept[IllegalArgumentException] {
       spark.sql("SELECT grok_parse('a', '%{NOPE:x}')").collect()

@@ -52,4 +52,12 @@ class AnomalySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Anomaly.madOutliers(df, Seq("k"), "v", kPermille = 0))
   }
+
+  test("pre-existing output-named columns are rejected, not silently " +
+    "replaced (review find)") {
+    val df = Seq(("a", 1.0, 9.9)).toDF("k", "v", "abs_dev")
+    val e = intercept[IllegalArgumentException](
+      Anomaly.madOutliers(df, Seq("k"), "v"))
+    assert(e.getMessage.contains("abs_dev"))
+  }
 }

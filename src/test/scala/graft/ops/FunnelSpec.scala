@@ -70,6 +70,54 @@ class FunnelSpec extends AnyFunSuite {
       Funnel.reachedCounts(df, Nil))
   }
 
+  test("NULL users are dropped — anonymous events must not fold into one " +
+    "phantom user that completes the funnel (review find)") {
+    val df = Seq((Option.empty[Long], ts(0), 0L, "view"),
+      (Option.empty[Long], ts(1), 1L, "click"),
+      (Some(1L), ts(2), 2L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Funnel.reachedCounts(df, Seq("view", "click"))
+      .as[(Int, String, Long)].collect().map(r => r._2 -> r._3).toMap
+    assert(got == Map("view" -> 1L, "click" -> 0L))
+  }
+
+  test("empty input yields 0 per step, never NULL (review find)") {
+    val df = Seq.empty[(Long, Timestamp, Long, String)]
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Funnel.reachedCounts(df, Seq("view", "click"))
+      .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1, "view", 0L), (2, "click", 0L)))
+  }
+
+  test("step names with quotes/backslashes/newlines survive verbatim " +
+    "(typed output construction, no SQL string assembly)") {
+    val weird = Seq("a'b", "c\\d\ne")
+    val df = Seq((1L, ts(0), 0L, "a'b"), (1L, ts(1), 1L, "c\\d\ne"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Funnel.reachedCounts(df, weird)
+      .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1, "a'b", 1L), (2, "c\\d\ne", 1L)))
+  }
+
+  test("non-step events are pruned BEFORE the shuffle (the filter sits " +
+    "under the aggregate) without changing counts") {
+    val df = Seq((1L, ts(0), 0L, "view"), (1L, ts(1), 1L, "noise"),
+      (1L, ts(2), 2L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val q = Funnel.reachedCounts(df, Seq("view", "click"))
+    val got = q.as[(Int, String, Long)].collect()
+      .map(r => r._2 -> r._3).toMap
+    assert(got == Map("view" -> 1L, "click" -> 1L))
+    // on a LocalRelation fixture the optimizer evaluates the filter at
+    // planning (ConvertToLocalRelation), so gate it in the ANALYZED plan:
+    // the step-set IN filter must sit below the collect_list aggregate
+    val plan = q.queryExecution.analyzed.toString
+    val aggAt = plan.indexOf("collect_list")
+    val filterAt = plan.indexOf(" IN (")
+    assert(aggAt >= 0 && filterAt > aggAt,
+      s"expected the step-set IN filter under the aggregate:\n$plan")
+  }
+
   test("one data shuffle: the per-user fold happens above a single " +
     "user-key exchange (plus the scalar reduce)") {
     val df = Seq((1L, ts(0), 0L, "view"))

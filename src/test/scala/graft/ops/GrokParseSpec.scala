@@ -31,6 +31,36 @@ class GrokParseSpec extends AnyFunSuite {
       GrokParse.compile("%{INT:x} %{INT:x}"))
   }
 
+  test("compile rejects MALFORMED %{...} tokens loudly instead of " +
+    "treating them as literal text that can never match") {
+    // dotted field names, type suffixes, unclosed braces — all outside
+    // the supported grammar; silently escaping them would dead-letter
+    // 100% of input with no error anywhere
+    intercept[IllegalArgumentException](
+      GrokParse.compile("%{WORD:level} %{IPV4:client.ip}"))
+    intercept[IllegalArgumentException](
+      GrokParse.compile("%{INT:n:int} %{WORD:w}"))
+    intercept[IllegalArgumentException](
+      GrokParse.compile("%{INT:n %{WORD:w}"))
+  }
+
+  test("a grok field may shadow the input text column without corrupting " +
+    "later fields (the staged-array fix)") {
+    val df = Seq("foo 42").toDF("msg")
+    val got = LogParse.parse(df, "msg", "%{WORD:msg} %{INT:code}")
+      .select("msg", "code", "_grok_matched")
+      .as[(String, String, Boolean)].collect().toSeq
+    assert(got == Seq(("foo", "42", true)))
+  }
+
+  test("reserved field names are rejected") {
+    val df = Seq("x").toDF("line")
+    intercept[IllegalArgumentException](
+      LogParse.parse(df, "line", "%{WORD:_grok_matched}"))
+    intercept[IllegalArgumentException](
+      LogParse.parse(df, "line", "%{WORD:__graft_x}"))
+  }
+
   test("parse: matching lines splay into columns; garbage lines get " +
     "NULL fields and _grok_matched=false, never an exception") {
     val df = Seq(
