@@ -133,7 +133,9 @@ object SparkEntry {
     // structured logs (round 5)
     "q67_grok_enrich" -> (QueryDefs.qGrokEnrich _),
     // greedy ordered-funnel conversion counts (round 5)
-    "q68_funnel" -> (QueryDefs.qFunnel _)
+    "q68_funnel" -> (QueryDefs.qFunnel _),
+    // cohort retention matrix over integer weeks (round 5)
+    "q69_retention" -> (QueryDefs.qRetention _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -204,6 +206,7 @@ object SparkEntry {
     "q65_grok_parse" -> OracleDefs.grokParse,
     "q66_stratified_sample" -> OracleDefs.stratifiedSample,
     "q67_grok_enrich" -> OracleDefs.grokEnrich,
-    "q68_funnel" -> OracleDefs.funnel
+    "q68_funnel" -> OracleDefs.funnel,
+    "q69_retention" -> OracleDefs.retention
   )
 }

@@ -1574,4 +1574,19 @@ object OracleDefs {
       |         CAST(sum(CASE WHEN p3 > 0 THEN 1 ELSE 0 END) AS BIGINT)
       |         FROM s3)
       |ORDER BY step_idx""".stripMargin
+
+  /** q69: cohort retention — the same integer week (epoch-µs div one
+    * week), per-user weekly dedup, min-week cohort, offset counts.
+    */
+  val retention: String =
+    """WITH a AS (
+      |  SELECT DISTINCT event_id % 937 AS u,
+      |         epoch_us(ts) // 604800000000 AS week
+      |  FROM events),
+      |c AS (SELECT u, week,
+      |        min(week) OVER (PARTITION BY u) AS cohort_week FROM a)
+      |SELECT cohort_week, week - cohort_week AS week_offset,
+      |       count(*) AS users
+      |FROM c GROUP BY 1, 2
+      |ORDER BY cohort_week, week_offset""".stripMargin
 }

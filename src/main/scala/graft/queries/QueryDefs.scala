@@ -1064,4 +1064,18 @@ object QueryDefs {
     graft.ops.Funnel.reachedCounts(t(s, dir, "events"),
       Seq("view", "click", "purchase"))
       .orderBy("step_idx")
+
+  /** q69: cohort retention matrix over a DERIVED user key
+    * (event_id % 937): the fixture's 150 real users each have ~67 events
+    * across the month, so every real user's cohort is week 0 — a
+    * one-row matrix gates nothing. ~937 synthetic users with ~10 events
+    * each spread first-events across all 5 weeks, so the oracle checks
+    * cohort assignment, offset arithmetic, AND the week-dedup (multiple
+    * events in one week count once).
+    */
+  def qRetention(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Retention.matrix(
+      t(s, dir, "events").withColumn("u", col("event_id") % 937),
+      userCol = "u")
+      .orderBy("cohort_week", "week_offset")
 }
