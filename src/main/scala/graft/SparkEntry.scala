@@ -135,7 +135,9 @@ object SparkEntry {
     // greedy ordered-funnel conversion counts (round 5)
     "q68_funnel" -> (QueryDefs.qFunnel _),
     // cohort retention matrix over integer weeks (round 5)
-    "q69_retention" -> (QueryDefs.qRetention _)
+    "q69_retention" -> (QueryDefs.qRetention _),
+    // importance-weighted downsample: the data-mixing sampler (round 5)
+    "q70_weighted_sample" -> (QueryDefs.qWeightedSample _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -207,6 +209,7 @@ object SparkEntry {
     "q66_stratified_sample" -> OracleDefs.stratifiedSample,
     "q67_grok_enrich" -> OracleDefs.grokEnrich,
     "q68_funnel" -> OracleDefs.funnel,
-    "q69_retention" -> OracleDefs.retention
+    "q69_retention" -> OracleDefs.retention,
+    "q70_weighted_sample" -> OracleDefs.weightedSample
   )
 }

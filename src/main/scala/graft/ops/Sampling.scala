@@ -85,6 +85,27 @@ object Sampling {
       idCol: String = "doc_id"): DataFrame =
     docs.where(hashPoint(col(idCol), salt) < rateBound(rate))
 
+  /** Deterministic WEIGHTED downsample: keep each row with probability
+    * min(1, weight × rate) — importance sampling for data mixing (keep
+    * high-quality documents preferentially while thinning the bulk).
+    * The per-row bound is floor(min(1, w·rate) × 2^60): the float
+    * multiply/min are the same IEEE ops in any engine, the compare is
+    * integer, so the keep set is engine-exact and growth-stable like
+    * [[sample]]'s. NULL or negative weights never keep (no sampling
+    * weight, no membership — the null-id verdict extended to weights);
+    * weight 0 never keeps; weight ≥ 1/rate always keeps.
+    *
+    * 100 TB shape: map-side expression per row, zero shuffles.
+    */
+  def weightedSample(docs: DataFrame, weightCol: String, rate: Double,
+      salt: String = "w1", idCol: String = "doc_id"): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, "rate in [0,1]")
+    val bound = floor(least(lit(1.0), col(weightCol) * lit(rate)) *
+      lit(Scale.toDouble)).cast("long")
+    docs.where(col(weightCol).isNotNull && col(weightCol) > 0.0 &&
+      hashPoint(col(idCol), salt) < bound)
+  }
+
   /** Deterministic STRATIFIED downsample: an independent [[sample]] rate
     * per stratum (e.g. per language: keep 100% of the low-resource
     * languages, 5% of English) — the rebalancing step between a raw crawl

@@ -1589,4 +1589,18 @@ object OracleDefs {
       |       count(*) AS users
       |FROM c GROUP BY 1, 2
       |ORDER BY cohort_week, week_offset""".stripMargin
+
+  /** q70: weighted sample — the identical IEEE bound expression
+    * (floor(least(1, w·rate) × 2^60), 2^60 exact as a double) over the
+    * q54 hash point under salt "w1".
+    */
+  val weightedSample: String =
+    """SELECT doc_id, n_chars
+      |FROM (SELECT doc_id, n_chars,
+      |        CAST('0x'||substr(md5('w1:'||doc_id),1,15) AS BIGINT) AS h,
+      |        CAST(floor(least(1.0, (n_chars/100.0) * 0.5) *
+      |                   1152921504606846976.0) AS BIGINT) AS bound
+      |      FROM documents)
+      |WHERE h < bound
+      |ORDER BY doc_id""".stripMargin
 }

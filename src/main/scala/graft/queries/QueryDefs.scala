@@ -1078,4 +1078,19 @@ object QueryDefs {
       t(s, dir, "events").withColumn("u", col("event_id") % 937),
       userCol = "u")
       .orderBy("cohort_week", "week_offset")
+
+  /** q70: importance-weighted downsample — keep probability
+    * min(1, (n_chars/100)·0.5), so long documents saturate the clamp
+    * (always kept) while short ones thin proportionally: both the clamp
+    * and the partial path are oracle-gated. The float weight math is the
+    * identical IEEE expression on both engines; membership is the shared
+    * 60-bit hash point under salt "w1".
+    */
+  def qWeightedSample(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Sampling.weightedSample(
+      t(s, dir, "documents")
+        .withColumn("w", col("n_chars") / lit(100.0)),
+      "w", rate = 0.5, salt = "w1")
+      .select("doc_id", "n_chars")
+      .orderBy("doc_id")
 }

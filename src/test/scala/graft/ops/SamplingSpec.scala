@@ -152,6 +152,30 @@ class SamplingSpec extends AnyFunSuite {
       "defaultRate 0.0")
   }
 
+  test("weightedSample: keep probability min(1, w*rate) — weight >= 1/rate " +
+    "always keeps, weight 0 / negative / NULL never keep, growth-stable") {
+    val docs = (0L until 300L).map(i => (i,
+      if (i % 3 == 0) 10.0 else if (i % 3 == 1) 0.4 else 0.0))
+      .toDF("doc_id", "w")
+    val kept = Sampling.weightedSample(docs, "w", rate = 0.5, salt = "wt")
+      .select("doc_id").as[Long].collect().toSet
+    // w=10, rate 0.5 -> clamp at 1.0: ALL 100 kept
+    assert((0L until 300L by 3).forall(kept.contains))
+    // w=0: never kept
+    assert((2L until 300L by 3).forall(!kept.contains(_)))
+    // w=0.4 -> prob 0.2: some but not all; equals the plain sample at 0.2
+    val partial = kept.filter(_ % 3 == 1)
+    val expect = Sampling.sample(
+      docs.where(col("doc_id") % 3 === 1), rate = 0.2, salt = "wt")
+      .select("doc_id").as[Long].collect().toSet
+    assert(partial == expect && partial.nonEmpty && partial.size < 100)
+    // NULL / negative weights never keep
+    val edge = Seq((1L, Some(-1.0)), (2L, Option.empty[Double]),
+      (3L, Some(5.0))).toDF("doc_id", "w")
+    assert(Sampling.weightedSample(edge, "w", 1.0)
+      .select("doc_id").as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("stratifiedSample: NULL strata take defaultRate; null ids never " +
     "kept; duplicate strata rejected") {
     val docs = Seq((Some(1L), Some("en")), (Some(2L), None),
