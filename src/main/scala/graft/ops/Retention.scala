@@ -39,10 +39,16 @@ object Retention {
     // truncating cast back would ride float rounding at week boundaries
     val week = expr(
       s"unix_micros(cast(`$tsCol` as timestamp)) div 604800000000")
+    // explicit repartition on the user key: HashPartitioning(u) satisfies
+    // BOTH the (u, week) dedup's clustering (subset rule) and the cohort
+    // window's — without it Spark's ENSURE_REQUIREMENTS inserts a
+    // separate (u, week) exchange before the window's u exchange
+    // (verified: 3 exchanges planned vs 2; review-pass-11 follow-up)
     val weekly = events
       .where(col(userCol).isNotNull && col(tsCol).isNotNull)
       .select(col(userCol).as("__graft_u"), week.as("week"))
-      .groupBy("__graft_u", "week").agg(count(lit(1)).as("__graft_n"))
+      .repartition(col("__graft_u"))
+      .dropDuplicates("__graft_u", "week")
     val withCohort = weekly.withColumn("cohort_week",
       min(col("week")).over(Window.partitionBy(col("__graft_u"))))
     withCohort

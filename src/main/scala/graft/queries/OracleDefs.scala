@@ -1580,7 +1580,9 @@ object OracleDefs {
     */
   val retention: String =
     """WITH a AS (
-      |  SELECT DISTINCT event_id % 937 AS u,
+      |  SELECT DISTINCT
+      |         CAST('0x'||substr(md5('r:'||event_id),1,15) AS BIGINT)
+      |           % 2203 AS u,
       |         epoch_us(ts) // 604800000000 AS week
       |  FROM events),
       |c AS (SELECT u, week,

@@ -1065,17 +1065,21 @@ object QueryDefs {
       Seq("view", "click", "purchase"))
       .orderBy("step_idx")
 
-  /** q69: cohort retention matrix over a DERIVED user key
-    * (event_id % 937): the fixture's 150 real users each have ~67 events
-    * across the month, so every real user's cohort is week 0 — a
-    * one-row matrix gates nothing. ~937 synthetic users with ~10 events
-    * each spread first-events across all 5 weeks, so the oracle checks
-    * cohort assignment, offset arithmetic, AND the week-dedup (multiple
-    * events in one week count once).
+  /** q69: cohort retention matrix over a DERIVED user key — the md5
+    * hash point mod 2203 (NOT `event_id % 937`: the fixture's ts is
+    * monotone in event_id, so a modulus key gives every user evenly
+    * spaced events and a single-cohort matrix that a broken — e.g.
+    * unpartitioned — cohort window would pass; review-pass-11 find,
+    * verified byte-identical in DuckDB). The hash scatter puts ~4.5
+    * events per synthetic user at random positions, spreading first
+    * events across all 5 weeks (cohort sizes 825/878/347/98/34 at
+    * sf0.01), so the oracle gates cohort assignment, offset arithmetic,
+    * AND the week-dedup.
     */
   def qRetention(s: SparkSession, dir: String): DataFrame =
     graft.ops.Retention.matrix(
-      t(s, dir, "events").withColumn("u", col("event_id") % 937),
+      t(s, dir, "events").withColumn("u",
+        graft.ops.Sampling.hashPoint(col("event_id"), "r") % 2203),
       userCol = "u")
       .orderBy("cohort_week", "week_offset")
 

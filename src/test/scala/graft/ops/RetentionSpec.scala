@@ -58,7 +58,14 @@ class RetentionSpec extends AnyFunSuite {
 
   test("one exchange on the user key: weekly dedup and the cohort " +
     "min-window share it; the final matrix agg is the only other") {
-    val df = Seq((1L, ts(0))).toDF("user_id", "ts")
+    // a range-based input, NOT a LocalRelation: ConvertToLocalRelation
+    // folds a distinct on a local fixture at optimization time, which
+    // made this assert pass vacuously (review-pass-11 follow-up)
+    import org.apache.spark.sql.functions.{col, lit, pmod, timestamp_micros}
+    val df = spark.range(100).toDF("event_id")
+      .withColumn("user_id", pmod(col("event_id"), lit(7)))
+      .withColumn("ts",
+        timestamp_micros(lit(Base * 1000000L) + col("event_id")))
     val plan = Retention.matrix(df).queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 2, // user shuffle + (cohort, offset) aggregate
