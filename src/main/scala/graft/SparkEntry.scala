@@ -137,7 +137,16 @@ object SparkEntry {
     // cohort retention matrix over integer weeks (round 5)
     "q69_retention" -> (QueryDefs.qRetention _),
     // importance-weighted downsample: the data-mixing sampler (round 5)
-    "q70_weighted_sample" -> (QueryDefs.qWeightedSample _)
+    "q70_weighted_sample" -> (QueryDefs.qWeightedSample _),
+    // as-of join: temporal state enrichment, one-shuffle union+window
+    // form (round 5)
+    "q71_asof_join" -> (QueryDefs.qAsofJoin _),
+    // event-type transition bigrams per user (round 5)
+    "q72_transitions" -> (QueryDefs.qTransitions _),
+    // expand-free distinct rollup per (event_type, day) (round 5)
+    "q73_distinct_rollup" -> (QueryDefs.qDistinctRollup _),
+    // top-3 users by cents per event_type, aggregate-then-rank (round 5)
+    "q74_topk_per_group" -> (QueryDefs.qTopkPerGroup _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -210,6 +219,10 @@ object SparkEntry {
     "q67_grok_enrich" -> OracleDefs.grokEnrich,
     "q68_funnel" -> OracleDefs.funnel,
     "q69_retention" -> OracleDefs.retention,
-    "q70_weighted_sample" -> OracleDefs.weightedSample
+    "q70_weighted_sample" -> OracleDefs.weightedSample,
+    "q71_asof_join" -> OracleDefs.asofJoin,
+    "q72_transitions" -> OracleDefs.transitions,
+    "q73_distinct_rollup" -> OracleDefs.distinctRollup,
+    "q74_topk_per_group" -> OracleDefs.topkPerGroup
   )
 }

@@ -1605,4 +1605,86 @@ object OracleDefs {
       |      FROM documents)
       |WHERE h < bound
       |ORDER BY doc_id""".stripMargin
+
+  /** q71: as-of join — the oracle re-derives each click's state with an
+    * INDEPENDENT mechanism (a per-row LATERAL probe, not a carry-forward
+    * window): most recent error at or before the click's ts, equal ts
+    * visible, equal-ts ties to the largest event_id, no match -> NULLs.
+    */
+  val asofJoin: String =
+    """SELECT e.event_id AS event_id, e.user_id AS user_id,
+      |       s.state_event AS state_event, s.tier AS tier
+      |FROM events e
+      |LEFT JOIN LATERAL (
+      |  SELECT u.event_id AS state_event, u.event_id % 5 AS tier
+      |  FROM events u
+      |  WHERE u.event_type = 'error' AND u.user_id = e.user_id
+      |    AND u.ts <= e.ts
+      |  ORDER BY u.ts DESC, u.event_id DESC LIMIT 1
+      |) s ON true
+      |WHERE e.event_type = 'click'
+      |ORDER BY e.event_id""".stripMargin
+
+  /** q72: transition bigrams — lag window per user over the (ts,
+    * event_id) total order; p is one IEEE division of two exact longs.
+    */
+  val transitions: String =
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |                               ORDER BY ts, event_id) AS prev
+      |  FROM events WHERE user_id IS NOT NULL
+      |    AND ts IS NOT NULL AND event_id IS NOT NULL),
+      |c AS (SELECT prev AS prev_type, event_type AS next_type,
+      |             count(*) AS n
+      |      FROM s WHERE prev IS NOT NULL GROUP BY 1, 2)
+      |SELECT prev_type, next_type, n,
+      |       CAST(n AS DOUBLE) /
+      |         CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+      |FROM c ORDER BY prev_type, next_type""".stripMargin
+
+  /** q73: distinct rollup — flat aggregates via COUNT(DISTINCT), the
+    * per-user distribution stat via an independent subquery join; same
+    * integer day (epoch-µs div one day) and integer-cents sum as
+    * q30/q69.
+    */
+  val distinctRollup: String =
+    """WITH flat AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS epoch_day,
+      |         count(DISTINCT user_id) AS n_users, count(*) AS n_rows,
+      |         CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT)
+      |           AS cents
+      |  FROM events GROUP BY 1, 2),
+      |per_user AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS epoch_day,
+      |         user_id,
+      |         CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT)
+      |           AS ucents
+      |  FROM events GROUP BY 1, 2, 3),
+      |dist AS (
+      |  SELECT event_type, epoch_day, max(ucents) AS max_user_cents
+      |  FROM per_user GROUP BY 1, 2)
+      |SELECT f.event_type AS event_type, f.epoch_day AS epoch_day,
+      |       f.n_users AS n_users, f.n_rows AS n_rows,
+      |       f.cents AS cents, d.max_user_cents AS max_user_cents
+      |FROM flat f JOIN dist d
+      |  ON f.event_type = d.event_type AND f.epoch_day = d.epoch_day
+      |ORDER BY event_type, epoch_day""".stripMargin
+
+  /** q74: top-3 users by integer cents per event_type — aggregate first,
+    * then rank with the (cents DESC, user_id ASC) tie-break.
+    */
+  val topkPerGroup: String =
+    """WITH a AS (
+      |  SELECT event_type, user_id,
+      |         CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT)
+      |           AS cents
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, user_id, cents,
+      |        CAST(row_number() OVER (PARTITION BY event_type
+      |          ORDER BY cents DESC, user_id ASC) AS INT) AS rank
+      |      FROM a)
+      |SELECT event_type, user_id, cents, rank
+      |FROM r WHERE rank <= 3
+      |ORDER BY event_type, rank""".stripMargin
 }

@@ -1097,4 +1097,71 @@ object QueryDefs {
       "w", rate = 0.5, salt = "w1")
       .select("doc_id", "n_chars")
       .orderBy("doc_id")
+
+  /** q71: as-of join — every click event enriched with the user's most
+    * recent error "state" at or before the click (tier = error event_id
+    * % 5). The build side is a deterministic slice of the same events
+    * table, so the oracle can re-derive the winner independently with a
+    * LATERAL probe (ORDER BY ts DESC, event_id DESC LIMIT 1) — gating
+    * the at-or-before boundary, the equal-ts tie (build visible at the
+    * probe's exact ts), the largest-tie-wins rule, and the left-join
+    * NULLs for clicks before a user's first error.
+    */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    val build = events.where(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_id").as("state_event"),
+        (col("event_id") % 5).as("tier"))
+    graft.ops.AsofJoin.asofJoin(
+      events.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts"),
+      build, keys = Seq("user_id"), carry = Seq("state_event", "tier"))
+      .select("event_id", "user_id", "state_event", "tier")
+      .orderBy("event_id")
+  }
+
+  /** q72: event-type transition bigrams per user — n plus
+    * P(next | prev) as one IEEE division of two exact longs. The order
+    * key (ts, event_id) is a total order, so the bigram multiset is
+    * closed-form for the oracle's lag window.
+    */
+  def qTransitions(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Transitions.bigramCounts(t(s, dir, "events"))
+      .orderBy("prev_type", "next_type")
+
+  /** q73: distinct rollup with per-user distribution stats — distinct
+    * users, event count, integer-cents sum AND the busiest single
+    * user's spend per (event_type, epoch-day), all in one pass/two
+    * exchanges (RollupsSpec pins the plan). The oracle re-derives the
+    * flat aggregates with COUNT(DISTINCT) and the distribution stat
+    * with an independent subquery.
+    */
+  def qDistinctRollup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Rollups.distinctRollup(
+      t(s, dir, "events"),
+      keys = Seq(col("event_type"),
+        // integer `div`, not `/` (Column `/` is DOUBLE division)
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+          .as("epoch_day")),
+      entityCol = col("user_id"),
+      distinctName = "n_users",
+      innerAggs = Seq(
+        sum(round(col("value") * 100, 0).cast("bigint")).as("cents")),
+      outerAggs = Seq(sum("cents").as("cents"),
+        max("cents").as("max_user_cents")))
+      .orderBy("event_type", "epoch_day")
+
+  /** q74: top-3 users by integer-cents spend per event_type — the
+    * aggregate-then-rank shape (the rank window runs over one row per
+    * (type, user), never the raw corpus). Exact metric + ascending-id
+    * tie-break make the selected set deterministic.
+    */
+  def qTopkPerGroup(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Rollups.topKPerGroup(
+      t(s, dir, "events"), groupCols = Seq("event_type"),
+      entityCol = "user_id",
+      metric = sum(round(col("value") * 100, 0).cast("bigint")), k = 3)
+      .withColumnRenamed("metric", "cents")
+      .orderBy("event_type", "rank")
 }
