@@ -146,7 +146,12 @@ object SparkEntry {
     // expand-free distinct rollup per (event_type, day) (round 5)
     "q73_distinct_rollup" -> (QueryDefs.qDistinctRollup _),
     // top-3 users by cents per event_type, aggregate-then-rank (round 5)
-    "q74_topk_per_group" -> (QueryDefs.qTopkPerGroup _)
+    "q74_topk_per_group" -> (QueryDefs.qTopkPerGroup _),
+    // point-in-interval join via time-bucket explode + hash equi-join
+    // (round 5)
+    "q75_interval_join" -> (QueryDefs.qIntervalJoin _),
+    // growth accounting: new vs returning users per day (round 5)
+    "q76_growth" -> (QueryDefs.qGrowth _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -223,6 +228,8 @@ object SparkEntry {
     "q71_asof_join" -> OracleDefs.asofJoin,
     "q72_transitions" -> OracleDefs.transitions,
     "q73_distinct_rollup" -> OracleDefs.distinctRollup,
-    "q74_topk_per_group" -> OracleDefs.topkPerGroup
+    "q74_topk_per_group" -> OracleDefs.topkPerGroup,
+    "q75_interval_join" -> OracleDefs.intervalJoin,
+    "q76_growth" -> OracleDefs.growth
   )
 }

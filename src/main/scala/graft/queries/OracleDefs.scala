@@ -1687,4 +1687,41 @@ object OracleDefs {
       |SELECT event_type, user_id, cents, rank
       |FROM r WHERE rank <= 3
       |ORDER BY event_type, rank""".stripMargin
+
+  /** q75: interval join — the oracle is the PLAIN theta join the Spark
+    * side deliberately avoids (fine at sf0.01); any bucket-explode bug
+    * (missed bucket, double-counted pair, closed end) shifts n_clicks.
+    */
+  val intervalJoin: String =
+    """WITH i AS (
+      |  SELECT event_id AS interval_id, user_id, ts AS s,
+      |         ts + INTERVAL 2 HOUR AS e
+      |  FROM events WHERE event_type = 'purchase'),
+      |p AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+      |SELECT i.interval_id AS interval_id, i.user_id AS user_id,
+      |       count(*) AS n_clicks
+      |FROM i JOIN p
+      |  ON p.user_id = i.user_id AND p.ts >= i.s AND p.ts < i.e
+      |GROUP BY 1, 2
+      |ORDER BY interval_id""".stripMargin
+
+  /** q76: growth accounting — new/returning re-derived via an
+    * independent min-join (the op uses a shared-exchange window).
+    */
+  val growth: String =
+    """WITH a AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS period
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |f AS (SELECT user_id, min(period) AS first FROM a GROUP BY 1),
+      |p AS (
+      |  SELECT a.period AS period, count(*) AS active,
+      |         CAST(sum(CASE WHEN a.period = f.first THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS new_entities
+      |  FROM a JOIN f ON a.user_id = f.user_id GROUP BY 1)
+      |SELECT period, active, new_entities,
+      |       active - new_entities AS returning,
+      |       CAST(sum(new_entities) OVER (ORDER BY period
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS BIGINT) AS cumulative_entities
+      |FROM p ORDER BY period""".stripMargin
 }

@@ -1164,4 +1164,35 @@ object QueryDefs {
       metric = sum(round(col("value") * 100, 0).cast("bigint")), k = 3)
       .withColumnRenamed("metric", "cents")
       .orderBy("event_type", "rank")
+
+  /** q75: point-in-interval join — clicks inside each purchase's 2-hour
+    * follow-up window, per user, counted per window. The 1-hour bucket
+    * means every interval spans 2–3 buckets, so the oracle's plain theta
+    * join gates the explode arithmetic, the half-open end, and the
+    * no-duplicate-pairs property (a double-counted click changes
+    * n_clicks).
+    */
+  def qIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    val intervals = events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("interval_id"), col("user_id"),
+        col("ts").as("start"),
+        (col("ts") + expr("interval 2 hours")).as("end"))
+    val points = events.where(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    graft.ops.IntervalJoin.pointInInterval(points, intervals,
+      keys = Seq("user_id"), bucketMicros = 3600000000L)
+      .groupBy("interval_id", "user_id")
+      .agg(count(lit(1)).as("n_clicks"))
+      .orderBy("interval_id")
+  }
+
+  /** q76: growth accounting — per epoch-day: active users, new users
+    * (first-ever day), returning, and the cumulative user base. The
+    * oracle re-derives new/returning through an independent min-join
+    * instead of the op's shared-exchange window.
+    */
+  def qGrowth(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Growth.newVsReturning(t(s, dir, "events"))
+      .orderBy("period")
 }
