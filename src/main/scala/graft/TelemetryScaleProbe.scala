@@ -64,6 +64,45 @@ object TelemetryScaleProbe {
     probe("retention") {
       graft.ops.Retention.matrix(events).count()
     }
+    probe("asof_join") {
+      val build = events.where(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("event_id") % 5).as("tier"))
+      graft.ops.AsofJoin.asofJoin(
+        events.where(col("event_type") === "click")
+          .select("event_id", "user_id", "ts"),
+        build, keys = Seq("user_id"), carry = Seq("tier")).count()
+    }
+    probe("interval_join") {
+      val intervals = events.where(col("event_type") === "purchase")
+        .select(col("event_id").as("interval_id"), col("user_id"),
+          col("ts").as("start"),
+          (col("ts") + expr("interval 2 hours")).as("end"))
+      graft.ops.IntervalJoin.pointInInterval(
+        events.where(col("event_type") === "click")
+          .select("event_id", "user_id", "ts"),
+        intervals, keys = Seq("user_id")).count()
+    }
+    probe("transitions") {
+      graft.ops.Transitions.bigramCounts(events).count()
+    }
+    probe("growth") {
+      graft.ops.Growth.newVsReturning(events).count()
+    }
+    probe("distinct_rollup") {
+      graft.ops.Rollups.distinctRollup(events,
+        keys = Seq(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("epoch_day")),
+        entityCol = col("user_id"),
+        innerAggs = Seq(
+          sum(round(col("value") * 100, 0).cast("bigint")).as("cents")),
+        outerAggs = Seq(sum("cents").as("cents"),
+          max("cents").as("max_user_cents"))).count()
+    }
+    probe("topk_per_group") {
+      graft.ops.Rollups.topKPerGroup(events, Seq("event_type"), "user_id",
+        sum(round(col("value") * 100, 0).cast("bigint")), k = 10).count()
+    }
     probe("grok_parse") {
       val lines = events.select(concat(
         date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), lit(" "),
