@@ -88,12 +88,21 @@ object IntervalJoin {
         col(startCol) < col(endCol)) // empty/negative: match nothing
       .withColumn("__graft_bucket", explode(guarded))
 
-    val cond = keys.map(k => p(k) === i(k))
-      .fold(p("__graft_bucket") === i("__graft_bucket"))(_ && _) &&
-      p(pointTs) >= i(startCol) && p(pointTs) < i(endCol)
+    // explicit aliases: both sides often derive from the SAME source
+    // (q75 joins events to events), and bare p(k) === i(k) there leans
+    // on the analyzer's ambiguous-self-join fixup (and logs a
+    // "trivially true equals predicate" warning); qualified names are
+    // unambiguous under any analyzer config
+    val pa = p.alias("__graft_pt")
+    val ia = i.alias("__graft_iv")
+    def pc(c: String) = col(s"__graft_pt.`$c`")
+    def ic(c: String) = col(s"__graft_iv.`$c`")
+    val cond = keys.map(k => pc(k) === ic(k))
+      .fold(pc("__graft_bucket") === ic("__graft_bucket"))(_ && _) &&
+      pc(pointTs) >= ic(startCol) && pc(pointTs) < ic(endCol)
     keys.foldLeft(
-      p.join(i, cond, how)
-        .drop(i("__graft_bucket")).drop(p("__graft_bucket"))
-    )((d, k) => d.drop(i(k)))
+      pa.join(ia, cond, how)
+        .drop(ic("__graft_bucket")).drop(pc("__graft_bucket"))
+    )((d, k) => d.drop(ic(k)))
   }
 }

@@ -33,6 +33,8 @@ object Transitions {
   def bigramCounts(events: DataFrame, entityCol: String = "user_id",
       typeCol: String = "event_type",
       orderCols: Seq[Column] = Seq(col("ts"), col("event_id"))): DataFrame = {
+    require(orderCols.nonEmpty,
+      "bigramCounts needs at least one order column")
     val w = Window.partitionBy(entityCol).orderBy(orderCols: _*)
     val counts = events
       // NULL entities are not ONE anonymous user — their interleaved

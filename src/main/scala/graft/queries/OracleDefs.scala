@@ -1668,7 +1668,8 @@ object OracleDefs {
       |       f.n_users AS n_users, f.n_rows AS n_rows,
       |       f.cents AS cents, d.max_user_cents AS max_user_cents
       |FROM flat f JOIN dist d
-      |  ON f.event_type = d.event_type AND f.epoch_day = d.epoch_day
+      |  ON f.event_type IS NOT DISTINCT FROM d.event_type
+      | AND f.epoch_day IS NOT DISTINCT FROM d.epoch_day
       |ORDER BY event_type, epoch_day""".stripMargin
 
   /** q74: top-3 users by integer cents per event_type — aggregate first,

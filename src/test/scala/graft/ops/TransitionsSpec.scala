@@ -56,4 +56,12 @@ class TransitionsSpec extends AnyFunSuite {
   test("empty input -> empty output (no NULL-row artifacts)") {
     assert(bigrams().isEmpty)
   }
+
+  test("empty orderCols is a loud, named error (not empty.reduce)") {
+    intercept[IllegalArgumentException] {
+      Transitions.bigramCounts(
+        Seq((1L, 1L, "a")).toDF("event_id", "user_id", "event_type"),
+        orderCols = Nil)
+    }
+  }
 }
