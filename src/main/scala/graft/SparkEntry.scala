@@ -151,7 +151,10 @@ object SparkEntry {
     // (round 5)
     "q75_interval_join" -> (QueryDefs.qIntervalJoin _),
     // growth accounting: new vs returning users per day (round 5)
-    "q76_growth" -> (QueryDefs.qGrowth _)
+    "q76_growth" -> (QueryDefs.qGrowth _),
+    // incident-impact bridge: interval join + as-of tier + rollup
+    // (round 5)
+    "q77_incident_impact" -> (QueryDefs.qIncidentImpact _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -230,6 +233,7 @@ object SparkEntry {
     "q73_distinct_rollup" -> OracleDefs.distinctRollup,
     "q74_topk_per_group" -> OracleDefs.topkPerGroup,
     "q75_interval_join" -> OracleDefs.intervalJoin,
-    "q76_growth" -> OracleDefs.growth
+    "q76_growth" -> OracleDefs.growth,
+    "q77_incident_impact" -> OracleDefs.incidentImpact
   )
 }

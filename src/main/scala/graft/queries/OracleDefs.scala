@@ -1725,4 +1725,34 @@ object OracleDefs {
       |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |         AS BIGINT) AS cumulative_entities
       |FROM p ORDER BY period""".stripMargin
+
+  /** q77: incident-impact bridge — three independent mechanisms: a
+    * LATERAL probe for the tier in effect, a plain theta join for the
+    * incident window, GROUP BY for the rollup.
+    */
+  val incidentImpact: String =
+    """WITH inc AS (
+      |  SELECT event_id AS incident_id, ts AS s,
+      |         ts + INTERVAL 1 HOUR AS e
+      |  FROM events WHERE event_type = 'error' AND event_id % 7 = 0),
+      |pur AS (
+      |  SELECT p.event_id,
+      |         CAST(round(p.value*100, 0) AS BIGINT) AS cents,
+      |         p.ts, t.tier
+      |  FROM events p
+      |  LEFT JOIN LATERAL (
+      |    SELECT u.event_id % 3 AS tier
+      |    FROM events u
+      |    WHERE u.event_type = 'signup' AND u.user_id = p.user_id
+      |      AND u.ts <= p.ts
+      |    ORDER BY u.ts DESC, u.event_id DESC LIMIT 1
+      |  ) t ON true
+      |  WHERE p.event_type = 'purchase')
+      |SELECT i.incident_id AS incident_id, pur.tier AS tier,
+      |       count(*) AS n_purchases,
+      |       CAST(sum(pur.cents) AS BIGINT) AS cents
+      |FROM inc i JOIN pur
+      |  ON pur.ts >= i.s AND pur.ts < i.e
+      |GROUP BY 1, 2
+      |ORDER BY incident_id, tier""".stripMargin
 }

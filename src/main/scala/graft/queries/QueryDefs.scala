@@ -1195,4 +1195,36 @@ object QueryDefs {
   def qGrowth(s: SparkSession, dir: String): DataFrame =
     graft.ops.Growth.newVsReturning(t(s, dir, "events"))
       .orderBy("period")
+
+  /** q77: the temporal-join bridge — incident impact analysis composing
+    * the session-6 family end-to-end: every 7th error opens a 1-hour
+    * incident window (IntervalJoin, time-only); each purchase inside a
+    * window is enriched with that user's signup tier in effect at
+    * purchase time (AsofJoin); the rollup counts purchases and
+    * integer-cents per (incident, tier), tier NULL = purchased inside
+    * an incident before ever signing up. Three oracle mechanisms gate
+    * three different stages (theta join / LATERAL probe / plain GROUP
+    * BY), so a bucket-explode bug, a carry-forward bug, and an
+    * aggregation bug each break different rows.
+    */
+  def qIncidentImpact(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    val incidents = events
+      .where(col("event_type") === "error" && col("event_id") % 7 === 0)
+      .select(col("event_id").as("incident_id"), col("ts").as("start"),
+        (col("ts") + expr("interval 1 hour")).as("end"))
+    val purchases = events.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value") * 100, 0).cast("bigint").as("cents"))
+    val signups = events.where(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("event_id") % 3).as("tier"))
+    val enriched = graft.ops.AsofJoin.asofJoin(
+      purchases, signups, keys = Seq("user_id"), carry = Seq("tier"))
+    graft.ops.IntervalJoin.pointInInterval(enriched, incidents,
+      bucketMicros = 3600000000L)
+      .groupBy("incident_id", "tier")
+      .agg(count(lit(1)).as("n_purchases"), sum("cents").as("cents"))
+      .orderBy("incident_id", "tier")
+  }
 }
