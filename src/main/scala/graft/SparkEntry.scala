@@ -154,7 +154,15 @@ object SparkEntry {
     "q76_growth" -> (QueryDefs.qGrowth _),
     // incident-impact bridge: interval join + as-of tier + rollup
     // (round 5)
-    "q77_incident_impact" -> (QueryDefs.qIncidentImpact _)
+    "q77_incident_impact" -> (QueryDefs.qIncidentImpact _),
+    // edit-distance-1 fuzzy watchlist join, deletion neighborhoods
+    // (round 5)
+    "q78_fuzzy_domains" -> (QueryDefs.qFuzzyDomains _),
+    // item co-occurrence lift over user-day entities (round 5)
+    "q79_cooccurrence" -> (QueryDefs.qCooccurrence _),
+    // log template mining: signature partition + wildcard collapse
+    // (round 5)
+    "q80_log_templates" -> (QueryDefs.qLogTemplates _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -234,6 +242,9 @@ object SparkEntry {
     "q74_topk_per_group" -> OracleDefs.topkPerGroup,
     "q75_interval_join" -> OracleDefs.intervalJoin,
     "q76_growth" -> OracleDefs.growth,
-    "q77_incident_impact" -> OracleDefs.incidentImpact
+    "q77_incident_impact" -> OracleDefs.incidentImpact,
+    "q78_fuzzy_domains" -> OracleDefs.fuzzyDomains,
+    "q79_cooccurrence" -> OracleDefs.cooccurrence,
+    "q80_log_templates" -> OracleDefs.logTemplates
   )
 }

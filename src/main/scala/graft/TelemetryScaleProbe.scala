@@ -115,6 +115,38 @@ object TelemetryScaleProbe {
       graft.ops.LogParse.parse(lines, "line", pat)
         .groupBy("level", "_grok_matched").count().count()
     }
+    probe("fuzzy_join") {
+      // ~n/10 distinct observed domains (typo families over a 1k-brand
+      // namespace) against a 1k-entry watchlist
+      val probes = events.select(concat(
+        when(col("event_id") % 3 === 0, lit("brand"))
+          .when(col("event_id") % 3 === 1, lit("brend"))
+          .otherwise(lit("brnd")),
+        pmod(xxhash64(lit(4), col("event_id")), lit(1000)).cast("string"),
+        lit(".com")).as("domain"))
+      val watch = spark.range(1000).select(
+        concat(lit("brand"), col("id").cast("string"), lit(".com"))
+          .as("domain"))
+      graft.ops.FuzzyJoin.editDistance1Join(probes, "domain",
+        watch, "domain").count()
+    }
+    probe("cooccurrence") {
+      graft.ops.Cooccurrence.pairCounts(events,
+        entityCol = col("user_id") * 100000 +
+          expr("unix_micros(ts) div 86400000000"),
+        itemCol = col("event_type")).count()
+    }
+    probe("log_templates") {
+      val msgs = events.select(concat(
+        when(col("event_id") % 3 === 0, lit("api"))
+          .when(col("event_id") % 3 === 1, lit("svc"))
+          .otherwise(lit("db")),
+        when(col("event_id") % 2 === 0,
+          concat(lit(" request user="), col("user_id").cast("string"),
+            lit(" type="), col("event_type"), lit(" status=200")))
+          .otherwise(lit(" heartbeat ok"))).as("msg"))
+      graft.ops.LogTemplates.mine(msgs, col("msg")).count()
+    }
     spark.stop()
   }
 }

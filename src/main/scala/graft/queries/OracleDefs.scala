@@ -1755,4 +1755,99 @@ object OracleDefs {
       |  ON pur.ts >= i.s AND pur.ts < i.e
       |GROUP BY 1, 2
       |ORDER BY incident_id, tier""".stripMargin
+
+  /** q78: fuzzy watchlist join — the oracle is the plain levenshtein
+    * cross product over distinct values (the quadratic form the Spark
+    * side's deletion-neighborhood join deliberately avoids); same CASE
+    * synthesis, same NULL drops.
+    */
+  val fuzzyDomains: String =
+    """WITH p AS (
+      |  SELECT DISTINCT CASE
+      |    WHEN event_id % 997 = 0 THEN NULL
+      |    WHEN event_id % 7 = 0
+      |      THEN 'brand' || CAST(user_id % 10 AS VARCHAR) || '.com'
+      |    WHEN event_id % 7 = 1
+      |      THEN 'brend' || CAST(user_id % 10 AS VARCHAR) || '.com'
+      |    WHEN event_id % 7 = 2
+      |      THEN 'brnd' || CAST(user_id % 10 AS VARCHAR) || '.com'
+      |    WHEN event_id % 7 = 3
+      |      THEN 'brannd' || CAST(user_id % 10 AS VARCHAR) || '.com'
+      |    WHEN event_id % 7 = 4
+      |      THEN 'brend' || CAST(user_id % 10 AS VARCHAR) || '.net'
+      |    ELSE 'svc-' || CAST(user_id AS VARCHAR) || '.internal'
+      |  END AS probe
+      |  FROM events),
+      |w AS (SELECT 'brand' || CAST(i AS VARCHAR) || '.com' AS watch
+      |      FROM range(10) t(i))
+      |SELECT p.probe AS probe, w.watch AS watch,
+      |       CAST(levenshtein(p.probe, w.watch) AS INT) AS dist
+      |FROM p, w
+      |WHERE p.probe IS NOT NULL AND levenshtein(p.probe, w.watch) <= 1
+      |ORDER BY probe, watch""".stripMargin
+
+  /** q79: co-occurrence lift — pairs via a distinct SELF-JOIN (the
+    * quadratic mechanism the Spark side's per-entity array expansion
+    * avoids); marginals and N via independent aggregates; lift is the
+    * same single IEEE division of exact longs.
+    */
+  val cooccurrence: String =
+    """WITH d AS (
+      |  SELECT DISTINCT
+      |    user_id * 100000 + epoch_us(ts) // 86400000000 AS entity,
+      |    CASE WHEN event_id % 499 = 0 THEN NULL
+      |         ELSE event_type END AS item
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |    AND (CASE WHEN event_id % 499 = 0 THEN NULL
+      |              ELSE event_type END) IS NOT NULL),
+      |n AS (SELECT count(DISTINCT entity) AS n_entities FROM d),
+      |c AS (SELECT item, count(*) AS c FROM d GROUP BY 1),
+      |p AS (SELECT a.item AS item_a, b.item AS item_b,
+      |             count(*) AS n_pair
+      |      FROM d a JOIN d b
+      |        ON a.entity = b.entity AND a.item < b.item
+      |      GROUP BY 1, 2)
+      |SELECT p.item_a AS item_a, p.item_b AS item_b,
+      |       p.n_pair AS n_pair, ca.c AS n_a, cb.c AS n_b,
+      |       CAST(p.n_pair * n.n_entities AS DOUBLE) /
+      |         CAST(ca.c * cb.c AS DOUBLE) AS lift
+      |FROM p, n
+      |JOIN c ca ON ca.item = p.item_a
+      |JOIN c cb ON cb.item = p.item_b
+      |ORDER BY item_a, item_b""".stripMargin
+
+  /** q80: template mining — zipped UNNEST for (token, 0-based position),
+    * min=max for the literal test, ordered string_agg to reassemble;
+    * message counts from the position-0 rows.
+    */
+  val logTemplates: String =
+    """WITH m AS (
+      |  SELECT CASE WHEN event_id % 2 = 0 THEN
+      |      (CASE event_id % 3 WHEN 0 THEN 'api' WHEN 1 THEN 'svc'
+      |            ELSE 'db' END)
+      |      || ' request user=' || CAST(user_id AS VARCHAR)
+      |      || ' type=' || event_type || ' status=200'
+      |    ELSE
+      |      (CASE event_id % 3 WHEN 0 THEN 'api' WHEN 1 THEN 'svc'
+      |            ELSE 'db' END) || ' heartbeat ok'
+      |    END AS msg
+      |  FROM events),
+      |l AS (SELECT string_split(msg, ' ') AS l
+      |      FROM m WHERE msg IS NOT NULL),
+      |t AS (SELECT CAST(len(l) AS INT) AS n_tokens, l[1] AS first_token,
+      |             unnest(l) AS tok,
+      |             CAST(unnest(range(len(l))) AS INT) AS pos
+      |      FROM l),
+      |g AS (SELECT n_tokens, first_token, pos,
+      |             CASE WHEN min(tok) = max(tok) THEN min(tok)
+      |                  ELSE '<*>' END AS tok_out,
+      |             count(*) AS n_rows
+      |      FROM t GROUP BY 1, 2, 3)
+      |SELECT n_tokens, first_token,
+      |       string_agg(tok_out, ' ' ORDER BY pos) AS template,
+      |       CAST(sum(CASE WHEN pos = 0 THEN n_rows END) AS BIGINT)
+      |         AS n_msgs
+      |FROM g GROUP BY 1, 2
+      |ORDER BY n_tokens, first_token""".stripMargin
 }

@@ -1227,4 +1227,76 @@ object QueryDefs {
       .agg(count(lit(1)).as("n_purchases"), sum("cents").as("cents"))
       .orderBy("incident_id", "tier")
   }
+
+  /** q78: edit-distance-1 fuzzy watchlist join (typosquat detection) —
+    * observed domains synthesized per event (exact brand hits,
+    * substitution/deletion/insertion typos, distance-2+ misses, planted
+    * NULLs) against a 10-brand watchlist. The Spark side goes through
+    * deletion-neighborhood candidates + residual; the oracle is the
+    * PLAIN levenshtein cross product (fine at sf0.01), so a missed
+    * neighborhood class or a double-reported multi-variant pair breaks
+    * rows. Note the exact brand probes legitimately match EVERY brand at
+    * distance 1 (brandX.com ↔ brandY.com is one substitution) — the
+    * multi-match case is deliberate coverage.
+    */
+  def qFuzzyDomains(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    def brand(prefix: String, tld: String): Column =
+      concat(lit(prefix), (col("user_id") % 10).cast("string"), lit(tld))
+    val probes = events.select(
+      when(col("event_id") % 997 === 0, lit(null).cast("string"))
+        .when(col("event_id") % 7 === 0, brand("brand", ".com"))
+        .when(col("event_id") % 7 === 1, brand("brend", ".com"))
+        .when(col("event_id") % 7 === 2, brand("brnd", ".com"))
+        .when(col("event_id") % 7 === 3, brand("brannd", ".com"))
+        .when(col("event_id") % 7 === 4, brand("brend", ".net"))
+        .otherwise(concat(lit("svc-"), col("user_id").cast("string"),
+          lit(".internal")))
+        .as("domain"))
+    val watch = s.range(10).select(
+      concat(lit("brand"), col("id").cast("string"), lit(".com"))
+        .as("domain"))
+    graft.ops.FuzzyJoin.editDistance1Join(probes, "domain",
+      watch, "domain")
+      .orderBy("probe", "watch")
+  }
+
+  /** q79: item co-occurrence lift over user-day entities — which event
+    * types fire together within one user's day, vs what independence
+    * predicts (~2.2 events per user-day in the fixture, so the sets are
+    * sparse and lift is non-trivial). Planted NULL items (every 499th
+    * event) exercise the phantom-drop rule. The oracle re-derives pairs
+    * via a distinct self-join — a different mechanism than the map-side
+    * array expansion.
+    */
+  def qCooccurrence(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Cooccurrence.pairCounts(
+      t(s, dir, "events").where(col("user_id").isNotNull &&
+        col("ts").isNotNull),
+      entityCol = col("user_id") * 100000 +
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000"),
+      itemCol = when(col("event_id") % 499 === 0,
+        lit(null).cast("string")).otherwise(col("event_type")))
+      .orderBy("item_a", "item_b")
+
+  /** q80: log template mining — messages synthesized from events in two
+    * shapes (request lines with varying user/type tokens and constant
+    * status, and constant heartbeat lines) under three first-token
+    * prefixes; six templates with exact counts. The oracle re-mines via
+    * zipped UNNEST + min/max collapse + ordered string_agg — independent
+    * mechanisms for every stage.
+    */
+  def qLogTemplates(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    val prefix = when(col("event_id") % 3 === 0, lit("api"))
+      .when(col("event_id") % 3 === 1, lit("svc"))
+      .otherwise(lit("db"))
+    val msg = when(col("event_id") % 2 === 0,
+      concat(prefix, lit(" request user="),
+        col("user_id").cast("string"), lit(" type="), col("event_type"),
+        lit(" status=200")))
+      .otherwise(concat(prefix, lit(" heartbeat ok")))
+    graft.ops.LogTemplates.mine(events.select(msg.as("msg")), col("msg"))
+      .orderBy("n_tokens", "first_token")
+  }
 }
