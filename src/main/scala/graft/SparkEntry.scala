@@ -162,7 +162,10 @@ object SparkEntry {
     "q79_cooccurrence" -> (QueryDefs.qCooccurrence _),
     // log template mining: signature partition + wildcard collapse
     // (round 5)
-    "q80_log_templates" -> (QueryDefs.qLogTemplates _)
+    "q80_log_templates" -> (QueryDefs.qLogTemplates _),
+    // campaign clustering: co-occurrence lift edges -> connected
+    // components (round 5)
+    "q81_campaign_clusters" -> (QueryDefs.qCampaignClusters _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -245,6 +248,7 @@ object SparkEntry {
     "q77_incident_impact" -> OracleDefs.incidentImpact,
     "q78_fuzzy_domains" -> OracleDefs.fuzzyDomains,
     "q79_cooccurrence" -> OracleDefs.cooccurrence,
-    "q80_log_templates" -> OracleDefs.logTemplates
+    "q80_log_templates" -> OracleDefs.logTemplates,
+    "q81_campaign_clusters" -> OracleDefs.campaignClusters
   )
 }

@@ -1850,4 +1850,45 @@ object OracleDefs {
       |         AS n_msgs
       |FROM g GROUP BY 1, 2
       |ORDER BY n_tokens, first_token""".stripMargin
+
+  /** q81: campaign clustering — q79's co-occurrence CTEs, an IEEE-exact
+    * lift threshold, then transitive closure via a recursive CTE (the
+    * q41 mechanism) with min-label roots over STRING ids.
+    */
+  val campaignClusters: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT DISTINCT
+      |    user_id * 100000 + epoch_us(ts) // 86400000000 AS entity,
+      |    CASE WHEN event_id % 499 = 0 THEN NULL
+      |         ELSE event_type END AS item
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |    AND (CASE WHEN event_id % 499 = 0 THEN NULL
+      |              ELSE event_type END) IS NOT NULL),
+      |n AS (SELECT count(DISTINCT entity) AS n_entities FROM d),
+      |c AS (SELECT item, count(*) AS c FROM d GROUP BY 1),
+      |p AS (SELECT a.item AS item_a, b.item AS item_b,
+      |             count(*) AS n_pair
+      |      FROM d a JOIN d b
+      |        ON a.entity = b.entity AND a.item < b.item
+      |      GROUP BY 1, 2),
+      |lifted AS (
+      |  SELECT p.item_a, p.item_b
+      |  FROM p, n
+      |  JOIN c ca ON ca.item = p.item_a
+      |  JOIN c cb ON cb.item = p.item_b
+      |  WHERE CAST(p.n_pair * n.n_entities AS DOUBLE) /
+      |          CAST(ca.c * cb.c AS DOUBLE) > 0.92),
+      |nodes AS (SELECT item_a AS item FROM p
+      |          UNION SELECT item_b FROM p),
+      |e AS (SELECT item_a AS a, item_b AS b FROM lifted
+      |      UNION ALL SELECT item_b, item_a FROM lifted),
+      |reach AS (
+      |  SELECT item AS doc, item AS root FROM nodes
+      |  UNION
+      |  SELECT e.b, reach.root FROM reach JOIN e ON reach.doc = e.a
+      |)
+      |SELECT doc AS item, min(root) AS campaign,
+      |       (doc = min(root)) AS is_canonical
+      |FROM reach GROUP BY doc ORDER BY item""".stripMargin
 }

@@ -1299,4 +1299,33 @@ object QueryDefs {
     graft.ops.LogTemplates.mine(events.select(msg.as("msg")), col("msg"))
       .orderBy("n_tokens", "first_token")
   }
+
+  /** q81: campaign clustering — the graph bridge: co-occurrence edges
+    * (q79's pair table) thresholded at lift > 0.92 feed the SAME
+    * connected-components engine the dedup family uses
+    * ([[graft.ops.Dedup.nearDupClusters]] is id-type-agnostic: min-label
+    * propagation works on strings). Nodes are every item appearing in
+    * any pair; items whose strong edges connect them share a campaign
+    * label, weakly-connected items stay singletons. At the fixture's
+    * lifts this yields two components — the point is the composed path
+    * (set expansion → lift → CC), each stage gated by a different oracle
+    * mechanism (self-join / IEEE-exact threshold / recursive CTE).
+    */
+  def qCampaignClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.ops.Cooccurrence.pairCounts(
+      t(s, dir, "events").where(col("user_id").isNotNull &&
+        col("ts").isNotNull),
+      entityCol = col("user_id") * 100000 +
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000"),
+      itemCol = when(col("event_id") % 499 === 0,
+        lit(null).cast("string")).otherwise(col("event_type")))
+    val nodes = pairs.select(col("item_a").as("doc_id"))
+      .union(pairs.select(col("item_b").as("doc_id"))).distinct()
+    val edges = pairs.where(col("lift") > 0.92)
+      .select(col("item_a").as("doc_a"), col("item_b").as("doc_b"))
+    graft.ops.Dedup.nearDupClusters(nodes, edges)
+      .select(col("doc_id").as("item"), col("cluster_id").as("campaign"),
+        col("is_canonical"))
+      .orderBy("item")
+  }
 }
