@@ -165,7 +165,16 @@ object SparkEntry {
     "q80_log_templates" -> (QueryDefs.qLogTemplates _),
     // campaign clustering: co-occurrence lift edges -> connected
     // components (round 5)
-    "q81_campaign_clusters" -> (QueryDefs.qCampaignClusters _)
+    "q81_campaign_clusters" -> (QueryDefs.qCampaignClusters _),
+    // beaconing detection: integer median/MAD gap regularity (round 5)
+    "q82_beaconing" -> (QueryDefs.qBeaconing _),
+    // indicator timeline + rarity triage over the match stream (round 5)
+    "q83_indicator_timeline" -> (QueryDefs.qIndicatorTimeline _),
+    // allowlist suppression: negative-db veto of matched values (round 5)
+    "q84_suppressed_counts" -> (QueryDefs.qSuppressedCounts _),
+    // routed-output reconciliation: order-independent digest folds
+    // (round 5)
+    "q85_reconcile" -> (QueryDefs.qReconcile _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -249,6 +258,10 @@ object SparkEntry {
     "q78_fuzzy_domains" -> OracleDefs.fuzzyDomains,
     "q79_cooccurrence" -> OracleDefs.cooccurrence,
     "q80_log_templates" -> OracleDefs.logTemplates,
-    "q81_campaign_clusters" -> OracleDefs.campaignClusters
+    "q81_campaign_clusters" -> OracleDefs.campaignClusters,
+    "q82_beaconing" -> OracleDefs.beaconing,
+    "q83_indicator_timeline" -> OracleDefs.indicatorTimeline,
+    "q84_suppressed_counts" -> OracleDefs.suppressedCounts,
+    "q85_reconcile" -> OracleDefs.reconcile
   )
 }

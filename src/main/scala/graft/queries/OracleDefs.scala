@@ -1851,6 +1851,149 @@ object OracleDefs {
       |FROM g GROUP BY 1, 2
       |ORDER BY n_tokens, first_token""".stripMargin
 
+  /** q82: beaconing — the fixture's seq/plant CASE mirrored verbatim,
+    * then lag-gaps and the q63 nearest-rank median/MAD mechanism, with
+    * the PURE-INTEGER regularity compare (mad*1000 <= med*200).
+    */
+  val beaconing: String =
+    """WITH s AS (
+      |  SELECT user_id, event_id, ts,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+      |      AS sq
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |p AS (SELECT user_id, event_id,
+      |  CASE WHEN user_id % 7 = 0
+      |         THEN 1704067200000000 + sq * 60000000
+      |       WHEN user_id % 7 = 1
+      |         THEN 1704067200000000 + sq * 60000000
+      |              + (event_id % 5 - 2) * 2000000
+      |       ELSE epoch_us(ts) END AS tus FROM s),
+      |g AS (SELECT user_id,
+      |  tus - lag(tus) OVER (PARTITION BY user_id
+      |                       ORDER BY tus, event_id) AS gap FROM p),
+      |gg AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+      |r1 AS (SELECT *,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY gap) AS rk,
+      |  count(*) OVER (PARTITION BY user_id) AS n FROM gg),
+      |m1 AS (SELECT user_id, gap,
+      |  max(CASE WHEN rk = (500*n + 999) // 1000 THEN gap END)
+      |    OVER (PARTITION BY user_id) AS med FROM r1),
+      |d AS (SELECT user_id, gap, med, abs(gap - med) AS dev FROM m1),
+      |r2 AS (SELECT *,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY dev) AS rk2,
+      |  count(*) OVER (PARTITION BY user_id) AS n2 FROM d),
+      |m2 AS (SELECT user_id, med,
+      |  max(CASE WHEN rk2 = (500*n2 + 999) // 1000 THEN dev END)
+      |    OVER (PARTITION BY user_id) AS mad FROM r2)
+      |SELECT user_id, count(*) AS n_gaps, max(med) AS median_gap_us,
+      |       max(mad) AS mad_gap_us,
+      |       (count(*) >= 3 AND max(med) > 0
+      |        AND max(mad) * 1000 <= max(med) * 200) AS is_beacon
+      |FROM m2 GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q83: indicator timeline — every matched (type, value) re-derived
+    * closed-form from the goldTurns plants (the q14 mechanism: ipv4
+    * stride e%20, domain stride e%3 with the double-entry evil0 weight,
+    * the planted md5), aggregated with events timestamps, ranked
+    * per-type by (n_convs, n_matches, value).
+    */
+  val indicatorTimeline: String =
+    """WITH m AS (
+      |  SELECT 'ipv4' AS indicator_type,
+      |         '10.' || (event_id % 20) || '.2.3' AS value,
+      |         1 AS w, 'conv-' || (user_id % 50) AS cv,
+      |         epoch_us(ts) AS tus
+      |  FROM events WHERE event_id % 5 = 0
+      |  UNION ALL
+      |  SELECT 'domain', 'evil' || (event_id % 3) || '.example.com',
+      |         CASE WHEN event_id % 3 = 0 THEN 2 ELSE 1 END,
+      |         'conv-' || (user_id % 50), epoch_us(ts)
+      |  FROM events WHERE event_id % 5 = 1
+      |  UNION ALL
+      |  SELECT 'md5', md5('1'), 1, 'conv-' || (user_id % 50),
+      |         epoch_us(ts)
+      |  FROM events WHERE event_id % 5 = 2 AND event_id % 4 = 1),
+      |a AS (
+      |  SELECT indicator_type, value, CAST(sum(w) AS BIGINT) AS n_matches,
+      |         count(DISTINCT cv) AS n_convs,
+      |         min(tus) AS first_seen_us, max(tus) AS last_seen_us
+      |  FROM m GROUP BY 1, 2)
+      |SELECT 'threats' AS database_id, indicator_type, value, n_matches,
+      |       n_convs, first_seen_us, last_seen_us,
+      |       CAST(row_number() OVER (PARTITION BY indicator_type
+      |         ORDER BY n_convs, n_matches, value) AS INT) AS rarity_rank
+      |FROM a ORDER BY indicator_type, value""".stripMargin
+
+  /** q84: allowlist suppression — the q14 gold-count branches minus the
+    * vetoed strides: the 10.15.0.0/16 allow entry kills the e%20 = 15
+    * ipv4 stride (CIDR LPM), the evil2 literal kills the e%3 = 2 domain
+    * stride; the exact-entry double count and the md5 family survive.
+    */
+  val suppressedCounts: String =
+    """SELECT 'threats' AS database_id, indicator_type, role,
+      |       CAST(SUM(c) AS BIGINT) AS match_count
+      |FROM (
+      |  SELECT 'ipv4' AS indicator_type, event_type AS role,
+      |         count(*) AS c
+      |  FROM events WHERE event_id%5 = 0 AND event_id%20 != 15 GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'domain', event_type, count(*)
+      |  FROM events WHERE event_id%5 = 1 AND event_id%3 != 2 GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'domain', event_type, count(*)
+      |  FROM events WHERE event_id%5 = 1 AND event_id%3 = 0 GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'md5', event_type, count(*)
+      |  FROM events WHERE event_id%5 = 2 AND event_id%4 = 1 GROUP BY 2
+      |)
+      |GROUP BY 1,2,3 ORDER BY indicator_type, role""".stripMargin
+
+  /** q85: reconciliation — both derived sink tables rebuilt, each folded
+    * to (count, sum of per-row 60-bit digests) per sink with the
+    * INJECTIVE per-column md5 serialization (NULL → 32-zero filler, the
+    * Reconcile/Conversations rule), verdict by null-safe full join.
+    */
+  val reconcile: String = {
+    val filler = "0" * 32
+    def dig(cols: Seq[String]) = {
+      val ser = cols.map(c =>
+        s"coalesce(md5(CAST($c AS VARCHAR)), '$filler')")
+        .mkString(" || ")
+      s"CAST('0x' || substr(md5($ser), 1, 15) AS BIGINT)"
+    }
+    val d = dig(Seq("event_id", "event_type", "user_id"))
+    s"""WITH base AS (
+       |  SELECT event_id % 4 AS sink, event_id, event_type, user_id
+       |  FROM events),
+       |l AS (SELECT * FROM base
+       |      UNION ALL
+       |      SELECT 8, event_id, event_type, user_id FROM events
+       |      WHERE event_id % 1009 = 0),
+       |r AS (SELECT sink, event_id,
+       |        CASE WHEN sink = 1 AND event_id % 499 = 0
+       |             THEN 'corrupted' ELSE event_type END AS event_type,
+       |        user_id
+       |      FROM base WHERE NOT (sink = 0 AND event_id % 997 = 0)
+       |      UNION ALL
+       |      SELECT 9, event_id, event_type, user_id FROM events
+       |      WHERE event_id % 1003 = 0),
+       |ld AS (SELECT sink, count(*) AS n_left, sum($d) AS s_left
+       |       FROM l GROUP BY 1),
+       |rd AS (SELECT sink, count(*) AS n_right, sum($d) AS s_right
+       |       FROM r GROUP BY 1)
+       |SELECT coalesce(ld.sink, rd.sink) AS sink,
+       |       coalesce(n_left, 0) AS n_left,
+       |       coalesce(n_right, 0) AS n_right,
+       |       CASE WHEN n_left IS NULL THEN 'only_right'
+       |            WHEN n_right IS NULL THEN 'only_left'
+       |            WHEN n_left != n_right THEN 'count_mismatch'
+       |            WHEN s_left != s_right THEN 'content_mismatch'
+       |            ELSE 'equal' END AS status
+       |FROM ld FULL OUTER JOIN rd
+       |  ON ld.sink IS NOT DISTINCT FROM rd.sink
+       |ORDER BY sink""".stripMargin
+  }
+
   /** q81: campaign clustering — q79's co-occurrence CTEs, an IEEE-exact
     * lift threshold, then transitive closure via a recursive CTE (the
     * q41 mechanism) with min-label roots over STRING ids.

@@ -1300,6 +1300,92 @@ object QueryDefs {
       .orderBy("n_tokens", "first_token")
   }
 
+  /** q82: beaconing detection — regular-interval keys flagged via exact
+    * integer gap medians ([[graft.ops.Beaconing]]). The fixture plants
+    * three populations over the events table: users ≡ 0 (mod 7) beacon
+    * exactly (60 s grid), users ≡ 1 (mod 7) beacon with ±4 s
+    * deterministic jitter (still within the 20% MAD bound), everyone
+    * else keeps their organic irregular timestamps (~11 h mean gap over
+    * a month — MAD far above the bound). The seq/row_number fixture
+    * ordering is mirrored verbatim in the oracle.
+    */
+  def qBeaconing(s: SparkSession, dir: String): DataFrame = {
+    val base = 1704067200000000L // 2024-01-01T00:00:00Z, epoch micros
+    val ev = t(s, dir, "events")
+      .where(u.isNotNull && col("ts").isNotNull)
+      .withColumn("__sq",
+        row_number().over(Window.partitionBy(u).orderBy(e)))
+    val probe = ev.select(u.as("user_id"), e.as("event_id"),
+      timestamp_micros(
+        when(u % 7 === 0, lit(base) + col("__sq") * lit(60000000L))
+          .when(u % 7 === 1, lit(base) + col("__sq") * lit(60000000L) +
+            (e % 5 - 2) * lit(2000000L))
+          .otherwise(unix_micros(col("ts").cast("timestamp"))))
+        .as("ts"))
+    graft.ops.Beaconing.detect(probe, Seq("user_id"), "ts", "event_id")
+      .orderBy("user_id")
+  }
+
+  /** q83: indicator timeline + rarity triage over the gold match stream
+    * ([[graft.ops.IndicatorTimeline]]): per observed (db, type, value) —
+    * match count, distinct conversations, first/last seen, and the
+    * per-type rarity rank a triage queue consumes. The oracle re-derives
+    * every matched value closed-form from the goldTurns plant structure
+    * (the q14 mechanism) and aggregates timestamps straight off events.
+    */
+  def qIndicatorTimeline(s: SparkSession, dir: String): DataFrame = {
+    val db = IntelDb.build("threats", goldIntel)
+    val turns = goldTurns(s, dir)
+    graft.ops.IndicatorTimeline
+      .timeline(ScanJob.matched(turns, Seq(db), s), turns)
+      .orderBy("indicator_type", "value")
+  }
+
+  /** q84: allowlist suppression ([[graft.pipeline.Suppression]]): the
+    * gold scan's counts after a benign-infrastructure db vetoes matches
+    * by VALUE — a /16 suppresses one planted ipv4 stride (CIDR LPM
+    * semantics), a literal suppresses one planted domain; the md5 family
+    * and the remaining strides must be untouched. Zero-shuffle map-side
+    * filter over the broadcast-compiled allow db.
+    */
+  def qSuppressedCounts(s: SparkSession, dir: String): DataFrame = {
+    val threats = IntelDb.build("threats", goldIntel)
+    val allow = IntelDb.build("allowlist", Seq(
+      IntelEntry("10.15.0.0/16", "unknown", "corp", "allow", 100),
+      IntelEntry("evil2.example.com", "unknown", "cdn", "allow", 100)))
+    ScanJob.goldCounts(graft.pipeline.Suppression.applyAllowlist(
+      ScanJob.matched(goldTurns(s, dir), Seq(threats), s), Seq(allow)))
+      .orderBy("indicator_type", "role")
+  }
+
+  /** q85: routed-output reconciliation ([[graft.ops.Reconcile]]): two
+    * derived sink tables with planted divergences — sink 0 loses rows
+    * (count_mismatch), sink 1 has corrupted content at equal count
+    * (content_mismatch), sinks 2–3 agree (equal), sink 8 exists only on
+    * the left, sink 9 only on the right — so every verdict class is
+    * exercised. Order-independent (count, digest-sum) folds; the oracle
+    * mirrors the injective per-column md5 digest bit-exactly.
+    */
+  def qReconcile(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val base = ev.select((e % 4).as("sink"), e.as("event_id"),
+      col("event_type"), col("user_id"))
+    val left = base.union(
+      ev.where(e % 1009 === 0).select(lit(8L).as("sink"),
+        e.as("event_id"), col("event_type"), col("user_id")))
+    val right = base
+      .where(!(col("sink") === 0 && col("event_id") % 997 === 0))
+      .withColumn("event_type",
+        when(col("sink") === 1 && col("event_id") % 499 === 0,
+          lit("corrupted")).otherwise(col("event_type")))
+      .union(ev.where(e % 1003 === 0).select(lit(9L).as("sink"),
+        e.as("event_id"), col("event_type"), col("user_id")))
+    graft.ops.Reconcile
+      .diff(left, right, Seq("sink"),
+        Seq("event_id", "event_type", "user_id"))
+      .orderBy("sink")
+  }
+
   /** q81: campaign clustering — the graph bridge: co-occurrence edges
     * (q79's pair table) thresholded at lift > 0.92 feed the SAME
     * connected-components engine the dedup family uses
