@@ -147,6 +147,39 @@ object TelemetryScaleProbe {
           .otherwise(lit(" heartbeat ok"))).as("msg"))
       graft.ops.LogTemplates.mine(msgs, col("msg")).count()
     }
+    probe("beaconing") {
+      graft.ops.Beaconing.detect(events, Seq("user_id"), "ts",
+        "event_id").count()
+    }
+    probe("indicator_timeline") {
+      // matched-shaped stream: ~1 hit per 3 events, value namespace of
+      // ~2k indicators, conv = user (so n_convs aggregates are real)
+      val matched = events.where(col("event_id") % 3 === 0).select(
+        concat(lit("conv-"), col("user_id")).as("conv_id"),
+        col("event_id").cast("int").as("turn_idx"),
+        lit("threats").as("database_id"),
+        lit("domain").as("indicator_type"),
+        concat(lit("evil"),
+          pmod(xxhash64(lit(5), col("event_id")), lit(2000)),
+          lit(".example.com")).as("value"))
+      val turns = events.select(
+        concat(lit("conv-"), col("user_id")).as("conv_id"),
+        col("event_id").cast("int").as("turn_idx"), col("ts"))
+      graft.ops.IndicatorTimeline.timeline(matched, turns).count()
+    }
+    probe("reconcile") {
+      // the q85 shape at scale: 64 sinks, one sink loses rows, one is
+      // corrupted, the rest must fold to 'equal'
+      val base = events.select((col("event_id") % 64).as("sink"),
+        col("event_id"), col("event_type"), col("user_id"))
+      val right = base
+        .where(!(col("sink") === 0 && col("event_id") % 997 === 0))
+        .withColumn("event_type",
+          when(col("sink") === 1 && col("event_id") % 499 === 0,
+            lit("corrupted")).otherwise(col("event_type")))
+      graft.ops.Reconcile.diff(base, right, Seq("sink"),
+        Seq("event_id", "event_type", "user_id")).count()
+    }
     spark.stop()
   }
 }

@@ -59,6 +59,14 @@ object Beaconing {
     require(minGaps >= 1, "minGaps must be >= 1")
     require(madPermille > 0 && madPermille <= 1000,
       "madPermille must be in (0, 1000]")
+    // the output attaches these four: a same-named KEY column would make
+    // the result ambiguous to select from (the Anomaly clash rule)
+    val clash = Seq("n_gaps", "median_gap_us", "mad_gap_us", "is_beacon")
+      .filter(keyCols.contains)
+    require(clash.isEmpty,
+      s"key column(s) ${clash.mkString(", ")} collide with the output " +
+        "statistics — rename them (detect attaches n_gaps/median_gap_us/" +
+        "mad_gap_us/is_beacon)")
     val keys = keyCols.map(col)
     val part = Window.partitionBy(keys: _*)
     val arrival = part.orderBy(col("__graft_tus").asc, col(tieCol).asc)

@@ -34,7 +34,10 @@ object IndicatorTimeline {
   /** @param matched [[graft.pipeline.ScanJob.matched]]-shaped rows
     *                (conv_id, turn_idx, database_id, indicator_type,
     *                value, ...)
-    * @param turns   the transcript table carrying (conv_id, turn_idx, ts)
+    * @param turns   the transcript table carrying (conv_id, turn_idx, ts);
+    *                (conv_id, turn_idx) must be unique (the north rule's
+    *                stable turn identity) — duplicate turn keys would
+    *                multiply match counts through the join
     * @return one row per (database_id, indicator_type, value):
     *         n_matches, n_convs, first_seen_us, last_seen_us, rarity_rank
     */

@@ -57,6 +57,17 @@ object Reconcile {
       valueCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column")
     require(valueCols.nonEmpty, "at least one value column")
+    // the verdict row attaches these; a same-named group column would
+    // alias-collide in the output (the Anomaly clash rule), and the
+    // __graft_r_ rename seam must not be occupied by caller columns
+    val reserved = Seq("n_left", "n_right", "sum_left", "sum_right",
+      "status")
+    val clash = reserved.filter(groupCols.contains) ++
+      groupCols.filter(_.startsWith("__graft_r_"))
+    require(clash.isEmpty,
+      s"group column(s) ${clash.mkString(", ")} collide with the " +
+        "verdict columns / rename seam — rename them (diff attaches " +
+        "n_left/n_right/status)")
     // both summaries may share lineage (left/right derived from one
     // source DF — the resume-vs-clean audit does exactly that), so the
     // join must not lean on the analyzer's ambiguous-self-join fixup:
