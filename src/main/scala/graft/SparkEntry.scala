@@ -174,7 +174,14 @@ object SparkEntry {
     "q84_suppressed_counts" -> (QueryDefs.qSuppressedCounts _),
     // routed-output reconciliation: order-independent digest folds
     // (round 5)
-    "q85_reconcile" -> (QueryDefs.qReconcile _)
+    "q85_reconcile" -> (QueryDefs.qReconcile _),
+    // DGA-suspect lexical scoring: integer feature rules (round 5)
+    "q86_dga_score" -> (QueryDefs.qDgaScore _),
+    // new-vs-returning indicators per day over the match stream
+    // (round 5)
+    "q87_indicator_growth" -> (QueryDefs.qIndicatorGrowth _),
+    // conversation risk scoring + triage tiers (round 5)
+    "q88_conversation_risk" -> (QueryDefs.qConversationRisk _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -262,6 +269,9 @@ object SparkEntry {
     "q82_beaconing" -> OracleDefs.beaconing,
     "q83_indicator_timeline" -> OracleDefs.indicatorTimeline,
     "q84_suppressed_counts" -> OracleDefs.suppressedCounts,
-    "q85_reconcile" -> OracleDefs.reconcile
+    "q85_reconcile" -> OracleDefs.reconcile,
+    "q86_dga_score" -> OracleDefs.dgaScore,
+    "q87_indicator_growth" -> OracleDefs.indicatorGrowth,
+    "q88_conversation_risk" -> OracleDefs.conversationRisk
   )
 }

@@ -1994,6 +1994,115 @@ object OracleDefs {
        |ORDER BY sink""".stripMargin
   }
 
+  /** q86: DGA scoring — the fixture's domain CASE mirrored, then the
+    * same regex feature algebra: global regexp_replace for counts,
+    * regexp_split for the consonant-run max, integer rule sums. Lengths
+    * CAST to INT (Spark's length type).
+    */
+  val dgaScore: String = {
+    val words = "['checkout','login','mailserver','blogpost'," +
+      "'dashboard','support','weather']"
+    """WITH probe AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 3 = 0
+      |           THEN (WORDS)[CAST(event_id % 7 AS INT) + 1]
+      |                || '.example.com'
+      |         WHEN event_id % 3 = 1
+      |           THEN substr(md5(CAST(event_id AS VARCHAR)), 1, 14)
+      |                || '.biz'
+      |         ELSE 'cdn-' || substr(md5(CAST(event_id AS VARCHAR)), 1, 6)
+      |              || '.net' END AS domain
+      |  FROM events),
+      |f AS (
+      |  SELECT event_id, domain,
+      |         lower(split_part(domain, '.', 1)) AS label FROM probe),
+      |g AS (
+      |  SELECT event_id, domain, label,
+      |    CAST(length(label) AS INT) AS label_len,
+      |    CAST(length(label) -
+      |      length(regexp_replace(label, '[0-9]', '', 'g')) AS INT)
+      |      AS n_digits,
+      |    CAST(length(label) -
+      |      length(regexp_replace(label, '[aeiou]', '', 'g')) AS INT)
+      |      AS n_vowels,
+      |    CAST(list_max(list_transform(
+      |      regexp_split_to_array(label, '[aeiou0-9]'),
+      |      x -> length(x))) AS INT) AS max_run
+      |  FROM f),
+      |r AS (
+      |  SELECT *,
+      |    (CASE WHEN label_len >= 12 THEN 1 ELSE 0 END +
+      |     CASE WHEN n_digits * 5 >= label_len THEN 1 ELSE 0 END +
+      |     CASE WHEN n_vowels * 4 <= label_len THEN 1 ELSE 0 END +
+      |     CASE WHEN max_run >= 5 THEN 1 ELSE 0 END) AS dga_rules
+      |  FROM g)
+      |SELECT event_id, domain, label, label_len, n_digits, n_vowels,
+      |       max_run, dga_rules, dga_rules >= 2 AS dga_suspect
+      |FROM r ORDER BY event_id""".stripMargin
+      .replace("(WORDS)", s"($words)")
+  }
+
+  /** q87: indicator growth — the q83 plant re-derivation feeding the q76
+    * growth mechanism (DISTINCT (value, day) + independent min-join).
+    */
+  val indicatorGrowth: String =
+    """WITH m AS (
+      |  SELECT '10.' || (event_id % 20) || '.2.3' AS value,
+      |         epoch_us(ts) // 86400000000 AS period
+      |  FROM events WHERE event_id % 5 = 0
+      |  UNION ALL
+      |  SELECT 'evil' || (event_id % 3) || '.example.com',
+      |         epoch_us(ts) // 86400000000
+      |  FROM events WHERE event_id % 5 = 1
+      |  UNION ALL
+      |  SELECT md5('1'), epoch_us(ts) // 86400000000
+      |  FROM events WHERE event_id % 5 = 2 AND event_id % 4 = 1),
+      |a AS (SELECT DISTINCT value, period FROM m),
+      |f AS (SELECT value, min(period) AS first FROM a GROUP BY 1),
+      |p AS (
+      |  SELECT a.period AS period, count(*) AS active,
+      |         CAST(sum(CASE WHEN a.period = f.first THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS new_entities
+      |  FROM a JOIN f ON a.value = f.value GROUP BY 1)
+      |SELECT period, active, new_entities,
+      |       active - new_entities AS returning,
+      |       CAST(sum(new_entities) OVER (ORDER BY period
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS BIGINT) AS cumulative_entities
+      |FROM p ORDER BY period""".stripMargin
+
+  /** q88: conversation risk — plant-derived hit rows (glob row per
+    * domain turn, EXTRA exact row for evil0 — n_matches counts rows),
+    * LPM most-specific weights (the /16 stride is critical), integer
+    * weight sums, default tier thresholds.
+    */
+  val conversationRisk: String =
+    """WITH k AS (
+      |  SELECT * FROM events
+      |  WHERE event_id % (user_id % 50 + 2) = 0),
+      |m AS (
+      |  SELECT 'conv-' || (user_id % 50) AS conv_id,
+      |         '10.' || (event_id % 20) || '.2.3' AS value,
+      |         CASE WHEN event_id % 20 = 5 THEN 100 ELSE 50 END AS w
+      |  FROM k WHERE event_id % 5 = 0
+      |  UNION ALL
+      |  SELECT 'conv-' || (user_id % 50),
+      |         'evil' || (event_id % 3) || '.example.com', 5
+      |  FROM k WHERE event_id % 5 = 1
+      |  UNION ALL
+      |  SELECT 'conv-' || (user_id % 50), 'evil0.example.com', 50
+      |  FROM k WHERE event_id % 5 = 1 AND event_id % 3 = 0
+      |  UNION ALL
+      |  SELECT 'conv-' || (user_id % 50), md5('1'), 20
+      |  FROM k WHERE event_id % 5 = 2 AND event_id % 4 = 1)
+      |SELECT conv_id, count(*) AS n_matches,
+      |       count(DISTINCT value) AS n_indicators,
+      |       CAST(sum(w) AS BIGINT) AS risk_score,
+      |       CASE WHEN sum(w) >= 1000 THEN 'escalate'
+      |            WHEN sum(w) >= 200 THEN 'review'
+      |            ELSE 'routine' END AS tier
+      |FROM m GROUP BY 1 ORDER BY conv_id""".stripMargin
+
   /** q81: campaign clustering — q79's co-occurrence CTEs, an IEEE-exact
     * lift threshold, then transitive closure via a recursive CTE (the
     * q41 mechanism) with min-label roots over STRING ids.

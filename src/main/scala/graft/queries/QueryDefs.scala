@@ -1386,6 +1386,64 @@ object QueryDefs {
       .orderBy("sink")
   }
 
+  /** q86: DGA-suspect scoring ([[graft.ops.DgaScore]]) — integer-exact
+    * lexical features over a deterministic domain mix: human word labels
+    * (never flag), 14-hex-char md5 labels (the DGA shape), and short
+    * cdn-prefixed hex labels (borderline). Pure map-side; the oracle
+    * recomputes every feature with the same regex algebra.
+    */
+  def qDgaScore(s: SparkSession, dir: String): DataFrame = {
+    val words = array(lit("checkout"), lit("login"), lit("mailserver"),
+      lit("blogpost"), lit("dashboard"), lit("support"), lit("weather"))
+    val dom = when(e % 3 === 0,
+      concat(element_at(words, (e % 7 + 1).cast("int")),
+        lit(".example.com")))
+      .when(e % 3 === 1,
+        concat(substring(md5(e.cast("string")), 1, 14), lit(".biz")))
+      .otherwise(
+        concat(lit("cdn-"), substring(md5(e.cast("string")), 1, 6),
+          lit(".net")))
+    val probe = t(s, dir, "events").select(e.as("event_id"),
+      dom.as("domain"))
+    graft.ops.DgaScore.score(probe, "domain").orderBy("event_id")
+  }
+
+  /** q87: new-vs-returning INDICATORS per day — [[graft.ops.Growth]]
+    * growth accounting re-pointed at the match stream (entity = observed
+    * indicator value, period = epoch day): the daily intel-ops ledger of
+    * "how many never-before-seen indicators appeared today". The match
+    * stream joins turn timestamps on the routed (conv_id, turn_idx) key
+    * first (the q83 bridge).
+    */
+  def qIndicatorGrowth(s: SparkSession, dir: String): DataFrame = {
+    val db = IntelDb.build("threats", goldIntel)
+    val turns = goldTurns(s, dir)
+    val m = ScanJob.matched(turns, Seq(db), s)
+      .join(turns.select(col("conv_id"), col("turn_idx"), col("ts")),
+        Seq("conv_id", "turn_idx"))
+    graft.ops.Growth.newVsReturning(m, entityCol = "value")
+      .orderBy("period")
+  }
+
+  /** q88: conversation risk scoring ([[graft.pipeline.RiskScore]]) —
+    * the escalation rollup over the gold match stream. The fixture
+    * thins each conversation's turns at a conv-dependent rate
+    * (`event_id % (conv + 2) = 0`) so risk scores SPREAD across the
+    * default tier thresholds (a handful escalate, a band review, the
+    * long tail routine) instead of collapsing into one tier.
+    */
+  def qConversationRisk(s: SparkSession, dir: String): DataFrame = {
+    val db = IntelDb.build("threats", goldIntel)
+    // thin by turn identity: turn_idx IS event_id and the conv suffix IS
+    // user_id % 50 (the goldTurns construction), so the oracle states
+    // the same predicate as event_id % (user_id % 50 + 2) = 0
+    val turns = goldTurns(s, dir).where(col("turn_idx") %
+      (substring(col("conv_id"), 6, 10).cast("int") + 2) === 0)
+    graft.pipeline.RiskScore
+      .conversationRisk(ScanJob.matched(turns, Seq(db), s))
+      .orderBy("conv_id")
+  }
+
   /** q81: campaign clustering — the graph bridge: co-occurrence edges
     * (q79's pair table) thresholded at lift > 0.92 feed the SAME
     * connected-components engine the dedup family uses
