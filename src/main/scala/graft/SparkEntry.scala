@@ -181,7 +181,14 @@ object SparkEntry {
     // (round 5)
     "q87_indicator_growth" -> (QueryDefs.qIndicatorGrowth _),
     // conversation risk scoring + triage tiers (round 5)
-    "q88_conversation_risk" -> (QueryDefs.qConversationRisk _)
+    "q88_conversation_risk" -> (QueryDefs.qConversationRisk _),
+    // transcript structural audit: dup indices, role runs, empty turns
+    // (round 5)
+    "q89_conv_audit" -> (QueryDefs.qConvAudit _),
+    // first-fit sequence packing into token-budget bins (round 5)
+    "q90_pack_docs" -> (QueryDefs.qPackDocs _),
+    // context-window truncation: newest turns within budget (round 5)
+    "q91_conv_truncate" -> (QueryDefs.qConvTruncate _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -272,6 +279,9 @@ object SparkEntry {
     "q85_reconcile" -> OracleDefs.reconcile,
     "q86_dga_score" -> OracleDefs.dgaScore,
     "q87_indicator_growth" -> OracleDefs.indicatorGrowth,
-    "q88_conversation_risk" -> OracleDefs.conversationRisk
+    "q88_conversation_risk" -> OracleDefs.conversationRisk,
+    "q89_conv_audit" -> OracleDefs.convAudit,
+    "q90_pack_docs" -> OracleDefs.packDocs,
+    "q91_conv_truncate" -> OracleDefs.convTruncate
   )
 }

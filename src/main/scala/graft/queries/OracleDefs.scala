@@ -2143,4 +2143,106 @@ object OracleDefs {
       |SELECT doc AS item, min(root) AS campaign,
       |       (doc = min(root)) AS is_canonical
       |FROM reach GROUP BY doc ORDER BY item""".stripMargin
+
+  /** q89: conversation audit — the same defect planting (text NULLed on
+    * the ORIGINAL index, then the index shift), the canonical
+    * (turn_idx, role NULLS FIRST) window order (DuckDB defaults ASC to
+    * NULLS LAST — must be explicit), NULL-safe role adjacency via
+    * IS NOT DISTINCT FROM with a lag(1) first-row marker, and the same
+    * zero-token emptiness rule as the Spark tokenizer. Sums CAST to
+    * BIGINT (DuckDB sums INTs into HUGEINT).
+    */
+  val convAudit: String =
+    s"""WITH t AS (
+       |  SELECT conv_id,
+       |    CASE WHEN orig % 11 = 0 THEN orig - 5 ELSE orig END
+       |      AS turn_idx,
+       |    role,
+       |    CASE WHEN orig % 13 = 0 THEN NULL ELSE text END AS text
+       |  FROM (SELECT conv_id, turn_idx AS orig, role, text
+       |        FROM ($goldTurnsSql))),
+       |f AS (
+       |  SELECT conv_id, turn_idx, role,
+       |    CASE WHEN text IS NULL OR len(list_filter(
+       |      string_split_regex(text, '\\s+'), x -> len(x) > 0)) = 0
+       |      THEN 1 ELSE 0 END AS is_empty,
+       |    CASE WHEN lag(1) OVER w IS NOT NULL
+       |           AND role IS NOT DISTINCT FROM lag(role) OVER w
+       |      THEN 1 ELSE 0 END AS is_repeat,
+       |    row_number() OVER w AS rn
+       |  FROM t
+       |  WINDOW w AS (PARTITION BY conv_id
+       |               ORDER BY turn_idx, role ASC NULLS FIRST))
+       |SELECT conv_id,
+       |  count(*) AS n_turns,
+       |  count(*) - count(DISTINCT turn_idx) AS n_dup_idx,
+       |  CAST(sum(is_repeat) AS BIGINT) AS n_role_repeats,
+       |  CAST(sum(is_empty) AS BIGINT) AS n_empty,
+       |  max(CASE WHEN rn = 1 THEN coalesce(role, '') END) AS first_role,
+       |  max_by(coalesce(role, ''), rn) AS last_role,
+       |  (count(*) - count(DISTINCT turn_idx) = 0
+       |   AND sum(is_repeat) = 0 AND sum(is_empty) = 0) AS wellformed
+       |FROM f GROUP BY conv_id ORDER BY conv_id""".stripMargin
+
+  /** q90: sequence packing — the md5-derived 60-bit shard (the q53 hex
+    * idiom, always non-negative so % is pmod), ids in STRING order, and
+    * the first-fit scan replayed as a per-shard recursive CTE carrying
+    * (bin, fill, pos) — the exact rule in Packing.packSequences.
+    */
+  val packDocs: String =
+    """WITH RECURSIVE s AS (
+      |  SELECT CAST(doc_id AS VARCHAR) AS id,
+      |    CAST(coalesce(len(list_filter(
+      |      string_split_regex(text, '\s+'), x -> len(x) > 0)), 0)
+      |      AS BIGINT) AS n_tokens
+      |  FROM documents WHERE doc_id IS NOT NULL),
+      |h AS (
+      |  SELECT id, n_tokens,
+      |    CAST(CAST('0x'||substr(md5('pack-v1:'||id), 1, 15) AS BIGINT)
+      |         % 8 AS INT) AS shard
+      |  FROM s),
+      |r AS (
+      |  SELECT id, n_tokens, shard,
+      |    row_number() OVER (PARTITION BY shard ORDER BY id) AS rn
+      |  FROM h),
+      |scan AS (
+      |  SELECT shard, rn, id, n_tokens,
+      |         0 AS bin, n_tokens AS fill, 0 AS pos
+      |  FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.shard, r.rn, r.id, r.n_tokens,
+      |    CASE WHEN scan.fill > 0 AND scan.fill + r.n_tokens > 200
+      |         THEN scan.bin + 1 ELSE scan.bin END,
+      |    CASE WHEN scan.fill > 0 AND scan.fill + r.n_tokens > 200
+      |         THEN r.n_tokens ELSE scan.fill + r.n_tokens END,
+      |    CASE WHEN scan.fill > 0 AND scan.fill + r.n_tokens > 200
+      |         THEN 0 ELSE scan.pos + 1 END
+      |  FROM scan JOIN r ON r.shard = scan.shard AND r.rn = scan.rn + 1)
+      |SELECT id, n_tokens, shard,
+      |       CAST(bin AS INT) AS bin, CAST(pos AS INT) AS pos
+      |FROM scan ORDER BY shard, bin, pos""".stripMargin
+
+  /** q91: context-window truncation — reverse running token sum per
+    * conversation (turn_idx DESC; gold indices are unique so no
+    * tie-break is needed), strict `<= 12` keep rule, HUGEINT sum CAST
+    * back to BIGINT.
+    */
+  val convTruncate: String =
+    s"""WITH t AS ($goldTurnsSql),
+       |c AS (
+       |  SELECT conv_id, turn_idx, role,
+       |    CAST(coalesce(len(list_filter(
+       |      string_split_regex(text, '\\s+'), x -> len(x) > 0)), 0)
+       |      AS BIGINT) AS n_tokens
+       |  FROM t),
+       |w AS (
+       |  SELECT *, sum(n_tokens) OVER (
+       |    PARTITION BY conv_id ORDER BY turn_idx DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS cum_from_end
+       |  FROM c)
+       |SELECT conv_id, turn_idx, role, n_tokens,
+       |       CAST(cum_from_end AS BIGINT) AS cum_from_end
+       |FROM w WHERE cum_from_end <= 12
+       |ORDER BY conv_id, turn_idx""".stripMargin
 }

@@ -1472,4 +1472,46 @@ object QueryDefs {
         col("is_canonical"))
       .orderBy("item")
   }
+
+  /** q89: conversation structural audit ([[graft.ops.ConvValidate]]) —
+    * the gold transcripts with planted defects: every 13th turn's text
+    * nulled (an empty turn) and every 11th turn's index shifted down 5
+    * (a duplicate index iff the displaced index coexists with a real one
+    * in the SAME conversation — conv membership is user-keyed, so
+    * collisions are sparse and deterministic). Role repeats come free:
+    * role is the raw event_type, which repeats within a user's stream.
+    */
+  def qConvAudit(s: SparkSession, dir: String): DataFrame = {
+    val planted = goldTurns(s, dir)
+      .withColumn("text",
+        when(col("turn_idx") % 13 === 0, lit(null).cast("string"))
+          .otherwise(col("text")))
+      .withColumn("turn_idx",
+        when(col("turn_idx") % 11 === 0, col("turn_idx") - 5)
+          .otherwise(col("turn_idx")))
+    graft.ops.ConvValidate.audit(planted).orderBy("conv_id")
+  }
+
+  /** q90: sequence packing ([[graft.ops.Packing.packSequences]]) — the
+    * documents corpus token-counted and first-fit packed into
+    * 200-token bins across 8 hash shards. The oracle replays the scan
+    * with a per-shard recursive CTE over the same md5-derived shard and
+    * the same id order.
+    */
+  def qPackDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      graft.ops.TextStats.tokenCount(col("text")).as("n_tokens"))
+    graft.ops.Packing.packSequences(docs, budget = 200L, numShards = 8)
+      .orderBy("shard", "bin", "pos")
+  }
+
+  /** q91: context-window truncation
+    * ([[graft.ops.Packing.truncateTail]]) — each gold conversation
+    * trimmed to the newest turns fitting 12 whitespace tokens (texts run
+    * 3–5 tokens, so 3–4 turns survive per conversation).
+    */
+  def qConvTruncate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Packing.truncateTail(goldTurns(s, dir), budget = 12L)
+      .select("conv_id", "turn_idx", "role", "n_tokens", "cum_from_end")
+      .orderBy("conv_id", "turn_idx")
 }
