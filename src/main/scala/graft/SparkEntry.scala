@@ -188,7 +188,13 @@ object SparkEntry {
     // first-fit sequence packing into token-budget bins (round 5)
     "q90_pack_docs" -> (QueryDefs.qPackDocs _),
     // context-window truncation: newest turns within budget (round 5)
-    "q91_conv_truncate" -> (QueryDefs.qConvTruncate _)
+    "q91_conv_truncate" -> (QueryDefs.qConvTruncate _),
+    // leet-skeleton typosquat matching against a watchlist (round 5)
+    "q92_confusables" -> (QueryDefs.qConfusables _),
+    // Page's CUSUM drift detection over daily count series (round 5)
+    "q93_drift_cusum" -> (QueryDefs.qDriftCusum _),
+    // capped inverted index: term -> df + posting prefix (round 5)
+    "q94_inverted_index" -> (QueryDefs.qInvertedIndex _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -282,6 +288,9 @@ object SparkEntry {
     "q88_conversation_risk" -> OracleDefs.conversationRisk,
     "q89_conv_audit" -> OracleDefs.convAudit,
     "q90_pack_docs" -> OracleDefs.packDocs,
-    "q91_conv_truncate" -> OracleDefs.convTruncate
+    "q91_conv_truncate" -> OracleDefs.convTruncate,
+    "q92_confusables" -> OracleDefs.confusables,
+    "q93_drift_cusum" -> OracleDefs.driftCusum,
+    "q94_inverted_index" -> OracleDefs.invertedIndex
   )
 }

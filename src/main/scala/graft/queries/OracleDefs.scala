@@ -2245,4 +2245,85 @@ object OracleDefs {
        |       CAST(cum_from_end AS BIGINT) AS cum_from_end
        |FROM w WHERE cum_from_end <= 12
        |ORDER BY conv_id, turn_idx""".stripMargin
+
+  /** q92: confusables — DuckDB's translate has the same PG semantics as
+    * Spark's (extra from-chars delete), so the skeleton is the same
+    * expression; watch entries skeletonize and dedupe, exact
+    * (case-insensitive) hits are excluded.
+    */
+  val confusables: String =
+    """WITH probes AS (
+      |  SELECT event_id,
+      |    CASE event_id % 7
+      |      WHEN 0 THEN 'paypa1.com'
+      |      WHEN 1 THEN 'g00gle.com'
+      |      WHEN 2 THEN 'pay-pal.c0m'
+      |      WHEN 3 THEN 'paypal.com'
+      |      WHEN 4 THEN 'evilo.example.com'
+      |      ELSE 'site' || (event_id % 100) || '.net' END AS domain
+      |  FROM events),
+      |w AS (
+      |  SELECT DISTINCT domain AS watch_domain,
+      |    translate(lower(domain), '013578$@!|-', 'olestbsail')
+      |      AS skeleton
+      |  FROM (VALUES ('paypal.com'), ('google.com'),
+      |        ('evil0.example.com')) AS v(domain))
+      |SELECT p.event_id, p.domain, w.watch_domain, w.skeleton
+      |FROM (SELECT *,
+      |        translate(lower(domain), '013578$@!|-', 'olestbsail')
+      |          AS skeleton
+      |      FROM probes) p
+      |JOIN w ON p.skeleton = w.skeleton
+      |WHERE lower(p.domain) != lower(w.watch_domain)
+      |ORDER BY p.event_id, w.watch_domain""".stripMargin
+
+  /** q93: CUSUM — the daily rollup then Page's recursion replayed as a
+    * per-key recursive CTE carrying the floored statistic.
+    */
+  val driftCusum: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT event_type AS key,
+      |         epoch_us(ts) // 86400000000 AS period,
+      |         count(*) AS value
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT key, period, value,
+      |    row_number() OVER (PARTITION BY key ORDER BY period, value)
+      |      AS rn
+      |  FROM d),
+      |scan AS (
+      |  SELECT key, rn, period, value,
+      |         greatest(0, value - 66) AS cusum
+      |  FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.key, r.rn, r.period, r.value,
+      |         greatest(0, scan.cusum + r.value - 66)
+      |  FROM scan JOIN r ON r.key = scan.key AND r.rn = scan.rn + 1)
+      |SELECT key, period, CAST(value AS BIGINT) AS value,
+      |       CAST(cusum AS BIGINT) AS cusum, cusum >= 40 AS alarm
+      |FROM scan ORDER BY key, period""".stripMargin
+
+  /** q94: inverted index — per-doc distinct terms, full df, the
+    * 390-smallest-doc_ids posting prefix (string_agg skips the NULLed
+    * over-cap rows, keeping doc_id order).
+    */
+  val invertedIndex: String =
+    """WITH terms AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_filter(
+      |      string_split_regex(lower(text), '\s+'),
+      |      x -> len(x) > 0))) AS term
+      |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+      |r AS (
+      |  SELECT term, doc_id,
+      |    row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+      |  FROM terms)
+      |SELECT term, count(*) AS df,
+      |  coalesce(string_agg(
+      |    CASE WHEN rn <= 390 THEN CAST(doc_id AS VARCHAR) END, ','
+      |    ORDER BY doc_id), '') AS postings,
+      |  (count(CASE WHEN rn <= 390 THEN 1 END) < count(*)) AS truncated
+      |FROM r GROUP BY term ORDER BY term""".stripMargin
 }

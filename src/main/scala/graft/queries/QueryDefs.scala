@@ -1514,4 +1514,57 @@ object QueryDefs {
     graft.ops.Packing.truncateTail(goldTurns(s, dir), budget = 12L)
       .select("conv_id", "turn_idx", "role", "n_tokens", "cum_from_end")
       .orderBy("conv_id", "turn_idx")
+
+  /** q92: confusable-skeleton typosquat hits
+    * ([[graft.ops.Confusables]]) — planted leet disguises (digit
+    * substitution, hyphen insertion, watch-side folding: the watch entry
+    * `evil0.example.com` itself skeletonizes, so the probe
+    * `evilo.example.com` hits it) against a 3-entry watchlist; exact
+    * hits planted and excluded.
+    */
+  def qConfusables(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val watch = Seq("paypal.com", "google.com", "evil0.example.com")
+      .toDF("domain")
+    val dom = when(e % 7 === 0, lit("paypa1.com"))
+      .when(e % 7 === 1, lit("g00gle.com"))
+      .when(e % 7 === 2, lit("pay-pal.c0m"))
+      .when(e % 7 === 3, lit("paypal.com")) // exact -> excluded
+      .when(e % 7 === 4, lit("evilo.example.com"))
+      .otherwise(concat(lit("site"), e % 100, lit(".net")))
+    val probes = t(s, dir, "events").select(e.as("event_id"),
+      dom.as("domain"))
+    graft.ops.Confusables.matchWatchlist(probes, "domain", watch)
+      .orderBy("event_id", "watch_domain")
+  }
+
+  /** q93: CUSUM drift detection ([[graft.ops.ChangePoint]]) over the
+    * per-(event_type, day) count series — drift 66 sits at the
+    * fixture's daily-count median so the statistic breathes (counts run
+    * 47-86) and threshold 40 fires on sustained busy runs only
+    * (~20% of periods).
+    */
+  def qDriftCusum(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "events")
+      .where(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("event_type").as("key"),
+        expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+          .as("period"))
+      .groupBy("key", "period").agg(count(lit(1)).as("value"))
+    graft.ops.ChangePoint.cusum(daily, drift = 66L, threshold = 40L)
+      .orderBy("key", "period")
+  }
+
+  /** q94: inverted index ([[graft.ops.InvertedIndex]]) over the
+    * documents corpus, postings capped at 390 — the fixture vocabulary is bimodal
+    * (df 25..402), so roughly half the terms truncate and half stay full. Posting arrays render as ','-joined strings for
+    * the scalar-column oracle compare.
+    */
+  def qInvertedIndex(s: SparkSession, dir: String): DataFrame =
+    graft.ops.InvertedIndex.postings(t(s, dir, "documents"),
+      maxPostings = 390)
+      .withColumn("postings",
+        array_join(transform(col("postings"), x => x.cast("string")),
+          ","))
+      .orderBy("term")
 }
