@@ -180,6 +180,88 @@ object TelemetryScaleProbe {
       graft.ops.Reconcile.diff(base, right, Seq("sink"),
         Seq("event_id", "event_type", "user_id")).count()
     }
+    probe("dga_score") {
+      // half human-word labels, half hex noise — both rule paths hot
+      val doms = events.select(
+        when(col("event_id") % 2 === 0,
+          concat(col("event_type"), lit(".example.com")))
+          .otherwise(concat(
+            substring(md5(col("event_id").cast("string")), 1, 14),
+            lit(".biz"))).as("domain"))
+      graft.ops.DgaScore.score(doms, "domain").count()
+    }
+    probe("risk_score") {
+      val levels = array(lit("critical"), lit("high"), lit("medium"),
+        lit("low"))
+      val matched = events.select(
+        concat(lit("conv-"), col("user_id")).as("conv_id"),
+        concat(lit("ioc"),
+          pmod(xxhash64(lit(6), col("event_id")), lit(5000)))
+          .as("value"),
+        element_at(levels, (pmod(xxhash64(lit(7), col("event_id")),
+          lit(4)) + 1).cast("int")).as("threat_level"))
+      graft.pipeline.RiskScore.conversationRisk(matched).count()
+    }
+    probe("conv_audit") {
+      val turns = events.select(
+        concat(lit("conv-"), col("user_id")).as("conv_id"),
+        col("event_id").cast("int").as("turn_idx"),
+        col("event_type").as("role"),
+        when(col("event_id") % 97 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("turn text "),
+            col("event_id").cast("string"))).as("text"))
+      graft.ops.ConvValidate.audit(turns).count()
+    }
+    probe("pack_sequences") {
+      // per-shard ~50k sequences: shard count scales with the corpus
+      val shards = math.max(32, (n / 50000L).toInt)
+      val seqs = events.select(col("event_id").as("doc_id"),
+        (pmod(xxhash64(lit(8), col("event_id")), lit(500)) + 1)
+          .as("n_tokens"))
+      graft.ops.Packing.packSequences(seqs, budget = 4096L,
+        numShards = shards).count()
+    }
+    probe("truncate_tail") {
+      val turns = events.select(
+        concat(lit("conv-"), col("user_id")).as("conv_id"),
+        col("event_id").cast("int").as("turn_idx"),
+        col("event_type").as("role"),
+        concat(lit("some words here for "),
+          col("event_id").cast("string")).as("text"))
+      graft.ops.Packing.truncateTail(turns, budget = 50L).count()
+    }
+    probe("confusables") {
+      val probes = events.select(concat(
+        when(col("event_id") % 3 === 0, lit("brand"))
+          .when(col("event_id") % 3 === 1, lit("br@nd"))
+          .otherwise(lit("brand-")),
+        pmod(xxhash64(lit(9), col("event_id")), lit(1000)).cast("string"),
+        when(col("event_id") % 2 === 0, lit(".com"))
+          .otherwise(lit(".c0m"))).as("domain"))
+      val watch = spark.range(1000).select(
+        concat(lit("brand"), col("id").cast("string"), lit(".com"))
+          .as("domain"))
+      graft.ops.Confusables.matchWatchlist(probes, "domain",
+        watch, "domain").count()
+    }
+    probe("cusum") {
+      val daily = events.groupBy(
+        pmod(col("user_id"), lit(1000)).as("key"),
+        expr("unix_micros(ts) div 86400000000").as("period"))
+        .agg(count(lit(1)).as("value"))
+      // ~n/30000 events per (key, day); drift pinned just above it
+      graft.ops.ChangePoint.cusum(daily,
+        drift = math.max(1L, n / 30000L), threshold = 10L).count()
+    }
+    probe("inverted_index") {
+      // zipfish vocab: 8 hot terms per doc + one rare tail term —
+      // the hot postings hit the cap, the tail stays full
+      val docs = events.select(col("event_id").as("doc_id"),
+        concat(lit("alpha beta gamma delta epsilon zeta eta theta rare"),
+          pmod(xxhash64(lit(10), col("event_id")), lit(n / 10))
+            .cast("string")).as("text"))
+      graft.ops.InvertedIndex.postings(docs).count()
+    }
     spark.stop()
   }
 }
