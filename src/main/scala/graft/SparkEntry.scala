@@ -194,7 +194,13 @@ object SparkEntry {
     // Page's CUSUM drift detection over daily count series (round 5)
     "q93_drift_cusum" -> (QueryDefs.qDriftCusum _),
     // capped inverted index: term -> df + posting prefix (round 5)
-    "q94_inverted_index" -> (QueryDefs.qInvertedIndex _)
+    "q94_inverted_index" -> (QueryDefs.qInvertedIndex _),
+    // exact heavy hitters via bounded-state candidates (round 5)
+    "q95_heavy_hitters" -> (QueryDefs.qHeavyHitters _),
+    // sliding token-window chunking (round 5)
+    "q96_chunk_docs" -> (QueryDefs.qChunkDocs _),
+    // per-source token-budget quota (round 5)
+    "q97_budget_per_source" -> (QueryDefs.qBudgetPerSource _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -291,6 +297,9 @@ object SparkEntry {
     "q91_conv_truncate" -> OracleDefs.convTruncate,
     "q92_confusables" -> OracleDefs.confusables,
     "q93_drift_cusum" -> OracleDefs.driftCusum,
-    "q94_inverted_index" -> OracleDefs.invertedIndex
+    "q94_inverted_index" -> OracleDefs.invertedIndex,
+    "q95_heavy_hitters" -> OracleDefs.heavyHitters,
+    "q96_chunk_docs" -> OracleDefs.chunkDocs,
+    "q97_budget_per_source" -> OracleDefs.budgetPerSource
   )
 }

@@ -262,6 +262,35 @@ object TelemetryScaleProbe {
             .cast("string")).as("text"))
       graft.ops.InvertedIndex.postings(docs).count()
     }
+    probe("heavy_hitters") {
+      // 5 hot items at ~1/10 of the corpus each + a singleton tail: the
+      // candidate stage must stay bounded while the tail cardinality is
+      // ~n/2
+      val items = events.select(
+        when(col("event_id") % 2 === 0,
+          concat(lit("hot"), (col("event_id") % 5).cast("string")))
+          .otherwise(concat(lit("tail-"), col("event_id").cast("string")))
+          .as("item"))
+      graft.ops.HeavyHitters.frequentItems(items, "item", k = 12).count()
+    }
+    probe("chunking") {
+      // ~52 tokens per doc -> 5 overlapping 24/12 chunks each: the
+      // explode fan-out is the cost being measured
+      val docs = events.select(col("event_id").as("doc_id"),
+        concat(lit("alpha beta gamma delta "),
+          repeat(concat(lit("w"),
+            pmod(xxhash64(lit(11), col("event_id")), lit(100))
+              .cast("string"), lit(" ")), 48)).as("text"))
+      graft.ops.Chunking.slidingChunks(docs, 24, 12).count()
+    }
+    probe("budget_per_key") {
+      val docs = events.select(col("event_id").as("doc_id"),
+        col("user_id").as("key"),
+        (pmod(xxhash64(lit(12), col("event_id")), lit(500)) + 1)
+          .as("n_tokens"))
+      graft.ops.Sampling.budgetPerKey(docs, "key", budget = 100000L)
+        .count()
+    }
     spark.stop()
   }
 }

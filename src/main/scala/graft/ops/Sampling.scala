@@ -182,4 +182,47 @@ object Sampling {
       .where(col("__graft_rank") <= maxPerKey)
       .drop("__graft_rank")
   }
+
+  /** Deterministic per-key TOKEN-budget quota — [[capPerKey]]'s sibling
+    * where the mixing recipe is stated in tokens, not documents ("at most
+    * 10 B tokens per source" — the unit a training-mix spec is actually
+    * written in; capping document COUNTS over-weights sources with long
+    * documents). Rows rank by the same reproducible (salt, id) hash
+    * order, and the kept set is the longest prefix whose INCLUSIVE
+    * running token sum stays within `budget` — the running sum is
+    * monotone (token counts are non-negative), so "prefix" and "every
+    * row whose cumulative sum fits" coincide and the kept set is a total
+    * deterministic function of (salt, corpus). A first document larger
+    * than the whole budget is dropped with its entire group tail —
+    * budget semantics are STRICT (the [[graft.ops.Packing.truncateTail]]
+    * rule: never emit over budget).
+    *
+    * Attaches `cum_tokens` (the inclusive running sum — the audit
+    * column a mixing report reads). NULL ids are dropped (the module's
+    * no-hash-point verdict); NULL/negative token counts count 0 (a
+    * doc with unknown length must not poison the group's whole tail —
+    * and a negative count would break the monotone-prefix equivalence).
+    *
+    * 100 TB shape: identical to [[capPerKey]] — one key shuffle + a
+    * per-group sort; the window carries one running long.
+    */
+  def budgetPerKey(docs: DataFrame, keyCol: String, budget: Long,
+      tokensCol: String = "n_tokens", salt: String = "k1",
+      idCol: String = "doc_id"): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    require(!docs.columns.contains("cum_tokens"),
+      "input already has cum_tokens — rename it (budgetPerKey attaches " +
+        "the running-sum audit column)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol)
+      .orderBy(hashPoint(col(idCol), salt).asc, col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    docs.where(col(idCol).isNotNull)
+      .withColumn("cum_tokens",
+        sum(greatest(coalesce(col(tokensCol).cast("long"), lit(0L)),
+          lit(0L))).over(w))
+      .where(col("cum_tokens") <= budget)
+  }
 }

@@ -2326,4 +2326,61 @@ object OracleDefs {
       |    ORDER BY doc_id), '') AS postings,
       |  (count(CASE WHEN rn <= 390 THEN 1 END) < count(*)) AS truncated
       |FROM r GROUP BY term ORDER BY term""".stripMargin
+
+  /** q95: heavy hitters — the exact threshold semantics the bounded-state
+    * path must reproduce: GROUP BY with HAVING count·k ≥ n over non-null
+    * items (the Misra–Gries candidate stage is unobservable here — that
+    * is the point).
+    */
+  val heavyHitters: String =
+    """WITH it AS (
+      |  SELECT CASE
+      |    WHEN event_id % 997 = 0 THEN NULL
+      |    WHEN event_id % 2 = 0 THEN 'hot' || CAST(event_id % 3 AS VARCHAR)
+      |    WHEN event_id % 40 = 1 THEN 'mid'
+      |    ELSE 'tail-' || CAST(event_id AS VARCHAR) END AS item
+      |  FROM events)
+      |SELECT item, count(*) AS n_item FROM it WHERE item IS NOT NULL
+      |GROUP BY item
+      |HAVING count(*) * 8 >=
+      |  (SELECT count(*) FROM it WHERE item IS NOT NULL)
+      |ORDER BY item""".stripMargin
+
+  /** q96: sliding chunks — the same start grid (0, 12, 24, … < n), tail
+    * clamp least(24, n−s), and lowercased-token slice rejoin.
+    */
+  val chunkDocs: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |           x -> len(x) > 0) AS tk
+      |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+      |sized AS (SELECT doc_id, tk, len(tk) AS n FROM toks
+      |          WHERE len(tk) > 0),
+      |st AS (SELECT doc_id, tk, n,
+      |         unnest(generate_series(0, CAST(n - 1 AS BIGINT), 12)) AS s
+      |       FROM sized)
+      |SELECT doc_id, CAST(s // 12 AS INT) AS chunk_idx, s AS start_tok,
+      |       least(24, n - s) AS chunk_len,
+      |       array_to_string(
+      |         tk[CAST(s + 1 AS INT) : CAST(s + least(24, n - s) AS INT)],
+      |         ' ') AS chunk_text
+      |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** q97: per-source token budget — the q58 hash-point order (salt 'k1')
+    * with an inclusive running token sum kept while ≤ 700.
+    */
+  val budgetPerSource: String =
+    """SELECT doc_id, source, n_tokens, cum_tokens FROM (
+      |  SELECT doc_id, source, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY source
+      |      ORDER BY CAST('0x'||substr(md5('k1:'||doc_id),1,15) AS BIGINT)
+      |        ASC, doc_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS cum_tokens
+      |  FROM (SELECT doc_id, source,
+      |          len(list_filter(string_split_regex(text, '\s+'),
+      |            x -> len(x) > 0)) AS n_tokens
+      |        FROM documents))
+      |WHERE cum_tokens <= 700
+      |ORDER BY doc_id""".stripMargin
 }

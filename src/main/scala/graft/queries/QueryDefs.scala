@@ -1567,4 +1567,49 @@ object QueryDefs {
         array_join(transform(col("postings"), x => x.cast("string")),
           ","))
       .orderBy("term")
+
+  /** q95: exact heavy hitters ([[graft.ops.HeavyHitters]]) — a zipf-ish
+    * item mix: three hot items (~1/6 of rows each — above the 1/8
+    * threshold), one mid item (1/40 — nominated by Misra–Gries in most
+    * layouts but REJECTED by the exact verify pass), a long singleton
+    * tail, and planted NULLs (every 997th — dropped). The oracle is the
+    * plain GROUP BY ... HAVING count·k ≥ n the bounded-state path must
+    * reproduce exactly.
+    */
+  def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val items = t(s, dir, "events").select(
+      when(e % 997 === 0, lit(null).cast("string"))
+        .when(e % 2 === 0, concat(lit("hot"), (e % 3).cast("string")))
+        .when(e % 40 === 1, lit("mid"))
+        .otherwise(concat(lit("tail-"), e.cast("string"))).as("item"))
+    graft.ops.HeavyHitters.frequentItems(items, "item", k = 8)
+      .orderBy("item")
+  }
+
+  /** q96: sliding token-window chunking ([[graft.ops.Chunking]]) — the
+    * documents corpus into 24-token windows every 12 tokens (the fixture
+    * averages ~54 tokens, so docs yield 3–6 overlapping chunks with a
+    * short tail chunk). The oracle re-derives every window with
+    * generate_series + list slicing — start grid, tail clamping, and the
+    * rejoined text are each gated.
+    */
+  def qChunkDocs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Chunking.slidingChunks(t(s, dir, "documents"),
+      chunkTokens = 24, stride = 12)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** q97: per-source token-budget quota
+    * ([[graft.ops.Sampling.budgetPerKey]]) — each source's docs in hash
+    * order until 700 tokens (sources carry ~1350 tokens over 25 docs, so
+    * roughly half of each source survives and every group hits the
+    * budget boundary). The oracle replays the same md5 hash order and
+    * inclusive running sum.
+    */
+  def qBudgetPerSource(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+      graft.ops.TextStats.tokenCount(col("text")).as("n_tokens"))
+    graft.ops.Sampling.budgetPerKey(docs, "source", budget = 700L)
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+      .orderBy("doc_id")
+  }
 }

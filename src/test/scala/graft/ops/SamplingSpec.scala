@@ -192,4 +192,65 @@ class SamplingSpec extends AnyFunSuite {
         Seq("en" -> 0.5, "en" -> 0.7)))
   }
 
+  test("budgetPerKey: longest hash-order prefix whose inclusive token " +
+    "sum fits; model-checked against a driver-side re-rank") {
+    val docs = (0 until 60).map(i =>
+      (s"doc$i", s"key${i % 3}", (i % 7 + 2).toLong))
+      .toDF("doc_id", "key", "n_tokens")
+    val budget = 30L
+    val got = Sampling.budgetPerKey(docs, "key", budget, salt = "b1")
+      .select("doc_id", "key", "cum_tokens")
+      .as[(String, String, Long)].collect().toSeq.sortBy(_._1)
+    // independent model: md5 hash-point order per key, inclusive cumsum
+    def hp(id: String): BigInt = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"b1:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      BigInt(hex.take(15), 16)
+    }
+    val expected = (0 until 60).map(i =>
+      (s"doc$i", s"key${i % 3}", (i % 7 + 2).toLong))
+      .groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+        var cum = 0L
+        rows.sortBy(r => (hp(r._1), r._1)).flatMap { r =>
+          cum += r._3
+          if (cum <= budget) Some((r._1, r._2, cum)) else None
+        }
+      }.sortBy(_._1)
+    assert(got == expected)
+    // every key hit the boundary (the fixture carries ~3x the budget)
+    assert(got.groupBy(_._2).values.forall(_.map(_._3).max > budget - 9))
+  }
+
+  test("budgetPerKey: strict budget (an oversized first doc empties its " +
+    "group), NULL ids dropped, NULL/negative token counts cost 0") {
+    val docs = Seq(
+      (Some("a"), "k1", Some(100L)), // alone over budget in hash order?
+      (Option.empty[String], "k2", Some(1L)), // null id -> dropped
+      (Some("b"), "k2", Option.empty[Long]), // null tokens -> 0
+      (Some("c"), "k2", Some(-5L)), // negative -> 0
+      (Some("d"), "k2", Some(10L)))
+      .toDF("doc_id", "key", "n_tokens")
+    val got = Sampling.budgetPerKey(docs, "key", budget = 10L)
+      .select("doc_id", "cum_tokens")
+      .as[(String, Long)].collect().toSeq.sortBy(_._1)
+    // k1's only doc exceeds the budget alone -> zero k1 rows; all k2
+    // survivors fit (0 + 0 + 10 in any hash order <= 10)
+    assert(got.map(_._1) == Seq("b", "c", "d"))
+    assert(got.map(_._2).max == 10L)
+  }
+
+  test("budgetPerKey: cum_tokens clash rejected; same plan family as " +
+    "capPerKey (one exchange)") {
+    val bad = Seq(("a", "k", 1L, 2L))
+      .toDF("doc_id", "key", "n_tokens", "cum_tokens")
+    intercept[IllegalArgumentException](
+      Sampling.budgetPerKey(bad, "key", 5L))
+    val plan = Sampling.budgetPerKey(
+      Seq(("a", "k", 1L)).toDF("doc_id", "key", "n_tokens"), "key", 5L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"one key exchange expected:\n$plan")
+  }
+
 }
