@@ -200,7 +200,13 @@ object SparkEntry {
     // sliding token-window chunking (round 5)
     "q96_chunk_docs" -> (QueryDefs.qChunkDocs _),
     // per-source token-budget quota (round 5)
-    "q97_budget_per_source" -> (QueryDefs.qBudgetPerSource _)
+    "q97_budget_per_source" -> (QueryDefs.qBudgetPerSource _),
+    // exact prefix-filter Jaccard set-similarity join (round 5)
+    "q98_set_join" -> (QueryDefs.qSetJoin _),
+    // BPE merge-pair counts: tokenizer-training stats (round 5)
+    "q99_bpe_merges" -> (QueryDefs.qBpeMerges _),
+    // text normalization: control strip + whitespace normal form (round 5)
+    "q100_text_clean" -> (QueryDefs.qTextClean _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -300,6 +306,9 @@ object SparkEntry {
     "q94_inverted_index" -> OracleDefs.invertedIndex,
     "q95_heavy_hitters" -> OracleDefs.heavyHitters,
     "q96_chunk_docs" -> OracleDefs.chunkDocs,
-    "q97_budget_per_source" -> OracleDefs.budgetPerSource
+    "q97_budget_per_source" -> OracleDefs.budgetPerSource,
+    "q98_set_join" -> OracleDefs.setJoin,
+    "q99_bpe_merges" -> OracleDefs.bpeMerges,
+    "q100_text_clean" -> OracleDefs.textClean
   )
 }

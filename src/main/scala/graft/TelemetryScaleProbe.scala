@@ -283,6 +283,34 @@ object TelemetryScaleProbe {
               .cast("string"), lit(" ")), 48)).as("text"))
       graft.ops.Chunking.slidingChunks(docs, 24, 12).count()
     }
+    probe("set_join") {
+      // clone families of 4 (planted near-dups) over a mostly-unique
+      // token space: the prefix filter must keep candidates ~clone-sized
+      // while the naive token self-join would be corpus-quadratic on the
+      // shared family tokens
+      val docs = events.select(col("event_id").as("doc_id"),
+        concat(
+          lit("fam"), (col("event_id") / 4).cast("long").cast("string"),
+          lit("a fam"), (col("event_id") / 4).cast("long").cast("string"),
+          lit("b uniq"), col("event_id").cast("string"),
+          lit(" w"), pmod(xxhash64(lit(13), col("event_id")), lit(50))
+            .cast("string")).as("text"))
+      graft.ops.SetJoin.jaccardJoin(docs, minJaccardPermille = 500)
+        .count()
+    }
+    probe("bpe_merges") {
+      val docs = events.select(col("event_id").as("doc_id"),
+        concat(lit("alpha beta gamma tok"),
+          pmod(xxhash64(lit(14), col("event_id")), lit(10000))
+            .cast("string")).as("text"))
+      graft.ops.Vocab.bpeMergeCounts(docs, topK = 30).count()
+    }
+    probe("text_clean") {
+      val docs = events.select(col("event_id").as("doc_id"),
+        concat(lit("  lineone  "), col("event_id").cast("string"),
+          lit("\ttail  ")).as("text"))
+      graft.ops.TextClean.normalize(docs).count()
+    }
     probe("budget_per_key") {
       val docs = events.select(col("event_id").as("doc_id"),
         col("user_id").as("key"),

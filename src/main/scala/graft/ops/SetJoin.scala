@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** EXACT set-similarity join via prefix filtering (the AllPairs /
+  * PPJoin family) — every pair of documents whose distinct-token-set
+  * Jaccard similarity meets the threshold, with exact intersection
+  * counts. This is the deterministic complement of
+  * [[Dedup.minhashLshPairs]]: minhash trades recall for a fixed band
+  * budget (probabilistic, tunable); the prefix filter is LOSSLESS — the
+  * candidate stage provably contains every qualifying pair, so the
+  * output equals the naive all-pairs join at a fraction of its cost.
+  *
+  * The mechanism, stated once. Order each document's distinct tokens by
+  * a GLOBAL total order — ascending document frequency, token text as
+  * the tie-break — so every set lists its rarest tokens first. For a
+  * Jaccard threshold t, a document with n tokens keeps only its first
+  * `p = n − ⌈t·n⌉ + 1` tokens as join keys (its *prefix*). Why no
+  * qualifying pair is lost: J(x,y) ≥ t forces the intersection size
+  * `inter ≥ t·union ≥ t·max(n_x, n_y)`, and the prefix-filter lemma
+  * (Chaudhuri et al., ICDE 2006) says two sets sharing ≥ α elements
+  * under a common total order must collide within their
+  * `(n − α + 1)`-prefixes; our per-document prefixes use
+  * `α_doc = ⌈t·n_doc⌉ ≤ ⌈t·max⌉ = α_pair`, i.e. they are at least as
+  * long as the lemma needs, so every qualifying pair shares a prefix
+  * token. Candidates then take ONE equi-join on prefix tokens — never a
+  * corpus self-join — and an exact verify computes the true
+  * intersection per candidate from the two staged token arrays
+  * (map-side `array_intersect`, candidate-bounded).
+  *
+  * The threshold is integer permille ([[Percentiles]] rule): the keep
+  * test is `inter·1000 ≥ permille·(n_x + n_y − inter)` — pure integer
+  * arithmetic, so both engines agree bit-for-bit with no float-epsilon
+  * question at the boundary; the reported `jaccard` double is one IEEE
+  * division of exact longs.
+  *
+  * 100 TB shape: df-ascending prefixes are the skew story — a stopword
+  * can only enter a prefix when a document has almost nothing rarer, so
+  * hot tokens are structurally starved out of the join keys. The
+  * residual pathology (documents consisting ENTIRELY of hot tokens)
+  * is bounded by `maxTokenDf` — defaults ON ([[DefaultMaxTokenDf]], the
+  * [[Dedup.ngramJaccardPairs]] precedent): tokens above the cap never
+  * become join keys, so a flood of stopword-only docs costs zero pairs
+  * instead of df². Below the cap the join is EXACT; pairs whose every
+  * shared prefix token is above it are the (documented) recall loss;
+  * 0 opts out. Three linear shuffles (token df, per-doc arrays,
+  * candidate pairs) + the candidate-bounded verify join.
+  *
+  * NULL ids / NULL texts / zero-token texts yield no rows (no set to
+  * compare); tokenizer = [[Decontaminate.tokens]], the one corpus-wide
+  * definition of "word".
+  */
+object SetJoin {
+
+  /** Hot-token join-key cap — the [[Dedup.DefaultMaxShingleDf]] value:
+    * generous enough that healthy corpora stay exact, finite so a
+    * boilerplate flood cannot manufacture a quadratic token bucket.
+    */
+  val DefaultMaxTokenDf = 10000
+
+  /** All pairs with distinct-token Jaccard ≥ permille/1000:
+    * `(doc_a, doc_b, inter, size_a, size_b, jaccard)`, doc_a < doc_b.
+    */
+  def jaccardJoin(docs: DataFrame, minJaccardPermille: Int = 500,
+      maxTokenDf: Int = DefaultMaxTokenDf,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minJaccardPermille >= 1 && minJaccardPermille <= 1000,
+      "minJaccardPermille must be in [1, 1000]")
+    // stage the exploded distinct-token table ONCE (eager): it feeds the
+    // df aggregate AND the df-annotation join below — unstaged, each
+    // consumer re-splits every document from the source scan (the q31
+    // lesson); blocks are ContextCleaner-reclaimed once unreachable
+    val tok = docs
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(Decontaminate.tokens(col(textCol))))
+          .as("token"))
+      .localCheckpoint()
+    val df = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    // one row per doc: tokens sorted by the global (df asc, token asc)
+    // order, kept as (df, token) structs so the prefix slice can drop
+    // over-cap tokens from the JOIN KEYS without re-joining df. Staged
+    // eagerly — it feeds the prefix explode and BOTH verify sides.
+    val ordered = tok.join(df, "token")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("token"))))
+        .as("ord"))
+      .select(col("doc_id"), col("ord"),
+        transform(col("ord"), s => s.getField("token")).as("toks"),
+        size(col("ord")).as("n"))
+      .localCheckpoint()
+    // per-doc prefix length p = n - ceil(t*n) + 1, integer permille ceil
+    // (`div`, not `/`: Spark's `/` on longs is a DOUBLE division)
+    val ceilTn =
+      expr(s"(n * ${minJaccardPermille}L + 999L) div 1000L")
+    val prefix = ordered
+      .select(col("doc_id"),
+        explode(slice(col("ord"), lit(1),
+          (col("n") - ceilTn + lit(1L)).cast("int"))).as("s"))
+      .select(col("doc_id"), col("s.df").as("df"), col("s.token").as("token"))
+    val keys =
+      if (maxTokenDf <= 0) prefix
+      else prefix.where(col("df") <= lit(maxTokenDf.toLong))
+    val cand = keys.as("x")
+      .join(keys.as("y"), col("x.token") === col("y.token"))
+      .where(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // exact verify: candidate-bounded, map-side intersection of the two
+    // staged distinct-token arrays — never a token-table self-join
+    val sideA = ordered.select(col("doc_id").as("doc_a"),
+      col("toks").as("toks_a"), col("n").as("size_a"))
+    val sideB = ordered.select(col("doc_id").as("doc_b"),
+      col("toks").as("toks_b"), col("n").as("size_b"))
+    cand.join(sideA, "doc_a").join(sideB, "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+      .where(col("inter") * lit(1000L) >=
+        lit(minJaccardPermille.toLong) *
+          (col("size_a") + col("size_b") - col("inter")))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("size_a").cast("long").as("size_a"),
+        col("size_b").cast("long").as("size_b"),
+        (col("inter").cast("double") /
+          (col("size_a") + col("size_b") - col("inter")).cast("double"))
+          .as("jaccard"))
+  }
+}

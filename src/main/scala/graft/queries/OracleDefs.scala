@@ -2383,4 +2383,77 @@ object OracleDefs {
       |        FROM documents))
       |WHERE cum_tokens <= 700
       |ORDER BY doc_id""".stripMargin
+
+  /** q98: set-similarity join — the NAIVE all-pairs Jaccard join the
+    * prefix-filter candidate stage must reproduce losslessly (the
+    * mechanism is unobservable, which is the claim); integer-permille
+    * keep test, one IEEE division for the reported jaccard.
+    */
+  val setJoin: String =
+    """WITH base AS (
+      |  SELECT doc_id, list_distinct(list_filter(
+      |    string_split_regex(lower(text), '\s+'),
+      |    x -> len(x) > 0)) AS tk
+      |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+      |tok AS (SELECT doc_id, unnest(tk) AS token FROM base
+      |        WHERE len(tk) > 0),
+      |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+      |p AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |        count(*) AS inter
+      |      FROM tok x JOIN tok y USING (token)
+      |      WHERE x.doc_id < y.doc_id GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, inter, sa.n AS size_a, sb.n AS size_b,
+      |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+      |FROM p JOIN sz sa ON sa.doc_id = doc_a
+      |       JOIN sz sb ON sb.doc_id = doc_b
+      |WHERE inter * 1000 >= 950 * (sa.n + sb.n - inter)
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q99: BPE merge-pair counts — word frequencies, then the in-word
+    * substr(i, 2) sweep weighted by freq, fully tie-broken rank.
+    */
+  val bpeMerges: String =
+    """WITH w AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |    x -> len(x) > 0)) AS word
+      |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+      |wc AS (SELECT word, count(*) AS freq FROM w GROUP BY word),
+      |pr AS (
+      |  SELECT substr(word, CAST(i AS INT), 2) AS pair,
+      |         CAST(sum(freq) AS BIGINT) AS total
+      |  FROM (SELECT word, freq,
+      |          unnest(generate_series(1, CAST(len(word) - 1 AS BIGINT)))
+      |            AS i
+      |        FROM wc WHERE len(word) >= 2)
+      |  GROUP BY 1)
+      |SELECT pair, total, rank FROM (
+      |  SELECT pair, total,
+      |    CAST(row_number() OVER (ORDER BY total DESC, pair ASC) AS INT)
+      |      AS rank
+      |  FROM pr)
+      |WHERE rank <= 25 ORDER BY rank""".stripMargin
+
+  /** q100: text normalization — the same deterministic dirtying concat,
+    * then the same two explicit character-class regexes (never `\s`:
+    * Java and RE2 disagree on \x0B membership).
+    */
+  val textClean: String =
+    """WITH dirty AS (
+      |  SELECT doc_id,
+      |    chr(7) || '  ' || replace(text, 'a', 'a' || chr(1))
+      |      || chr(127) || ' ' AS text
+      |  FROM documents WHERE doc_id IS NOT NULL),
+      |s AS (
+      |  SELECT doc_id, text,
+      |    regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '',
+      |      'g') AS stripped
+      |  FROM dirty)
+      |SELECT doc_id,
+      |  trim(regexp_replace(stripped, '[ \t\r\n]+', ' ', 'g'))
+      |    AS clean_text,
+      |  CAST(len(text) AS INT) AS n_chars_raw,
+      |  CAST(len(trim(regexp_replace(stripped, '[ \t\r\n]+', ' ', 'g')))
+      |    AS INT) AS n_chars_clean,
+      |  CAST(len(text) - len(stripped) AS INT) AS n_controls
+      |FROM s ORDER BY doc_id""".stripMargin
 }

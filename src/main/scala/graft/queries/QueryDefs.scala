@@ -1612,4 +1612,42 @@ object QueryDefs {
       .select("doc_id", "source", "n_tokens", "cum_tokens")
       .orderBy("doc_id")
   }
+
+  /** q98: exact prefix-filter Jaccard join ([[graft.ops.SetJoin]]) —
+    * token-set similarity ≥ 0.95 over the documents corpus (the fixture
+    * shares a small vocabulary, so lower thresholds qualify most pairs;
+    * 0.95 keeps the near-clone population, 1887 pairs at sf0.01, with
+    * the integer boundary exercised). The oracle is the NAIVE all-pairs
+    * join — the prefix candidate stage must be unobservable (lossless),
+    * which is the op's whole claim.
+    */
+  def qSetJoin(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SetJoin.jaccardJoin(t(s, dir, "documents"),
+      minJaccardPermille = 950)
+      .orderBy("doc_a", "doc_b")
+
+  /** q99: BPE merge-pair counts ([[graft.ops.Vocab]]) — the top 25
+    * frequency-weighted adjacent character pairs over the documents
+    * corpus, fully tie-broken (total DESC, pair ASC). The oracle
+    * replays word frequencies and the in-word substr(i, 2) sweep.
+    */
+  def qBpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Vocab.bpeMergeCounts(t(s, dir, "documents"), topK = 25)
+      .orderBy("rank")
+
+  /** q100: text normalization ([[graft.ops.TextClean]]) — the corpus
+    * dirtied deterministically in BOTH engines (BEL + leading runs, a
+    * ctrl-A after every 'a', DEL + trailing space), then cleaned; the
+    * oracle replays the same dirtying concat and the same two explicit
+    * character-class regexes, so clean bytes and all three diagnostics
+    * must agree exactly.
+    */
+  def qTextClean(s: SparkSession, dir: String): DataFrame = {
+    val dirty = t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(expr("chr(7)"), lit("  "),
+          regexp_replace(col("text"), "a", "a\u0001"),
+          expr("chr(127)"), lit(" ")).as("text"))
+    graft.ops.TextClean.normalize(dirty).orderBy("doc_id")
+  }
 }
