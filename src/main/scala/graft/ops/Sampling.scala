@@ -199,9 +199,11 @@ object Sampling {
     *
     * Attaches `cum_tokens` (the inclusive running sum — the audit
     * column a mixing report reads). NULL ids are dropped (the module's
-    * no-hash-point verdict); NULL/negative token counts count 0 (a
-    * doc with unknown length must not poison the group's whole tail —
-    * and a negative count would break the monotone-prefix equivalence).
+    * no-hash-point verdict); NULL KEYS conflate to one shared budget
+    * (the [[capPerKey]] rule — "unknown source" is itself a source);
+    * NULL/negative token counts count 0 (a doc with unknown length must
+    * not poison the group's whole tail — and a negative count would
+    * break the monotone-prefix equivalence).
     *
     * 100 TB shape: identical to [[capPerKey]] — one key shuffle + a
     * per-group sort; the window carries one running long.
