@@ -206,7 +206,13 @@ object SparkEntry {
     // BPE merge-pair counts: tokenizer-training stats (round 5)
     "q99_bpe_merges" -> (QueryDefs.qBpeMerges _),
     // text normalization: control strip + whitespace normal form (round 5)
-    "q100_text_clean" -> (QueryDefs.qTextClean _)
+    "q100_text_clean" -> (QueryDefs.qTextClean _),
+    // bounded-state exact quantiles: two-pass bucket refinement (round 5)
+    "q101_quantiles_bucketed" -> (QueryDefs.qQuantiles _),
+    // exact triangle count via degree-ordered orientation (round 5)
+    "q102_triangles" -> (QueryDefs.qTriangles _),
+    // salted skew join: result-invariant hot-key splitting (round 5)
+    "q103_skew_join" -> (QueryDefs.qSkewJoin _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -309,6 +315,9 @@ object SparkEntry {
     "q97_budget_per_source" -> OracleDefs.budgetPerSource,
     "q98_set_join" -> OracleDefs.setJoin,
     "q99_bpe_merges" -> OracleDefs.bpeMerges,
-    "q100_text_clean" -> OracleDefs.textClean
+    "q100_text_clean" -> OracleDefs.textClean,
+    "q101_quantiles_bucketed" -> OracleDefs.quantiles,
+    "q102_triangles" -> OracleDefs.triangles,
+    "q103_skew_join" -> OracleDefs.skewJoin
   )
 }

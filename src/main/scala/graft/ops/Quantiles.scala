@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+/** Exact nearest-rank quantiles WITHOUT a per-group full sort — the
+  * bounded-sort answer to "p99 latency per endpoint over 10^12 rows".
+  * [[Percentiles.nearestRank]] is the direct form: one window pass that
+  * SORTS every group end to end, which at web scale means a spilled
+  * terabyte-sized sort per hot group. This op computes the IDENTICAL
+  * result (same nearest-rank rule, same integer-permille rank
+  * arithmetic, selects the same actual data values) in two linear
+  * passes plus a sort of only the rank-straddling buckets:
+  *
+  *   pass 1  corpus → per-(key, bucket) COUNT — a map-side-partial hash
+  *           aggregate; bucket = `value div width` (truncating integer
+  *           division, monotone in the value for width > 0, so sorting
+  *           by bucket is a coarsening of sorting by value).
+  *   plan    the bucket histogram (histogram-sized, never corpus-sized)
+  *           gets cumulative counts per key; each requested permille's
+  *           rank r = (p·n + 999) div 1000 lands in exactly the bucket
+  *           with prev < r ≤ cum, at in-bucket offset r − prev.
+  *   pass 2  corpus semi-joins the chosen (key, bucket) set — everything
+  *           outside a chosen bucket is filtered BEFORE any sort — then
+  *           one row_number window per (key, bucket) picks the offset.
+  *
+  * The sorted volume is the size of the straddling buckets only
+  * (≈ group_n / buckets_per_group per percentile), not the corpus; both
+  * passes are plain hash shuffles with partial aggregation. Ties: equal
+  * values always share a bucket (bucket is a function of the value), so
+  * the in-bucket rank among them is arbitrary but the picked VALUE is
+  * identical — the same determinism argument as [[Percentiles]].
+  *
+  * Integer-only rank arithmetic throughout (the [[Percentiles]] rule:
+  * a double `ceil(p*n)` mis-ranks at e.g. 0.95×40). The value column
+  * must be integral — bucketing a float by `div` would hit the
+  * truncation-vs-floor question at negative values; integral `div` is
+  * monotone, which is the only property the rank argument needs.
+  * NULL measurements carry no rank and are excluded from n.
+  */
+object Quantiles {
+
+  /** One row per group: `keyCols..., p_<label>` per requested permille —
+    * bit-identical to `Percentiles.nearestRank(df, keyCols, valCol, ps)`.
+    *
+    * @param bucketWidth histogram bucket width in value units; larger =
+    *   smaller histogram but bigger pass-2 sorts. Width 1 degenerates to
+    *   an exact value histogram (pass 2 sorts single-value buckets);
+    *   a width above the value range degenerates to the full sort.
+    */
+  def bucketedNearestRank(df: DataFrame, keyCols: Seq[String],
+      valCol: String, ps: Seq[(String, Int)],
+      bucketWidth: Long): DataFrame = {
+    require(ps.nonEmpty, "at least one percentile")
+    require(ps.forall { case (_, p) => p > 0 && p <= 1000 },
+      "percentile permille must be in (0, 1000]")
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    df.schema(valCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"bucketedNearestRank needs an integral value column; " +
+          s"'$valCol' is $other (floats would make `div` bucketing " +
+          "truncate-vs-floor ambiguous at negative values)")
+    }
+    val keys = keyCols.map(col)
+
+    // pass 1: corpus -> per-(key, bucket) counts. Map-side partial agg;
+    // the output is histogram-sized.
+    val rows = df.where(col(valCol).isNotNull)
+      .select(keys :+ col(valCol) :+
+        expr(s"`$valCol` div $bucketWidth").as("__graft_b"): _*)
+    val hist = rows.groupBy(keys :+ col("__graft_b"): _*)
+      .agg(count(lit(1)).as("__graft_c"))
+
+    // histogram plan: cumulative counts per key over the bucket order
+    // (histogram-sized window, never corpus-sized), then each requested
+    // permille picks its straddling bucket + in-bucket offset.
+    val wCum = Window.partitionBy(keys: _*).orderBy(col("__graft_b").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys: _*)
+    val cum = hist
+      .withColumn("__graft_cum", sum(col("__graft_c")).over(wCum))
+      .withColumn("__graft_n", sum(col("__graft_c")).over(wAll))
+      .withColumn("__graft_prev",
+        col("__graft_cum") - col("__graft_c"))
+    val psArr = array(ps.map { case (label, p) =>
+      struct(lit(label).as("label"), lit(p.toLong).as("p"))
+    }: _*)
+    val targets = cum
+      .withColumn("__graft_q", explode(psArr))
+      .withColumn("__graft_rank",
+        expr("(__graft_q.p * __graft_n + 999) div 1000"))
+      .where(col("__graft_prev") < col("__graft_rank") &&
+        col("__graft_rank") <= col("__graft_cum"))
+      .select(keys :+ col("__graft_b") :+
+        col("__graft_q.label").as("__graft_label") :+
+        (col("__graft_rank") - col("__graft_prev"))
+          .as("__graft_off"): _*)
+
+    // pass 2: keep only rows in a straddling bucket (semi-join BEFORE
+    // any sort), rank inside each (key, bucket), pick the offsets.
+    val bucketKeys = keyCols :+ "__graft_b"
+    val needed = targets.select(bucketKeys.map(col): _*).distinct()
+    val pruned = rows.join(needed, bucketKeys)
+    val wIn = Window.partitionBy(bucketKeys.map(col): _*)
+      .orderBy(col(valCol).asc)
+    val picked = pruned
+      .withColumn("__graft_rn", row_number().over(wIn))
+      .join(targets, bucketKeys)
+      .where(col("__graft_rn") === col("__graft_off"))
+
+    val aggs: Seq[Column] = ps.map { case (label, _) =>
+      max(when(col("__graft_label") === label, col(valCol)))
+        .as(s"p_$label")
+    }
+    picked.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+  }
+}

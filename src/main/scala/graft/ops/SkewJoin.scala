@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Explicit key-salting for skewed equi-joins — the manual complement
+  * to AQE's skew-join splitting, for the case AQE cannot fix: a
+  * dimension side too large to broadcast joined on a key where one
+  * value carries a huge share of the fact rows (the "80% of turns are
+  * role=assistant" / "half the events are page_view" shape). A plain
+  * hash/sort-merge join sends EVERY row of the hot key to one shuffle
+  * partition — one straggler task does most of the work no matter how
+  * many executors exist, which is precisely the scaling-efficiency
+  * killer the north rule's N→4N criterion measures.
+  *
+  * Mechanism: the fact side gets a deterministic salt in [0, salts)
+  * (xxhash64 over the whole row — any value works, the join is
+  * salt-complete); the dimension side is replicated once per salt via
+  * a map-side explode. The join key becomes (keys…, salt), so the hot
+  * key's rows spread over `salts` shuffle partitions while each fact
+  * row still meets every matching dimension row exactly once — the
+  * result MULTISET is provably identical to the unsalted inner join
+  * (each fact row has one salt; the dimension carries all of them).
+  * Cost: the dimension shuffles `salts`× its size — the deliberate
+  * trade (replicate the small side, split the big side's hot key).
+  *
+  * Inner-join semantics only (NULL keys never match, as in SQL).
+  * `salts` = 1 degenerates to the plain join.
+  */
+object SkewJoin {
+
+  /** `big ⋈ small` on `keys`, salt-split `salts` ways. Output columns:
+    * keys…, big's non-key columns, small's non-key columns. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      salts: Int): DataFrame = {
+    require(salts >= 1, "salts must be >= 1")
+    require(keys.nonEmpty, "at least one join key")
+    val bigS = big.withColumn("__graft_salt",
+      pmod(xxhash64(big.columns.map(col): _*), lit(salts.toLong)))
+    val smallS = small.withColumn("__graft_salt",
+      explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
+    bigS.join(smallS, keys :+ "__graft_salt").drop("__graft_salt")
+  }
+}

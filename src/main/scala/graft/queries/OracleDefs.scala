@@ -2456,4 +2456,59 @@ object OracleDefs {
       |    AS INT) AS n_chars_clean,
       |  CAST(len(text) - len(stripped) AS INT) AS n_controls
       |FROM s ORDER BY doc_id""".stripMargin
+
+  /** q101: bounded-state exact quantiles — the oracle is the DIRECT
+    * full-sort nearest-rank form (the q61 mechanism, same
+    * integer-permille rank), so the bucket-refinement mechanism must be
+    * unobservable.
+    */
+  val quantiles: String =
+    """WITH r AS (
+      |  SELECT source, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars)
+      |      AS rk,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM documents WHERE n_chars IS NOT NULL)
+      |SELECT source,
+      |  max(CASE WHEN rk = (500 * n + 999) // 1000 THEN n_chars END)
+      |    AS p_50,
+      |  max(CASE WHEN rk = (900 * n + 999) // 1000 THEN n_chars END)
+      |    AS p_90,
+      |  max(CASE WHEN rk = (990 * n + 999) // 1000 THEN n_chars END)
+      |    AS p_99
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q102: triangle count — the oracle is the NAIVE three-way
+    * self-join with u < v < w over the same canonical edge set; the
+    * degree-ordered orientation must count the identical set.
+    */
+  val triangles: String =
+    """WITH raw AS (
+      |  SELECT event_id % 350 AS x, (event_id // 7) % 350 AS y
+      |  FROM events WHERE event_id IS NOT NULL),
+      |e AS (
+      |  SELECT DISTINCT least(x, y) AS src, greatest(x, y) AS dst
+      |  FROM raw WHERE x <> y),
+      |nn AS (SELECT count(*) AS n_nodes FROM (
+      |  SELECT DISTINCT n FROM (
+      |    SELECT src AS n FROM e UNION ALL SELECT dst FROM e))),
+      |ne AS (SELECT count(*) AS n_edges FROM e),
+      |nt AS (SELECT count(*) AS n_triangles
+      |  FROM e a
+      |  JOIN e b ON b.src = a.src AND b.dst > a.dst
+      |  JOIN e c ON c.src = a.dst AND c.dst = b.dst)
+      |SELECT n_nodes, n_edges, n_triangles FROM nn, ne, nt""".stripMargin
+
+  /** q103: salted skew join — the oracle is the PLAIN inner join +
+    * rollup; the salt replication must be result-invariant.
+    */
+  val skewJoin: String =
+    """WITH dim AS (
+      |  SELECT event_type, count(*) AS type_total FROM events
+      |  WHERE event_type IS NOT NULL GROUP BY 1)
+      |SELECT e.user_id % 20 AS user_bucket,
+      |  count(*) AS n_rows,
+      |  CAST(sum(d.type_total) AS BIGINT) AS sum_weight
+      |FROM events e JOIN dim d USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -1650,4 +1650,51 @@ object QueryDefs {
           expr("chr(127)"), lit(" ")).as("text"))
     graft.ops.TextClean.normalize(dirty).orderBy("doc_id")
   }
+
+  /** q101: bounded-state exact quantiles ([[graft.ops.Quantiles]]) —
+    * p50/p90/p99 of n_chars per source via the two-pass bucket
+    * refinement (width 200), which must be bit-identical to the direct
+    * full-sort nearest-rank form; the oracle computes the DIRECT form
+    * (row_number + integer-permille rank), so the histogram mechanism
+    * is unobservable — the op's whole claim.
+    */
+  def qQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Quantiles.bucketedNearestRank(
+      t(s, dir, "documents"), Seq("source"), "n_chars",
+      Seq(("50", 500), ("90", 900), ("99", 990)), bucketWidth = 200L)
+      .orderBy("source")
+
+  /** q102: exact triangle count ([[graft.ops.Triangles]]) — the graph
+    * derived deterministically from events in BOTH engines
+    * (x = event_id % 350, y = (event_id div 7) % 350), canonicalized
+    * and counted via degree-ordered orientation; the oracle counts via
+    * the naive three-way self-join with u < v < w, which the oriented
+    * wedge join must equal exactly.
+    */
+  def qTriangles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Triangles.triangleCount(
+      t(s, dir, "events").where(col("event_id").isNotNull)
+        .select(expr("event_id % 350").as("x"),
+          expr("(event_id div 7) % 350").as("y")),
+      "x", "y")
+
+  /** q103: salted skew join ([[graft.ops.SkewJoin]]) — events (heavily
+    * concentrated on a handful of hot event_types) joined to the
+    * per-type totals dimension with 8 salts, then rolled up per user
+    * bucket; the oracle is the PLAIN join + aggregate, so the salting
+    * must be result-invariant — the op's whole claim.
+    */
+  def qSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    val dim = events.where(col("event_type").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("type_total"))
+    graft.ops.SkewJoin.saltedJoin(
+        events.select(col("event_type"), col("user_id")),
+        dim, Seq("event_type"), salts = 8)
+      .groupBy(expr("user_id % 20").as("user_bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("type_total")).as("sum_weight"))
+      .orderBy("user_bucket")
+  }
 }

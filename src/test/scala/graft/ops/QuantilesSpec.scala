@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Quantiles — two-pass bucket refinement must be bit-identical to the
+  * direct full-sort nearest-rank form at every width. */
+class QuantilesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val ps = Seq(("50", 500), ("90", 900), ("99", 990))
+
+  private def direct(df: DataFrame) =
+    Percentiles.nearestRank(df, Seq("k"), "v", ps)
+      .orderBy("k").collect().toSeq
+
+  private def bucketed(df: DataFrame, w: Long) =
+    Quantiles.bucketedNearestRank(df, Seq("k"), "v", ps, w)
+      .orderBy("k").collect().toSeq
+
+  private def corpus(seed: Int, n: Int): DataFrame =
+    (0 until n).map { i =>
+      val h = (i * 2654435761L + seed * 97L) & 0xffffffffL
+      (s"g${h % 5}", (h % 10007L) - 2000L) // negatives included
+    }.toDF("k", "v")
+
+  test("equivalence with the direct form across widths, incl. the " +
+    "width-1 exact histogram and the one-bucket degenerate") {
+    val df = corpus(1, 4000)
+    val want = direct(df)
+    for (w <- Seq(1L, 7L, 100L, 4096L, 1000000000L))
+      assert(bucketed(df, w) == want, s"width=$w")
+  }
+
+  test("negative values: truncating div buckets stay monotone and the " +
+    "picked values match the direct sort") {
+    val df = Seq(("a", -7L), ("a", -3L), ("a", -1L), ("a", 0L),
+      ("a", 1L), ("a", 3L), ("a", 8L)).toDF("k", "v")
+    for (w <- Seq(2L, 3L, 5L)) assert(bucketed(df, w) == direct(df))
+  }
+
+  test("ties at a rank boundary pick the identical value") {
+    // 10 rows, p90 rank = ceil(0.9*10) = 9; rows 8..10 all equal 5
+    val df = (Seq.fill(7)(1L) ++ Seq.fill(3)(5L)).map(("t", _))
+      .toDF("k", "v")
+    assert(bucketed(df, 2L) == direct(df))
+  }
+
+  test("NULL measurements are excluded from n (rank denominators agree)") {
+    val df = (Seq[java.lang.Long](1L, 2L, 3L, 4L, null, null)
+      .map(v => ("n", v))).toDF("k", "v")
+    assert(bucketed(df, 3L) == direct(df))
+  }
+
+  test("multiple percentiles landing in the same bucket both resolve") {
+    // width large enough that p50/p90/p99 straddle one bucket
+    val df = (1L to 100L).map(("one", _)).toDF("k", "v")
+    assert(bucketed(df, 1000L) == direct(df))
+    // and small enough that they straddle three different buckets
+    assert(bucketed(df, 10L) == direct(df))
+  }
+
+  test("non-integral value column is rejected loudly") {
+    val df = Seq(("a", 1.5)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      Quantiles.bucketedNearestRank(df, Seq("k"), "v", ps, 10L)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("pass-2 pruning: only straddling buckets reach the sort") {
+    // observable via the needed-bucket arithmetic: with width 1 on a
+    // uniform 1..1000 corpus the three percentiles select exactly the
+    // three single-value buckets, so the picked frame has 3 rows/group
+    val df = (1L to 1000L).map(("u", _)).toDF("k", "v")
+    val out = Quantiles.bucketedNearestRank(df, Seq("k"), "v", ps, 1L)
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == 500L && out(0).getLong(2) == 900L &&
+      out(0).getLong(3) == 990L)
+  }
+}
