@@ -212,7 +212,13 @@ object SparkEntry {
     // exact triangle count via degree-ordered orientation (round 5)
     "q102_triangles" -> (QueryDefs.qTriangles _),
     // salted skew join: result-invariant hot-key splitting (round 5)
-    "q103_skew_join" -> (QueryDefs.qSkewJoin _)
+    "q103_skew_join" -> (QueryDefs.qSkewJoin _),
+    // URL canonicalization: explicit-grammar normalizer (round 5)
+    "q104_url_normalize" -> (QueryDefs.qUrlNormalize _),
+    // Z-order interleave keys: the multi-dim layout primitive (round 5)
+    "q105_zorder" -> (QueryDefs.qZorder _),
+    // hierarchical rollup: every prefix granularity in one pass (round 5)
+    "q106_rollup_hierarchy" -> (QueryDefs.qRollupHierarchy _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -318,6 +324,9 @@ object SparkEntry {
     "q100_text_clean" -> OracleDefs.textClean,
     "q101_quantiles_bucketed" -> OracleDefs.quantiles,
     "q102_triangles" -> OracleDefs.triangles,
-    "q103_skew_join" -> OracleDefs.skewJoin
+    "q103_skew_join" -> OracleDefs.skewJoin,
+    "q104_url_normalize" -> OracleDefs.urlNormalize,
+    "q105_zorder" -> OracleDefs.zorder,
+    "q106_rollup_hierarchy" -> OracleDefs.rollupHierarchy
   )
 }

@@ -84,4 +84,26 @@ object Rollups {
     agg.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
+
+  /** Every prefix granularity of a reporting hierarchy in ONE pass —
+    * `(a, b, c)`, `(a, b)`, `(a)`, and the grand total from a single
+    * `rollup` aggregate, instead of the N-separate-GROUP-BYs form that
+    * reads the corpus once per level. Spark plans this as one Expand
+    * (each input row fans out to levels+1 aggregation rows map-side)
+    * feeding ONE partial-aggregated shuffle — at 10^12 rows the corpus
+    * is scanned once, and the fan-out rows collapse in the map-side
+    * hash aggregate long before the exchange.
+    *
+    * `gid` is Spark's `grouping_id()` bit vector (bit set = column
+    * rolled up), identical to ANSI/DuckDB `GROUPING(a, b, …)` — the
+    * portable way to tell a rolled-up NULL from a genuine NULL key.
+    */
+  def hierarchicalRollup(df: DataFrame, levels: Seq[String],
+      aggs: Seq[Column]): DataFrame = {
+    require(levels.nonEmpty, "at least one hierarchy level")
+    require(aggs.nonEmpty, "at least one aggregate")
+    df.rollup(levels.map(col): _*)
+      .agg(aggs.head,
+        (aggs.tail :+ grouping_id().cast("int").as("gid")): _*)
+  }
 }

@@ -2511,4 +2511,101 @@ object OracleDefs {
       |  CAST(sum(d.type_total) AS BIGINT) AS sum_weight
       |FROM events e JOIN dim d USING (event_type)
       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q104: URL canonicalization — the same synthesis concat, the same
+    * explicit grammar regexes (Java ∩ RE2 subset), the same canonical
+    * rules: lowercase scheme/host, default-port strip, fragment drop,
+    * tracking-param drop + lexicographic param sort, empty path → '/'.
+    */
+  val urlNormalize: String =
+    """WITH u AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 97 = 0 THEN 'not a url' ELSE
+      |      'HTTP://Example' || (event_id % 5) || '.COM' ||
+      |      CASE WHEN event_id % 3 = 0 THEN ':80'
+      |           WHEN event_id % 3 = 1 THEN ':8080' ELSE '' END ||
+      |      CASE WHEN event_id % 7 = 0 THEN ''
+      |           ELSE '/Path/' || event_type END ||
+      |      CASE WHEN event_id % 4 = 0 THEN '?utm_source=news&b=2&a=1'
+      |           WHEN event_id % 4 = 1 THEN '?gclid=xyz'
+      |           WHEN event_id % 4 = 2 THEN '?z=9&a=1&utm_campaign=c&&'
+      |           ELSE '' END ||
+      |      CASE WHEN event_id % 2 = 0 THEN '#frag?notquery'
+      |           ELSE '' END
+      |    END AS url
+      |  FROM events),
+      |p AS (
+      |  SELECT event_id, url,
+      |    lower(regexp_extract(url,
+      |      '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+      |    regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1) AS hostport,
+      |    regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1) AS path,
+      |    regexp_extract(url, '^[^#?]*\?([^#]*)', 1) AS query
+      |  FROM u),
+      |q AS (
+      |  SELECT *,
+      |    lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host0,
+      |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+      |    list_filter(string_split(query, '&'), x -> x <> '') AS rawp
+      |  FROM p),
+      |r AS (
+      |  SELECT *, list_sort(list_filter(rawp, x -> NOT
+      |    regexp_matches(x,
+      |      '^(utm_[a-z0-9_]*|fbclid|gclid|msclkid)='))) AS kept,
+      |    (scheme = '' OR host0 = '') AS mal
+      |  FROM q)
+      |SELECT event_id,
+      |  CASE WHEN mal THEN NULL ELSE
+      |    scheme || '://' || host0 ||
+      |    CASE WHEN port <> '' AND
+      |         NOT (scheme = 'http' AND port = '80') AND
+      |         NOT (scheme = 'https' AND port = '443')
+      |      THEN ':' || port ELSE '' END ||
+      |    CASE WHEN path = '' THEN '/' ELSE path END ||
+      |    CASE WHEN len(kept) > 0
+      |      THEN '?' || array_to_string(kept, '&') ELSE '' END
+      |  END AS url_norm,
+      |  CASE WHEN mal THEN NULL ELSE host0 END AS host,
+      |  CASE WHEN mal THEN NULL
+      |    ELSE CAST(len(kept) AS INT) END AS n_params_kept,
+      |  CASE WHEN mal THEN NULL
+      |    ELSE CAST(len(rawp) - len(kept) AS INT) END AS n_params_dropped,
+      |  mal AS malformed
+      |FROM r ORDER BY event_id""".stripMargin
+
+  /** q105: Z-order keys — the identical 4-step magic-shift spread per
+    * dimension, odd/even bit merge, in plain `& | <<` bit operators.
+    */
+  val zorder: String =
+    """WITH b AS (
+      |  SELECT event_id, user_id % 256 AS x, event_id % 256 AS y
+      |  FROM events),
+      |s1 AS (SELECT *, (x | (x << 8)) & 16711935 AS xa,
+      |               (y | (y << 8)) & 16711935 AS ya FROM b),
+      |s2 AS (SELECT *, (xa | (xa << 4)) & 252645135 AS xb,
+      |               (ya | (ya << 4)) & 252645135 AS yb FROM s1),
+      |s3 AS (SELECT *, (xb | (xb << 2)) & 858993459 AS xc,
+      |               (yb | (yb << 2)) & 858993459 AS yc FROM s2),
+      |s4 AS (SELECT *, (xc | (xc << 1)) & 1431655765 AS xd,
+      |               (yc | (yc << 1)) & 1431655765 AS yd FROM s3)
+      |SELECT event_id, x, y, (xd | (yd << 1)) AS zkey
+      |FROM s4 ORDER BY event_id""".stripMargin
+
+  /** q106: hierarchical rollup — ANSI GROUP BY ROLLUP with
+    * GROUPING(a, b) as the same bit vector Spark's grouping_id emits;
+    * integer-exact aggregates only.
+    */
+  val rollupHierarchy: String =
+    """WITH b AS (
+      |  SELECT event_type, user_id % 7 AS ubucket, user_id, event_id
+      |  FROM events)
+      |SELECT event_type, ubucket,
+      |  count(*) AS n_rows,
+      |  count(DISTINCT user_id) AS n_users,
+      |  CAST(sum(event_id) AS BIGINT) AS sum_ids,
+      |  CAST(GROUPING(event_type, ubucket) AS INT) AS gid
+      |FROM b GROUP BY ROLLUP(event_type, ubucket)
+      |ORDER BY gid, event_type, ubucket""".stripMargin
 }

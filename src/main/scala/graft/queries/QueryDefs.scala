@@ -1697,4 +1697,65 @@ object QueryDefs {
         sum(col("type_total")).as("sum_weight"))
       .orderBy("user_bucket")
   }
+
+  /** q104: URL canonicalization ([[graft.ops.UrlNormalize]]) — URLs
+    * synthesized deterministically from events in BOTH engines
+    * (mixed-case host, default and non-default ports, tracking params,
+    * empty params, a fragment containing '?', a malformed row every
+    * 97th id), then normalized; the oracle replays the same explicit
+    * grammar regexes and the same canonical-form rules.
+    */
+  def qUrlNormalize(s: SparkSession, dir: String): DataFrame = {
+    val synth = t(s, dir, "events").select(col("event_id"),
+      when(expr("event_id % 97 = 0"), lit("not a url"))
+        .otherwise(concat(
+          lit("HTTP://Example"), expr("event_id % 5").cast("string"),
+          lit(".COM"),
+          when(expr("event_id % 3 = 0"), lit(":80"))
+            .when(expr("event_id % 3 = 1"), lit(":8080"))
+            .otherwise(lit("")),
+          when(expr("event_id % 7 = 0"), lit(""))
+            .otherwise(concat(lit("/Path/"), col("event_type"))),
+          when(expr("event_id % 4 = 0"), lit("?utm_source=news&b=2&a=1"))
+            .when(expr("event_id % 4 = 1"), lit("?gclid=xyz"))
+            .when(expr("event_id % 4 = 2"),
+              lit("?z=9&a=1&utm_campaign=c&&"))
+            .otherwise(lit("")),
+          when(expr("event_id % 2 = 0"), lit("#frag?notquery"))
+            .otherwise(lit("")))).as("url"))
+    graft.ops.UrlNormalize.normalize(synth, "url")
+      .select("event_id", "url_norm", "host", "n_params_kept",
+        "n_params_dropped", "malformed")
+      .orderBy("event_id")
+  }
+
+  /** q105: Z-order keys ([[graft.ops.Zorder]]) — the Morton interleave
+    * of (user_id % 256, event_id % 256) for every event; the oracle
+    * replays the identical 4-step magic-shift spread with plain
+    * `& | <<` bit operators, so every one of the 10k keys must agree
+    * bit-for-bit.
+    */
+  def qZorder(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Zorder.withZkey(
+      t(s, dir, "events").select(col("event_id"),
+        expr("user_id % 256").as("x"), expr("event_id % 256").as("y")),
+      "x", "y")
+      .orderBy("event_id")
+
+  /** q106: hierarchical rollup ([[graft.ops.Rollups.hierarchicalRollup]])
+    * — (event_type, user bucket) plus both prefix granularities and the
+    * grand total in ONE pass; gid is the ANSI GROUPING bit vector, and
+    * every aggregate is integer-exact (counts, distinct counts, long
+    * sums — never float sums, which are order-dependent).
+    */
+  def qRollupHierarchy(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Rollups.hierarchicalRollup(
+      t(s, dir, "events").select(col("event_type"),
+        expr("user_id % 7").as("ubucket"), col("user_id"),
+        col("event_id")),
+      Seq("event_type", "ubucket"),
+      Seq(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("event_id")).as("sum_ids")))
+      .orderBy("gid", "event_type", "ubucket")
 }
