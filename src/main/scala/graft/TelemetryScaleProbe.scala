@@ -319,6 +319,60 @@ object TelemetryScaleProbe {
       graft.ops.Sampling.budgetPerKey(docs, "key", budget = 100000L)
         .count()
     }
+    // session-11 families
+    probe("quantiles_bucketed") {
+      val m = events.select(col("event_type"),
+        pmod(xxhash64(lit(15), col("event_id")), lit(5000000L))
+          .as("latency_us"))
+      graft.ops.Quantiles.bucketedNearestRank(m, Seq("event_type"),
+        "latency_us", Seq(("50", 500), ("99", 990)),
+        bucketWidth = 10000L).count()
+    }
+    probe("quantiles_direct") { // the full-sort baseline to beat
+      val m = events.select(col("event_type"),
+        pmod(xxhash64(lit(15), col("event_id")), lit(5000000L))
+          .as("latency_us"))
+      graft.ops.Percentiles.nearestRank(m, Seq("event_type"),
+        "latency_us", Seq(("50", 500), ("99", 990))).count()
+    }
+    probe("triangles") {
+      // sparse social-graph density: avg degree 2m/nodes = 6
+      val nodes = math.max(100L, n / 3)
+      val edges = events.select(
+        pmod(xxhash64(lit(16), col("event_id")), lit(nodes)).as("x"),
+        pmod(xxhash64(lit(17), col("event_id")), lit(nodes)).as("y"))
+      graft.ops.Triangles.triangleCount(edges, "x", "y").count()
+    }
+    probe("skew_join") {
+      val dim = events.groupBy("event_type")
+        .agg(count(lit(1)).as("type_total"))
+      graft.ops.SkewJoin.saltedJoin(
+        events.select("event_type", "user_id"), dim,
+        Seq("event_type"), salts = 16).count()
+    }
+    probe("url_normalize") {
+      val urls = events.select(col("event_id"), concat(
+        lit("HTTP://Host"), pmod(col("event_id"), lit(1000)),
+        lit(".COM:80/p/"), col("event_type"),
+        lit("?utm_source=x&b=2&a="), col("user_id"), lit("#f"))
+        .as("url"))
+      graft.ops.UrlNormalize.normalize(urls, "url").count()
+    }
+    probe("zorder") {
+      graft.ops.Zorder.withZkey(events.select(
+        pmod(col("user_id"), lit(65536L)).as("x"),
+        pmod(col("event_id"), lit(65536L)).as("y")), "x", "y").count()
+    }
+    probe("rollup_hierarchy") {
+      graft.ops.Rollups.hierarchicalRollup(
+        events.select(col("event_type"),
+          pmod(col("user_id"), lit(7)).as("ubucket"), col("user_id"),
+          col("event_id")),
+        Seq("event_type", "ubucket"),
+        Seq(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("event_id")).as("sum_ids"))).count()
+    }
     spark.stop()
   }
 }

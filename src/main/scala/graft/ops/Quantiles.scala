@@ -33,6 +33,21 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   * the in-bucket rank among them is arbitrary but the picked VALUE is
   * identical — the same determinism argument as [[Percentiles]].
   *
+  * Which form to use, honestly (probe-measured): the win here is
+  * SHUFFLE VOLUME, not local CPU. The direct window shuffles the full
+  * corpus to the group partitions and sorts it; this op's map-side
+  * combine reduces the exchange to histogram-sized rows and pass 2 to
+  * the straddling buckets. On `local[*]` with memory-backed shuffle
+  * and groups that fit executor memory, Tungsten's in-memory radix
+  * window sort makes the DIRECT form faster (TelemetryScaleProbe:
+  * 10M rows × 5 groups — direct ~1 s, bucketed ~4-7 s: the histogram's
+  * per-row string-key hash agg costs more than the radix sort it
+  * avoids). At cluster scale the regime flips: a 10^12-row group
+  * cannot sort in memory (spilled external sort + a full-corpus
+  * network exchange) while the histogram exchange stays ~10^5 rows
+  * regardless of corpus size. Use [[Percentiles.nearestRank]] when
+  * per-group data fits an executor; use this when it doesn't.
+  *
   * Integer-only rank arithmetic throughout (the [[Percentiles]] rule:
   * a double `ceil(p*n)` mis-ranks at e.g. 0.95×40). The value column
   * must be integral — bucketing a float by `div` would hit the
@@ -52,7 +67,7 @@ object Quantiles {
     */
   def bucketedNearestRank(df: DataFrame, keyCols: Seq[String],
       valCol: String, ps: Seq[(String, Int)],
-      bucketWidth: Long): DataFrame = {
+      bucketWidth: Long, broadcastTargets: Boolean = true): DataFrame = {
     require(ps.nonEmpty, "at least one percentile")
     require(ps.forall { case (_, p) => p > 0 && p <= 1000 },
       "percentile permille must be in (0, 1000]")
@@ -88,6 +103,11 @@ object Quantiles {
     val psArr = array(ps.map { case (label, p) =>
       struct(lit(label).as("label"), lit(p.toLong).as("p"))
     }: _*)
+    // localCheckpoint: the target table is (groups × percentiles)-sized
+    // and is consumed by TWO joins below — without the checkpoint each
+    // broadcast would re-execute the whole corpus histogram (the
+    // Dedup.nearDupClusters edge-list lesson: pin tiny reused frames,
+    // or every consumer pays the full upstream pass again).
     val targets = cum
       .withColumn("__graft_q", explode(psArr))
       .withColumn("__graft_rank",
@@ -98,17 +118,28 @@ object Quantiles {
         col("__graft_q.label").as("__graft_label") :+
         (col("__graft_rank") - col("__graft_prev"))
           .as("__graft_off"): _*)
+      .localCheckpoint()
 
     // pass 2: keep only rows in a straddling bucket (semi-join BEFORE
     // any sort), rank inside each (key, bucket), pick the offsets.
+    // The target tables are (groups × percentiles)-sized — broadcast
+    // them so the corpus side is a scan + hash probe, NEVER a
+    // sort-merge join (whose corpus sort is exactly the cost this op
+    // exists to avoid; Catalyst's size estimate after the window+filter
+    // is too pessimistic to pick broadcast on its own). For gigantic
+    // group cardinality (targets beyond driver memory) pass
+    // broadcastTargets = false: the joins then hint shuffle_hash,
+    // which still avoids any corpus sort.
+    val hinted = (t: DataFrame) =>
+      if (broadcastTargets) broadcast(t) else t.hint("shuffle_hash")
     val bucketKeys = keyCols :+ "__graft_b"
     val needed = targets.select(bucketKeys.map(col): _*).distinct()
-    val pruned = rows.join(needed, bucketKeys)
+    val pruned = rows.join(hinted(needed), bucketKeys)
     val wIn = Window.partitionBy(bucketKeys.map(col): _*)
       .orderBy(col(valCol).asc)
     val picked = pruned
       .withColumn("__graft_rn", row_number().over(wIn))
-      .join(targets, bucketKeys)
+      .join(hinted(targets), bucketKeys)
       .where(col("__graft_rn") === col("__graft_off"))
 
     val aggs: Seq[Column] = ps.map { case (label, _) =>

@@ -41,13 +41,23 @@ object Triangles {
         greatest(col(srcCol), col(dstCol)).as("dst"))
       .distinct()
 
-  /** One row: (n_nodes, n_edges, n_triangles) — exact. */
+  /** One row: (n_nodes, n_edges, n_triangles) — exact.
+    *
+    * The canonical edge list, the degree table, and the oriented edge
+    * set are each consumed by MULTIPLE downstream joins —
+    * localCheckpoint pins them once (the [[Dedup.nearDupClusters]]
+    * edge-list lesson: an un-pinned frame re-executes its whole
+    * upstream subtree per consumer; before the pin this op re-ran the
+    * distinct + both degree joins up to three times each). The blocks
+    * live until the session drops them — edge-list-sized, the same
+    * budget the CC op documents. */
   def triangleCount(df: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e = canonicalEdges(df, srcCol, dstCol)
+    val e = canonicalEdges(df, srcCol, dstCol).localCheckpoint()
 
     val deg = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
 
     // orient by (deg, node): lower order -> higher order
     val withDeg = e
@@ -61,6 +71,7 @@ object Triangles {
       when(srcLower, col("src")).otherwise(col("dst")).as("a"),
       when(srcLower, col("dst")).otherwise(col("src")).as("b"),
       when(srcLower, col("ddeg")).otherwise(col("sdeg")).as("bdeg"))
+      .localCheckpoint()
 
     // wedges from each apex a: unordered out-neighbor pairs (v, w)
     // with order(v) < order(w); the closing oriented edge is v -> w
