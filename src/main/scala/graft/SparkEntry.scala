@@ -218,7 +218,11 @@ object SparkEntry {
     // Z-order interleave keys: the multi-dim layout primitive (round 5)
     "q105_zorder" -> (QueryDefs.qZorder _),
     // hierarchical rollup: every prefix granularity in one pass (round 5)
-    "q106_rollup_hierarchy" -> (QueryDefs.qRollupHierarchy _)
+    "q106_rollup_hierarchy" -> (QueryDefs.qRollupHierarchy _),
+    // co-bucketed catalog-table join: zero-exchange layout (round 5)
+    "q107_bucketed_join" -> (QueryDefs.qBucketedJoin _),
+    // algebraic partial-aggregate merge: incremental rollups (round 5)
+    "q108_merge_partials" -> (QueryDefs.qMergePartials _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -327,6 +331,8 @@ object SparkEntry {
     "q103_skew_join" -> OracleDefs.skewJoin,
     "q104_url_normalize" -> OracleDefs.urlNormalize,
     "q105_zorder" -> OracleDefs.zorder,
-    "q106_rollup_hierarchy" -> OracleDefs.rollupHierarchy
+    "q106_rollup_hierarchy" -> OracleDefs.rollupHierarchy,
+    "q107_bucketed_join" -> OracleDefs.bucketedJoin,
+    "q108_merge_partials" -> OracleDefs.mergePartials
   )
 }

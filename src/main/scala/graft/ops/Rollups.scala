@@ -98,6 +98,42 @@ object Rollups {
     * rolled up), identical to ANSI/DuckDB `GROUPING(a, b, …)` — the
     * portable way to tell a rolled-up NULL from a genuine NULL key.
     */
+  /** Merge PARTIAL aggregate tables — incremental rollup maintenance.
+    * At 10^12 rows the daily pattern is never "re-aggregate history":
+    * each increment (day, hour, backfill shard) aggregates once, and
+    * the running rollup folds the partials. That only works for
+    * ALGEBRAIC aggregates, and the combiner is not the original
+    * aggregate: counts re-combine with SUM (a count-of-counts would be
+    * the number of partials), sums with sum, min/max with min/max.
+    * Non-algebraic metrics (avg, distinct counts, medians) must be
+    * carried as their algebraic parts instead (sum+count; distinct
+    * needs the entity-level table or a mergeable sketch) — this op
+    * REJECTS unknown kinds loudly rather than folding them wrongly.
+    *
+    * Shape: unionByName (map-side, no schema positional traps) + one
+    * hash aggregate on the keys — partials-sized, never corpus-sized.
+    *
+    * @param specs (column, kind) with kind ∈ count | sum | min | max;
+    *              `count` documents intent and folds as sum
+    */
+  def mergePartials(parts: Seq[DataFrame], keys: Seq[String],
+      specs: Seq[(String, String)]): DataFrame = {
+    require(parts.nonEmpty, "at least one partial table")
+    require(keys.nonEmpty, "at least one key")
+    require(specs.nonEmpty, "at least one metric")
+    val aggs = specs.map {
+      case (c, "count" | "sum") => sum(col(c)).as(c)
+      case (c, "min")           => min(col(c)).as(c)
+      case (c, "max")           => max(col(c)).as(c)
+      case (c, kind) => throw new IllegalArgumentException(
+        s"mergePartials: '$c' has non-algebraic kind '$kind' — carry " +
+          "its algebraic parts (e.g. sum+count for avg) instead")
+    }
+    parts.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   def hierarchicalRollup(df: DataFrame, levels: Seq[String],
       aggs: Seq[Column]): DataFrame = {
     require(levels.nonEmpty, "at least one hierarchy level")

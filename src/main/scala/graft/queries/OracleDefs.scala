@@ -2608,4 +2608,25 @@ object OracleDefs {
       |  CAST(GROUPING(event_type, ubucket) AS INT) AS gid
       |FROM b GROUP BY ROLLUP(event_type, ubucket)
       |ORDER BY gid, event_type, ubucket""".stripMargin
+
+  /** q107: co-bucketed join — the plain join + rollup; the bucketed
+    * catalog layout must be result-invariant.
+    */
+  val bucketedJoin: String =
+    """WITH dim AS (
+      |  SELECT user_id, count(*) AS n_user_events
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_type, count(*) AS n_rows,
+      |  CAST(sum(d.n_user_events) AS BIGINT) AS sum_user_events
+      |FROM events e JOIN dim d USING (user_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q108: incremental rollup maintenance — the from-scratch aggregate
+    * the three merged increments must equal.
+    */
+  val mergePartials: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(event_id) AS BIGINT) AS sum_ids,
+      |  min(event_id) AS min_id, max(event_id) AS max_id
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -1758,4 +1758,46 @@ object QueryDefs {
         countDistinct(col("user_id")).as("n_users"),
         sum(col("event_id")).as("sum_ids")))
       .orderBy("gid", "event_type", "ubucket")
+
+  /** q107: co-bucketed join ([[graft.io.Bucketing]]) — events and the
+    * per-user dimension written as 8-bucket catalog tables on user_id,
+    * then joined WITHOUT any exchange (plan pinned in BucketingSpec)
+    * and rolled up; the oracle is the plain join + aggregate, so the
+    * storage layout must be result-invariant — the op's whole claim.
+    */
+  def qBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+      .select("user_id", "event_type", "event_id")
+    val dim = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n_user_events"))
+    graft.io.Bucketing.writeBucketed(events, "graft_q107_fact",
+      "user_id", 8, sortCols = Seq("user_id"))
+    graft.io.Bucketing.writeBucketed(dim, "graft_q107_dim",
+      "user_id", 8, sortCols = Seq("user_id"))
+    graft.io.Bucketing.bucketedJoin(s, "graft_q107_fact",
+        "graft_q107_dim", Seq("user_id"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_user_events")).as("sum_user_events"))
+      .orderBy("event_type")
+  }
+
+  /** q108: incremental rollup maintenance
+    * ([[graft.ops.Rollups.mergePartials]]) — three increment shards
+    * each aggregated independently, then algebraically merged; the
+    * oracle aggregates from scratch, so the merge must be lossless.
+    */
+  def qMergePartials(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    val parts = (0 until 3).map { d =>
+      events.where(expr(s"event_id % 3 = $d")).groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+    }
+    graft.ops.Rollups.mergePartials(parts, Seq("event_type"),
+      Seq(("n", "count"), ("sum_ids", "sum"), ("min_id", "min"),
+        ("max_id", "max")))
+      .orderBy("event_type")
+  }
 }
