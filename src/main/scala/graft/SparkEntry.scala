@@ -222,7 +222,11 @@ object SparkEntry {
     // co-bucketed catalog-table join: zero-exchange layout (round 5)
     "q107_bucketed_join" -> (QueryDefs.qBucketedJoin _),
     // algebraic partial-aggregate merge: incremental rollups (round 5)
-    "q108_merge_partials" -> (QueryDefs.qMergePartials _)
+    "q108_merge_partials" -> (QueryDefs.qMergePartials _),
+    // single-pass per-column table profile (round 5)
+    "q109_profile" -> (QueryDefs.qProfile _),
+    // per-key interval union via the running-max sweep (round 5)
+    "q110_merge_intervals" -> (QueryDefs.qMergeIntervals _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -333,6 +337,8 @@ object SparkEntry {
     "q105_zorder" -> OracleDefs.zorder,
     "q106_rollup_hierarchy" -> OracleDefs.rollupHierarchy,
     "q107_bucketed_join" -> OracleDefs.bucketedJoin,
-    "q108_merge_partials" -> OracleDefs.mergePartials
+    "q108_merge_partials" -> OracleDefs.mergePartials,
+    "q109_profile" -> OracleDefs.profile,
+    "q110_merge_intervals" -> OracleDefs.mergeIntervals
   )
 }

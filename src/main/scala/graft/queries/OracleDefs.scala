@@ -2629,4 +2629,56 @@ object OracleDefs {
       |  CAST(sum(event_id) AS BIGINT) AS sum_ids,
       |  min(event_id) AS min_id, max(event_id) AS max_id
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q109: table profile — five independent per-column aggregates the
+    * single-pass profiler must equal.
+    */
+  val profile: String =
+    """SELECT * FROM (
+      |  SELECT 'event_id' AS "column", count(*) AS n_rows,
+      |    count(*) FILTER (WHERE event_id IS NULL) AS n_nulls,
+      |    count(DISTINCT event_id) AS n_distinct FROM events
+      |  UNION ALL
+      |  SELECT 'user_id', count(*),
+      |    count(*) FILTER (WHERE user_id IS NULL),
+      |    count(DISTINCT user_id) FROM events
+      |  UNION ALL
+      |  SELECT 'event_type', count(*),
+      |    count(*) FILTER (WHERE event_type IS NULL),
+      |    count(DISTINCT event_type) FROM events
+      |  UNION ALL
+      |  SELECT 'value', count(*),
+      |    count(*) FILTER (WHERE value IS NULL),
+      |    count(DISTINCT value) FROM events
+      |  UNION ALL
+      |  SELECT 'props', count(*),
+      |    count(*) FILTER (WHERE props IS NULL),
+      |    count(DISTINCT props) FROM events)
+      |ORDER BY "column"""".stripMargin
+
+  /** q110: interval merging — the same running-max sweep replayed as
+    * window SQL in exact integer microseconds.
+    */
+  val mergeIntervals: String =
+    """WITH iv AS (
+      |  SELECT user_id % 50 AS k, epoch_us(ts) AS s,
+      |    epoch_us(ts) + (1 + event_id % 5) * 3600000000 AS e
+      |  FROM events),
+      |m AS (
+      |  SELECT k, s, e,
+      |    max(e) OVER (PARTITION BY k ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |  FROM iv),
+      |g AS (
+      |  SELECT k, s, e,
+      |    CASE WHEN pmax IS NULL OR pmax < s THEN 1 ELSE 0 END AS isnew
+      |  FROM m),
+      |r AS (
+      |  SELECT k, s, e,
+      |    sum(isnew) OVER (PARTITION BY k ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM g)
+      |SELECT k, min(s) AS s, CAST(max(e) AS BIGINT) AS e,
+      |  count(*) AS n_merged
+      |FROM r GROUP BY k, grp ORDER BY k, s""".stripMargin
 }

@@ -1800,4 +1800,30 @@ object QueryDefs {
         ("max_id", "max")))
       .orderBy("event_type")
   }
+
+  /** q109: table profile ([[graft.ops.Profile]]) — per-column
+    * row/null/exact-distinct counts over events in ONE corpus pass;
+    * the oracle is five independent aggregates unioned, so every count
+    * must agree exactly.
+    */
+  def qProfile(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.columnStats(t(s, dir, "events"),
+      Seq("event_id", "user_id", "event_type", "value", "props"))
+      .orderBy("column")
+
+  /** q110: interval merging ([[graft.ops.Intervals]]) — per-user-bucket
+    * event spans of 1-5 hours collapsed to their union by the
+    * running-max sweep; the oracle replays the same window logic
+    * (max over the preceding frame, running-sum groups) in exact
+    * integer microseconds.
+    */
+  def qMergeIntervals(s: SparkSession, dir: String): DataFrame = {
+    val iv = t(s, dir, "events").select(
+      expr("user_id % 50").as("k"),
+      expr("unix_micros(cast(ts as timestamp))").as("s"),
+      expr("unix_micros(cast(ts as timestamp)) + " +
+        "(1 + event_id % 5) * 3600000000").as("e"))
+    graft.ops.Intervals.mergeIntervals(iv, Seq("k"), "s", "e")
+      .orderBy("k", "s")
+  }
 }
