@@ -35,8 +35,20 @@ object SkewJoin {
       salts: Int): DataFrame = {
     require(salts >= 1, "salts must be >= 1")
     require(keys.nonEmpty, "at least one join key")
+    // salt = row hash over the HASHABLE columns (xxhash64 rejects map
+    // columns — Spark maps have no canonical order). Any per-row value
+    // splits the hot key; correctness never depends on WHICH salt a
+    // row gets, only on the dim carrying all of them, so skipping
+    // unhashable columns is safe. A fact whose every column is a map
+    // degenerates to salt 0 — still correct, just unsplit.
+    val hashable = big.schema.fields
+      .filterNot(_.dataType.isInstanceOf[
+        org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name)).toSeq
+    val saltSrc = if (hashable.nonEmpty) xxhash64(hashable: _*)
+      else lit(0L)
     val bigS = big.withColumn("__graft_salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(salts.toLong)))
+      pmod(saltSrc, lit(salts.toLong)))
     val smallS = small.withColumn("__graft_salt",
       explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
     bigS.join(smallS, keys :+ "__graft_salt").drop("__graft_salt")
