@@ -226,7 +226,11 @@ object SparkEntry {
     // single-pass per-column table profile (round 5)
     "q109_profile" -> (QueryDefs.qProfile _),
     // per-key interval union via the running-max sweep (round 5)
-    "q110_merge_intervals" -> (QueryDefs.qMergeIntervals _)
+    "q110_merge_intervals" -> (QueryDefs.qMergeIntervals _),
+    // exact-k proportional allocation via largest remainder (round 5)
+    "q111_allocate_proportional" -> (QueryDefs.qAllocateProportional _),
+    // keyed snapshot diff with per-column attribution (round 5)
+    "q112_snapshot_diff" -> (QueryDefs.qSnapshotDiff _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -339,6 +343,8 @@ object SparkEntry {
     "q107_bucketed_join" -> OracleDefs.bucketedJoin,
     "q108_merge_partials" -> OracleDefs.mergePartials,
     "q109_profile" -> OracleDefs.profile,
-    "q110_merge_intervals" -> OracleDefs.mergeIntervals
+    "q110_merge_intervals" -> OracleDefs.mergeIntervals,
+    "q111_allocate_proportional" -> OracleDefs.allocateProportional,
+    "q112_snapshot_diff" -> OracleDefs.snapshotDiff
   )
 }

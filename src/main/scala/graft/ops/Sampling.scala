@@ -227,4 +227,74 @@ object Sampling {
           lit(0L))).over(w))
       .where(col("cum_tokens") <= budget)
   }
+
+  /** Draw EXACTLY `k` rows, allocated across strata proportionally to
+    * stratum size by the largest-remainder method (Hamilton
+    * apportionment) — the "eval set of exactly 10k docs, mixed like the
+    * corpus" sampler. [[stratifiedSample]] keeps each stratum at a RATE
+    * (output size binomial around the target); this op lands on the
+    * exact total: base quota `⌊k·n_i/N⌋` per stratum, and the
+    * `k − Σ⌊·⌋` leftover seats go to the largest remainders
+    * `(k·n_i) mod N` (stratum name as the deterministic tie-break).
+    * Within each stratum the selected rows are the (salt, id)
+    * hash-order prefix of quota length — the [[capPerKey]] order, so
+    * membership is reproducible and growth-stable for a fixed corpus.
+    *
+    * All-integer arithmetic (quotas and remainders are exact longs —
+    * a float share would mis-seat at ties exactly like the float
+    * percentile rank [[Percentiles]] documents). Guarantees, for
+    * k ≤ N: Σ quota_i = k and quota_i ≤ n_i (with k ≤ N the base is
+    * < n_i or the remainder is 0, so the +1 never overshoots). k > N
+    * degenerates to "everything" with a documented under-fill — there
+    * are only N rows. Overflow bound: k·max(n_i) must stay < 2^63
+    * (k ≤ 10^6 × n ≤ 10^12 is safe by 3 bits; beyond that, pre-split).
+    *
+    * Shape: one stratum-size aggregate (strata-table-sized
+    * thereafter; the quota plan is two windows over THAT table), the
+    * quota table localCheckpointed + broadcast back (the
+    * [[graft.ops.Quantiles]] rule — without the pin each consumer
+    * re-runs the corpus aggregate; `broadcastQuotas = false` falls to
+    * a shuffle_hash join for gigantic strata counts), and ONE key
+    * exchange for the per-stratum prefix rank.
+    *
+    * NULL ids and NULL strata are dropped (no hash point / no stratum
+    * to apportion — and a NULL stratum seat would be unattributable in
+    * the mixing report).
+    */
+  def allocateProportional(docs: DataFrame, strataCol: String, k: Long,
+      salt: String = "p1", idCol: String = "doc_id",
+      broadcastQuotas: Boolean = true): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val rows = docs.where(col(idCol).isNotNull &&
+      col(strataCol).isNotNull)
+    val sizes = rows.groupBy(strataCol)
+      .agg(count(lit(1)).as("__graft_n"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    val wRem = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+      .orderBy(expr(s"($k * __graft_n) % __graft_tot").desc,
+        col(strataCol).asc)
+    val quotas = sizes
+      .withColumn("__graft_tot", sum(col("__graft_n")).over(wAll))
+      .withColumn("__graft_base",
+        expr(s"($k * __graft_n) div __graft_tot"))
+      .withColumn("__graft_left",
+        lit(k) - sum(col("__graft_base")).over(wAll))
+      .withColumn("__graft_rr", row_number().over(wRem))
+      .withColumn("__graft_quota", col("__graft_base") +
+        when(col("__graft_rr") <= col("__graft_left"), lit(1L))
+          .otherwise(lit(0L)))
+      .select(col(strataCol), col("__graft_quota"))
+      .localCheckpoint()
+    val hintedQuotas = if (broadcastQuotas) broadcast(quotas)
+      else quotas.hint("shuffle_hash")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCol)
+      .orderBy(hashPoint(col(idCol), salt).asc, col(idCol).asc)
+    rows.join(hintedQuotas, Seq(strataCol))
+      .withColumn("__graft_rank", row_number().over(w))
+      .where(col("__graft_rank") <= col("__graft_quota"))
+      .drop("__graft_rank", "__graft_quota")
+  }
 }

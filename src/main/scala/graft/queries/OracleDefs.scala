@@ -2681,4 +2681,66 @@ object OracleDefs {
       |SELECT k, min(s) AS s, CAST(max(e) AS BIGINT) AS e,
       |  count(*) AS n_merged
       |FROM r GROUP BY k, grp ORDER BY k, s""".stripMargin
+
+  /** q111: exact proportional allocation — Hamilton base/remainder
+    * seats + the shared md5 hash-order prefix (the q58 ranking).
+    */
+  val allocateProportional: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id < 250 THEN 'hot' ELSE source END AS stratum
+      |  FROM documents WHERE doc_id IS NOT NULL),
+      |sz AS (SELECT stratum, count(*) AS n FROM d GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM sz),
+      |q0 AS (SELECT stratum, n, (97 * n) // ntot AS base,
+      |         (97 * n) % ntot AS rem FROM sz, tot),
+      |lo AS (SELECT CAST(97 - sum(base) AS BIGINT) AS leftover FROM q0),
+      |q1 AS (SELECT stratum, base, rem,
+      |         row_number() OVER (ORDER BY rem DESC, stratum ASC) AS rr
+      |       FROM q0),
+      |qt AS (SELECT stratum,
+      |         base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+      |           AS quota
+      |       FROM q1, lo),
+      |r AS (SELECT doc_id, stratum,
+      |        row_number() OVER (PARTITION BY stratum
+      |          ORDER BY CAST('0x' || substr(md5('p1:' || doc_id), 1, 15)
+      |            AS BIGINT) ASC, doc_id ASC) AS rk
+      |      FROM d)
+      |SELECT r.doc_id, r.stratum FROM r JOIN qt USING (stratum)
+      |WHERE rk <= quota ORDER BY doc_id""".stripMargin
+
+  /** q112: keyed snapshot diff — full outer join + null-safe
+    * per-column compares, concat_ws change lists.
+    */
+  val snapshotDiff: String =
+    """WITH ev AS (SELECT event_id, event_type, value FROM events),
+      |o AS (SELECT * FROM ev WHERE event_id % 10 <> 0),
+      |n AS (SELECT event_id,
+      |        CASE WHEN event_id % 11 = 0 THEN event_type || 'x'
+      |             ELSE event_type END AS event_type,
+      |        CASE WHEN event_id % 5 = 0 THEN value + 1
+      |             ELSE value END AS value
+      |      FROM ev WHERE event_id % 7 <> 0),
+      |j AS (SELECT coalesce(o.event_id, n.event_id) AS event_id,
+      |        o.event_id IS NOT NULL AS op,
+      |        n.event_id IS NOT NULL AS np,
+      |        o.event_type AS ot, n.event_type AS nt,
+      |        o.value AS ov, n.value AS nv
+      |      FROM o FULL OUTER JOIN n ON o.event_id = n.event_id),
+      |v AS (SELECT *,
+      |        CASE WHEN op AND np THEN concat_ws(',',
+      |          CASE WHEN ot IS DISTINCT FROM nt
+      |            THEN 'event_type' END,
+      |          CASE WHEN ov IS DISTINCT FROM nv THEN 'value' END)
+      |        ELSE '' END AS changed_cols
+      |      FROM j)
+      |SELECT event_id,
+      |  CASE WHEN NOT op THEN 'added' WHEN NOT np THEN 'removed'
+      |       WHEN changed_cols <> '' THEN 'changed'
+      |       ELSE 'unchanged' END AS verdict,
+      |  changed_cols, ot AS old_event_type, ov AS old_value,
+      |  nt AS new_event_type, nv AS new_value
+      |FROM v WHERE NOT (op AND np AND changed_cols = '')
+      |ORDER BY event_id""".stripMargin
 }

@@ -1826,4 +1826,43 @@ object QueryDefs {
     graft.ops.Intervals.mergeIntervals(iv, Seq("k"), "s", "e")
       .orderBy("k", "s")
   }
+
+  /** q111: exact proportional allocation
+    * ([[graft.ops.Sampling.allocateProportional]]) — exactly 97 docs
+    * apportioned across deliberately UNEVEN strata (the q58 hot-key
+    * derivation: doc_id < 250 conflates to one 250-doc stratum) by
+    * largest remainder, prefix-selected in the shared (salt, id) hash
+    * order; the oracle replays base/remainder/leftover seats and the
+    * same md5 ranking.
+    */
+  def qAllocateProportional(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") < 250, lit("hot")).otherwise(col("source"))
+        .as("stratum"))
+    graft.ops.Sampling.allocateProportional(docs, "stratum", 97L)
+      .orderBy("doc_id")
+  }
+
+  /** q112: keyed snapshot diff ([[graft.ops.SnapshotDiff]]) — two
+    * snapshot versions derived from events in BOTH engines (every 10th
+    * key absent from old, every 7th absent from new, event_type mutated
+    * at %11, value at %5), diffed row-level with per-column
+    * attribution; the oracle replays the full outer join and the same
+    * null-safe per-column compares.
+    */
+  def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select("event_id", "event_type", "value")
+    val oldSnap = ev.where(expr("event_id % 10 <> 0"))
+    val newSnap = ev.where(expr("event_id % 7 <> 0")).select(
+      col("event_id"),
+      when(expr("event_id % 11 = 0"),
+        concat(col("event_type"), lit("x")))
+        .otherwise(col("event_type")).as("event_type"),
+      when(expr("event_id % 5 = 0"), col("value") + 1)
+        .otherwise(col("value")).as("value"))
+    graft.ops.SnapshotDiff.diff(oldSnap, newSnap, Seq("event_id"),
+      Seq("event_type", "value"))
+      .orderBy("event_id")
+  }
 }
