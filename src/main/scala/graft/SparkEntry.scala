@@ -230,7 +230,9 @@ object SparkEntry {
     // exact-k proportional allocation via largest remainder (round 5)
     "q111_allocate_proportional" -> (QueryDefs.qAllocateProportional _),
     // keyed snapshot diff with per-column attribution (round 5)
-    "q112_snapshot_diff" -> (QueryDefs.qSnapshotDiff _)
+    "q112_snapshot_diff" -> (QueryDefs.qSnapshotDiff _),
+    // deterministic pseudonymization + collision accounting (round 5)
+    "q113_anonymize" -> (QueryDefs.qAnonymize _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -345,6 +347,7 @@ object SparkEntry {
     "q109_profile" -> OracleDefs.profile,
     "q110_merge_intervals" -> OracleDefs.mergeIntervals,
     "q111_allocate_proportional" -> OracleDefs.allocateProportional,
-    "q112_snapshot_diff" -> OracleDefs.snapshotDiff
+    "q112_snapshot_diff" -> OracleDefs.snapshotDiff,
+    "q113_anonymize" -> OracleDefs.anonymize
   )
 }

@@ -363,6 +363,10 @@ object TelemetryScaleProbe {
         pmod(col("user_id"), lit(65536L)).as("x"),
         pmod(col("event_id"), lit(65536L)).as("y")), "x", "y").count()
     }
+    probe("anonymize") {
+      graft.ops.Anonymize.collisionAudit(events, "user_id", "s1")
+        .count()
+    }
     probe("rollup_hierarchy") {
       graft.ops.Rollups.hierarchicalRollup(
         events.select(col("event_type"),

@@ -2743,4 +2743,15 @@ object OracleDefs {
       |  nt AS new_event_type, nv AS new_value
       |FROM v WHERE NOT (op AND np AND changed_cols = '')
       |ORDER BY event_id""".stripMargin
+
+  /** q113: pseudonymization — the same md5-prefix construction replayed
+    * per row; distinct counts gate injectivity, min(pseudo) the bytes.
+    */
+  val anonymize: String =
+    """SELECT event_type, count(*) AS n_rows,
+      |  count(DISTINCT user_id) AS n_users,
+      |  count(DISTINCT substr(md5('s1:' || user_id), 1, 16))
+      |    AS n_pseudos,
+      |  min(substr(md5('s1:' || user_id), 1, 16)) AS first_pseudo
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -1865,4 +1865,21 @@ object QueryDefs {
       Seq("event_type", "value"))
       .orderBy("event_id")
   }
+
+  /** q113: deterministic pseudonymization ([[graft.ops.Anonymize]]) —
+    * user ids replaced by 16-hex md5(salt:id) prefixes, then per-type
+    * distinct-identity accounting proves the pseudonym is injective on
+    * the fixture AND byte-identical to the oracle's replay of the same
+    * construction (min(pseudo) gates the rendered bytes, the distinct
+    * counts gate the merge-free property).
+    */
+  def qAnonymize(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Anonymize.pseudonymize(
+      t(s, dir, "events"), "user_id", salt = "s1")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("pseudo_id")).as("n_pseudos"),
+        min(col("pseudo_id")).as("first_pseudo"))
+      .orderBy("event_type")
 }
