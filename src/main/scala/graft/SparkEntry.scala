@@ -232,7 +232,9 @@ object SparkEntry {
     // keyed snapshot diff with per-column attribution (round 5)
     "q112_snapshot_diff" -> (QueryDefs.qSnapshotDiff _),
     // deterministic pseudonymization + collision accounting (round 5)
-    "q113_anonymize" -> (QueryDefs.qAnonymize _)
+    "q113_anonymize" -> (QueryDefs.qAnonymize _),
+    // equi-depth range-partition boundaries (round 5)
+    "q114_range_boundaries" -> (QueryDefs.qRangeBoundaries _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -348,6 +350,7 @@ object SparkEntry {
     "q110_merge_intervals" -> OracleDefs.mergeIntervals,
     "q111_allocate_proportional" -> OracleDefs.allocateProportional,
     "q112_snapshot_diff" -> OracleDefs.snapshotDiff,
-    "q113_anonymize" -> OracleDefs.anonymize
+    "q113_anonymize" -> OracleDefs.anonymize,
+    "q114_range_boundaries" -> OracleDefs.rangeBoundaries
   )
 }

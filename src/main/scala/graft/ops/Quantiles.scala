@@ -148,4 +148,34 @@ object Quantiles {
     }
     picked.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Equi-depth range-partition boundaries — the write-path planning
+    * tool: the k−1 values that split the table into k near-equal row
+    * ranges, for `repartitionByRange`/Iceberg sort-order writes whose
+    * file sizes should not depend on the value distribution. Spark's
+    * own range partitioner SAMPLES (approximate, seed-dependent);
+    * these boundaries are exact nearest-rank values at the integer
+    * permilles `⌊i·1000/k⌋` (strictly increasing for k ≤ 1000), via
+    * the same bounded-state two-pass mechanism — so boundary planning
+    * over 10^12 rows still exchanges only histogram-sized data.
+    *
+    * Output: one row per boundary — (boundary_idx 1..k−1, permille,
+    * value) — value in the input column's type. Ties in the data can
+    * make consecutive boundaries EQUAL (a value spanning >1/k of the
+    * rows); callers collapsing equal boundaries get fewer, fatter
+    * ranges — which is the honest answer for that distribution.
+    */
+  def rangeBoundaries(df: DataFrame, valCol: String, k: Int,
+      bucketWidth: Long): DataFrame = {
+    require(k >= 2 && k <= 1000, "k must be in [2, 1000]")
+    val ps = (1 until k).map(i => (i.toString, i * 1000 / k))
+    val one = bucketedNearestRank(
+      df.withColumn("__graft_all", lit(1)), Seq("__graft_all"),
+      valCol, ps, bucketWidth)
+    one.select(explode(array(ps.map { case (label, p) =>
+        struct(lit(label.toInt).as("boundary_idx"),
+          lit(p).as("permille"), col(s"p_$label").as("value"))
+      }: _*)).as("__graft_s"))
+      .select("__graft_s.*")
+  }
 }

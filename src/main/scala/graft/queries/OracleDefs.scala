@@ -2754,4 +2754,20 @@ object OracleDefs {
       |    AS n_pseudos,
       |  min(substr(md5('s1:' || user_id), 1, 16)) AS first_pseudo
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q114: equi-depth range boundaries — the direct nearest-rank form
+    * at the same floor(i*1000/8) permilles.
+    */
+  val rangeBoundaries: String =
+    """WITH r AS (
+      |  SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rk,
+      |    count(*) OVER () AS n
+      |  FROM documents WHERE n_chars IS NOT NULL),
+      |b(boundary_idx, permille) AS (VALUES
+      |  (1, 125), (2, 250), (3, 375), (4, 500),
+      |  (5, 625), (6, 750), (7, 875))
+      |SELECT b.boundary_idx, b.permille,
+      |  max(CASE WHEN rk = (b.permille * n + 999) // 1000
+      |    THEN n_chars END) AS value
+      |FROM r, b GROUP BY 1, 2 ORDER BY 1""".stripMargin
 }

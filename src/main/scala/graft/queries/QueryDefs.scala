@@ -1882,4 +1882,15 @@ object QueryDefs {
         countDistinct(col("pseudo_id")).as("n_pseudos"),
         min(col("pseudo_id")).as("first_pseudo"))
       .orderBy("event_type")
+
+  /** q114: equi-depth range boundaries
+    * ([[graft.ops.Quantiles.rangeBoundaries]]) — the 7 values that
+    * split documents into 8 near-equal n_chars ranges, via the
+    * bounded-state mechanism; the oracle computes the same
+    * nearest-rank values at the same ⌊i·1000/8⌋ permilles directly.
+    */
+  def qRangeBoundaries(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Quantiles.rangeBoundaries(
+      t(s, dir, "documents"), "n_chars", k = 8, bucketWidth = 200L)
+      .orderBy("boundary_idx")
 }

@@ -62,6 +62,33 @@ class QuantilesSpec extends AnyFunSuite {
     assert(bucketed(df, 10L) == direct(df))
   }
 
+  test("rangeBoundaries: exact nearest-rank values at i*1000/k, " +
+    "non-decreasing, matching the direct form") {
+    val df = corpus(3, 2000).withColumn("g",
+      org.apache.spark.sql.functions.lit("all"))
+    val bounds = Quantiles.rangeBoundaries(df, "v", 8, 50L)
+      .orderBy("boundary_idx")
+      .as[(Int, Int, Long)].collect().toSeq
+    assert(bounds.map(_._1) == (1 to 7) &&
+      bounds.map(_._2) == Seq(125, 250, 375, 500, 625, 750, 875))
+    assert(bounds.map(_._3) == bounds.map(_._3).sorted)
+    val direct = Percentiles.nearestRank(df, Seq("g"), "v",
+      bounds.map(b => (b._1.toString, b._2))).collect()(0)
+    assert((1 to 7).map(i => direct.getLong(i)) == bounds.map(_._3))
+  }
+
+  test("rangeBoundaries: a dominant value yields equal boundaries " +
+    "(the honest fat-range answer) and k bounds are enforced") {
+    val df = (Seq.fill(900)(5L) ++ (1L to 100L)).map(("x", _))
+      .toDF("k", "v")
+    val b = Quantiles.rangeBoundaries(df, "v", 4, 10L)
+      .orderBy("boundary_idx").as[(Int, Int, Long)].collect().toSeq
+    assert(b.count(_._3 == 5L) >= 2)
+    intercept[IllegalArgumentException] {
+      Quantiles.rangeBoundaries(df, "v", 1, 10L)
+    }
+  }
+
   test("non-integral value column is rejected loudly") {
     val df = Seq(("a", 1.5)).toDF("k", "v")
     val e = intercept[IllegalArgumentException] {
