@@ -234,7 +234,9 @@ object SparkEntry {
     // deterministic pseudonymization + collision accounting (round 5)
     "q113_anonymize" -> (QueryDefs.qAnonymize _),
     // equi-depth range-partition boundaries (round 5)
-    "q114_range_boundaries" -> (QueryDefs.qRangeBoundaries _)
+    "q114_range_boundaries" -> (QueryDefs.qRangeBoundaries _),
+    // trailing-window exact distinct actors, dedup-before-expand (round 5)
+    "q115_rolling_active" -> (QueryDefs.qRollingActive _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -351,6 +353,7 @@ object SparkEntry {
     "q111_allocate_proportional" -> OracleDefs.allocateProportional,
     "q112_snapshot_diff" -> OracleDefs.snapshotDiff,
     "q113_anonymize" -> OracleDefs.anonymize,
-    "q114_range_boundaries" -> OracleDefs.rangeBoundaries
+    "q114_range_boundaries" -> OracleDefs.rangeBoundaries,
+    "q115_rolling_active" -> OracleDefs.rollingActive
   )
 }

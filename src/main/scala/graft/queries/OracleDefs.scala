@@ -2770,4 +2770,24 @@ object OracleDefs {
       |  max(CASE WHEN rk = (b.permille * n + 999) // 1000
       |    THEN n_chars END) AS value
       |FROM r, b GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  /** q115: trailing 7-day distinct actors — the same dedup-before-expand
+    * route: distinct (user, day), each pair covers the 7 epoch-aligned
+    * day starts d-6..d (q62's integer-microsecond window arithmetic),
+    * n_active dedups ids per window, n_id_days counts pairs.
+    */
+  val rollingActive: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |    (epoch_us(ts) // 86400000000) * 86400000000 AS dus
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |w AS (
+      |  SELECT user_id, make_timestamp(dus - k * 86400000000)
+      |    AS window_start
+      |  FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS k))
+      |SELECT window_start,
+      |       window_start + INTERVAL 7 DAY AS window_end,
+      |       count(DISTINCT user_id) AS n_active,
+      |       count(*) AS n_id_days
+      |FROM w GROUP BY 1, 2 ORDER BY 1""".stripMargin
 }

@@ -1893,4 +1893,14 @@ object QueryDefs {
     graft.ops.Quantiles.rangeBoundaries(
       t(s, dir, "documents"), "n_chars", k = 8, bucketWidth = 200L)
       .orderBy("boundary_idx")
+
+  /** q115: trailing 7-day exact distinct actors
+    * ([[graft.ops.RollingDistinct.rollingActive]]) — WAU over the events
+    * table via dedup-before-expand; the oracle replays the same
+    * epoch-aligned expansion over the deduped (user, day) set.
+    */
+  def qRollingActive(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RollingDistinct.rollingActive(
+      t(s, dir, "events"), "ts", "user_id", windowDays = 7, stepDays = 1)
+      .orderBy("window_start")
 }
