@@ -236,7 +236,9 @@ object SparkEntry {
     // equi-depth range-partition boundaries (round 5)
     "q114_range_boundaries" -> (QueryDefs.qRangeBoundaries _),
     // trailing-window exact distinct actors, dedup-before-expand (round 5)
-    "q115_rolling_active" -> (QueryDefs.qRollingActive _)
+    "q115_rolling_active" -> (QueryDefs.qRollingActive _),
+    // zone-map pruning audit across two bucket layouts (round 5)
+    "q116_zonemap_audit" -> (QueryDefs.qZoneMapAudit _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -354,6 +356,7 @@ object SparkEntry {
     "q112_snapshot_diff" -> OracleDefs.snapshotDiff,
     "q113_anonymize" -> OracleDefs.anonymize,
     "q114_range_boundaries" -> OracleDefs.rangeBoundaries,
-    "q115_rolling_active" -> OracleDefs.rollingActive
+    "q115_rolling_active" -> OracleDefs.rollingActive,
+    "q116_zonemap_audit" -> OracleDefs.zoneMapAudit
   )
 }

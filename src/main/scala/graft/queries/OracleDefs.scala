@@ -2790,4 +2790,37 @@ object OracleDefs {
       |       count(DISTINCT user_id) AS n_active,
       |       count(*) AS n_id_days
       |FROM w GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  /** q116: zone-map pruning audit — per-bucket min/max replayed
+    * literally (the coalesce(...) TRUE arm is the all-NULL-bucket
+    * prunability rule), matched counts from the fact rows directly.
+    */
+  val zoneMapAudit: String =
+    """WITH preds(pred_idx, lo, hi) AS (VALUES
+      |  (0, 48, 100), (1, 250, 300), (2, 500, 600)),
+      |layouts AS (
+      |  SELECT 'insertion' AS layout, doc_id // 50 AS b, n_chars
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'clustered', n_chars // 50, n_chars FROM documents),
+      |zm AS (
+      |  SELECT layout, b, min(n_chars) AS mn, max(n_chars) AS mx,
+      |         count(*) AS cnt
+      |  FROM layouts GROUP BY 1, 2),
+      |matched AS (
+      |  SELECT layout, pred_idx,
+      |         count(*) FILTER (n_chars BETWEEN lo AND hi) AS m
+      |  FROM layouts CROSS JOIN preds GROUP BY 1, 2),
+      |aud AS (
+      |  SELECT zm.layout, p.pred_idx, p.lo, p.hi,
+      |    count(*) AS n_buckets,
+      |    sum(CASE WHEN coalesce(mx < lo OR mn > hi, TRUE)
+      |        THEN 1 ELSE 0 END) AS n_pruned,
+      |    sum(cnt) AS rows_total,
+      |    sum(CASE WHEN coalesce(mx < lo OR mn > hi, TRUE)
+      |        THEN 0 ELSE cnt END) AS rows_scanned
+      |  FROM zm CROSS JOIN preds p GROUP BY 1, 2, 3, 4)
+      |SELECT aud.*, matched.m AS rows_matched
+      |FROM aud JOIN matched USING (layout, pred_idx)
+      |ORDER BY layout, pred_idx""".stripMargin
 }

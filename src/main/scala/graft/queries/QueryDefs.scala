@@ -1903,4 +1903,22 @@ object QueryDefs {
     graft.ops.RollingDistinct.rollingActive(
       t(s, dir, "events"), "ts", "user_id", windowDays = 7, stepDays = 1)
       .orderBy("window_start")
+
+  /** q116: zone-map pruning audit ([[graft.ops.ZoneMaps.pruningAudit]])
+    * — the same three n_chars predicates against two bucket layouts of
+    * documents (insertion-order doc_id buckets vs value-clustered
+    * n_chars buckets), quantifying exactly what a write-side sort buys
+    * the scan planner.
+    */
+  def qZoneMapAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val preds = Seq((48L, 100L), (250L, 300L), (500L, 600L))
+    graft.ops.ZoneMaps
+      .pruningAudit(docs, expr("doc_id div 50"), "n_chars", preds)
+      .withColumn("layout", lit("insertion"))
+      .unionByName(graft.ops.ZoneMaps
+        .pruningAudit(docs, expr("n_chars div 50"), "n_chars", preds)
+        .withColumn("layout", lit("clustered")))
+      .orderBy("layout", "pred_idx")
+  }
 }
