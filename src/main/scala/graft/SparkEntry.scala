@@ -238,7 +238,13 @@ object SparkEntry {
     // trailing-window exact distinct actors, dedup-before-expand (round 5)
     "q115_rolling_active" -> (QueryDefs.qRollingActive _),
     // zone-map pruning audit across two bucket layouts (round 5)
-    "q116_zonemap_audit" -> (QueryDefs.qZoneMapAudit _)
+    "q116_zonemap_audit" -> (QueryDefs.qZoneMapAudit _),
+    // equi-depth boundaries applied as shuffle-free range assignment
+    "q117_range_assign" -> (QueryDefs.qRangeAssign _),
+    // referential-integrity orphan audit at key level (round 5)
+    "q118_fk_audit" -> (QueryDefs.qFkAudit _),
+    // join-skew diagnosis feeding the saltedJoin parameter (round 5)
+    "q119_skew_diagnose" -> (QueryDefs.qSkewDiagnose _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -357,6 +363,9 @@ object SparkEntry {
     "q113_anonymize" -> OracleDefs.anonymize,
     "q114_range_boundaries" -> OracleDefs.rangeBoundaries,
     "q115_rolling_active" -> OracleDefs.rollingActive,
-    "q116_zonemap_audit" -> OracleDefs.zoneMapAudit
+    "q116_zonemap_audit" -> OracleDefs.zoneMapAudit,
+    "q117_range_assign" -> OracleDefs.rangeAssign,
+    "q118_fk_audit" -> OracleDefs.fkAudit,
+    "q119_skew_diagnose" -> OracleDefs.skewDiagnose
   )
 }

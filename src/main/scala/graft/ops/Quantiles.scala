@@ -178,4 +178,30 @@ object Quantiles {
       }: _*)).as("__graft_s"))
       .select("__graft_s.*")
   }
+
+  /** Apply [[rangeBoundaries]]: attach `range_idx` = the number of
+    * boundaries strictly below the value — range 0 is `v <= b_1`, range
+    * i is `b_i < v <= b_(i+1)`, range k−1 is `v > b_(k-1)`. With equal
+    * (fat-value) boundaries the dominant value lands in the LOWEST
+    * matching range and the ranges between equal boundaries are empty —
+    * the deterministic reading of `repartitionByRange` semantics.
+    *
+    * Boundaries arrive as a driver-side Seq (k ≤ 1000 longs — the same
+    * "small dimension read" class as IVF centroids) and are applied as
+    * one codegen'd literal-array HOF: `size(filter(bs, b -> b < v))` —
+    * pure map-side, ZERO shuffles, so the assignment pass composes with
+    * any downstream write without adding an exchange. A NULL value gets
+    * a NULL range_idx (nulls have no position in a value order; route
+    * them explicitly, don't let them silently inflate range 0).
+    */
+  def assignRanges(df: DataFrame, valCol: String,
+      boundaries: Seq[Long]): DataFrame = {
+    require(boundaries.nonEmpty, "at least one boundary")
+    require(boundaries == boundaries.sorted,
+      "boundaries must be non-decreasing (rangeBoundaries output order)")
+    val bs = array(boundaries.map(lit(_)): _*)
+    df.withColumn("range_idx",
+      when(col(valCol).isNull, lit(null))
+        .otherwise(size(filter(bs, b => b < col(valCol)))))
+  }
 }

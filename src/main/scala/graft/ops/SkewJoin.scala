@@ -53,4 +53,54 @@ object SkewJoin {
       explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
     bigS.join(smallS, keys :+ "__graft_salt").drop("__graft_salt")
   }
+
+  /** Skew DIAGNOSIS — the measurement that decides `salts` before
+    * anyone pays for a salted join: per-key row counts, the top-K
+    * hottest keys, and an integer-exact salt recommendation. The
+    * recommendation rule (pinned for the oracle): a key is "hot" when
+    * `max_n * n_keys >= 2 * n_rows` (the hottest key carries at least
+    * 2× the average key's rows); then `rec_salts = ceil(max_n * n_keys
+    * / n_rows)` — the split factor that brings the hot partition back
+    * to ~average — else 1 (don't salt a uniform key: the dim-side
+    * replication is pure cost). All arithmetic is integer (`div`,
+    * products before divisions), exact at any scale — a double ratio
+    * would mis-round exactly when counts get large enough to matter.
+    *
+    * Shape: one map-side-partial count per key (histogram-sized
+    * output), a TakeOrderedAndProject top-K (distributed partial
+    * top-K, never a full sort), and a single-row global fold — the
+    * corpus is scanned once. A NULL key is a REAL group here (the
+    * hot-NULL flood is the most common skew incident of all); it
+    * ranks like any other key.
+    *
+    * Output: one row per top-K key — (key_rank, key_value as string,
+    * n, share_permille) — each carrying the globals (n_rows, n_keys,
+    * rec_salts) so a single row is an actionable alert.
+    */
+  def diagnose(df: DataFrame, key: org.apache.spark.sql.Column,
+      topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val counts = df.groupBy(key.cast("string").as("key_value"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.agg(
+      coalesce(sum(col("n")), lit(0L)).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      coalesce(max(col("n")), lit(0L)).as("max_n"))
+      .withColumn("rec_salts",
+        when(col("max_n") * col("n_keys") >= col("n_rows") * 2,
+          expr("(max_n * n_keys + n_rows - 1) div n_rows"))
+          .otherwise(lit(1L)))
+      .drop("max_n")
+    val top = counts
+      .orderBy(col("n").desc, col("key_value").asc_nulls_first)
+      .limit(topK)
+      .withColumn("key_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("key_value").asc_nulls_first)))
+    top.crossJoin(totals)
+      .withColumn("share_permille",
+        expr("n * 1000 div n_rows"))
+      .select("key_rank", "key_value", "n", "share_permille",
+        "n_rows", "n_keys", "rec_salts")
+  }
 }

@@ -2823,4 +2823,91 @@ object OracleDefs {
       |SELECT aud.*, matched.m AS rows_matched
       |FROM aud JOIN matched USING (layout, pred_idx)
       |ORDER BY layout, pred_idx""".stripMargin
+
+  /** q117: range assignment — q114's nearest-rank boundaries, then each
+    * row's range_idx = count of boundaries strictly below its value
+    * (the assignRanges rule) via a correlated count.
+    */
+  val rangeAssign: String =
+    """WITH r AS (
+      |  SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rk,
+      |    count(*) OVER () AS n
+      |  FROM documents WHERE n_chars IS NOT NULL),
+      |b(p) AS (VALUES (125), (250), (375), (500), (625), (750), (875)),
+      |bv AS (
+      |  SELECT max(CASE WHEN rk = (p * n + 999) // 1000
+      |    THEN n_chars END) AS bval
+      |  FROM r, b GROUP BY p),
+      |a AS (
+      |  SELECT n_chars,
+      |    (SELECT count(*) FROM bv WHERE bval < n_chars) AS range_idx
+      |  FROM documents WHERE n_chars IS NOT NULL)
+      |SELECT range_idx, count(*) AS n, min(n_chars) AS mn_chars,
+      |       max(n_chars) AS mx_chars
+      |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q118: FK audit — left join against the distinct dim key set, null
+    * FKs counted apart (MATCH SIMPLE), orphan extents via CASE min/max.
+    */
+  val fkAudit: String =
+    """WITH a1 AS (
+      |  SELECT 'orders.o_custkey->customer' AS fk_name,
+      |    count(*) AS n_rows,
+      |    count(*) FILTER (o_custkey IS NULL) AS n_null_rows,
+      |    count(*) FILTER (o_custkey IS NOT NULL
+      |      AND d.c_custkey IS NULL) AS n_orphan_rows,
+      |    count(DISTINCT CASE WHEN d.c_custkey IS NULL
+      |      THEN o_custkey END) AS n_orphan_keys,
+      |    min(CASE WHEN d.c_custkey IS NULL THEN o_custkey END)
+      |      AS min_orphan_key,
+      |    max(CASE WHEN d.c_custkey IS NULL THEN o_custkey END)
+      |      AS max_orphan_key
+      |  FROM orders o LEFT JOIN
+      |    (SELECT DISTINCT c_custkey FROM customer) d
+      |    ON o.o_custkey = d.c_custkey),
+      |a2 AS (
+      |  SELECT 'events.user_id->customer_ge50' AS fk_name,
+      |    count(*) AS n_rows,
+      |    count(*) FILTER (user_id IS NULL) AS n_null_rows,
+      |    count(*) FILTER (user_id IS NOT NULL
+      |      AND d.c_custkey IS NULL) AS n_orphan_rows,
+      |    count(DISTINCT CASE WHEN d.c_custkey IS NULL
+      |      THEN user_id END) AS n_orphan_keys,
+      |    min(CASE WHEN d.c_custkey IS NULL THEN user_id END)
+      |      AS min_orphan_key,
+      |    max(CASE WHEN d.c_custkey IS NULL THEN user_id END)
+      |      AS max_orphan_key
+      |  FROM events e LEFT JOIN
+      |    (SELECT DISTINCT c_custkey FROM customer
+      |     WHERE c_custkey >= 50) d
+      |    ON e.user_id = d.c_custkey)
+      |SELECT * FROM a1 UNION ALL SELECT * FROM a2
+      |ORDER BY fk_name""".stripMargin
+
+  /** q119: skew diagnosis — per-key counts, top-3 by (n DESC, key ASC
+    * NULLS FIRST) matching Spark's asc_nulls_first, and the same
+    * integer hot-key rule (2x average gate, ceil split factor).
+    */
+  val skewDiagnose: String = {
+    def one(diag: String, table: String, keyCol: String) =
+      s"""SELECT '$diag' AS diag, key_rank, key_value, n,
+         |    n * 1000 // n_rows AS share_permille, n_rows, n_keys,
+         |    CASE WHEN max_n * n_keys >= 2 * n_rows
+         |      THEN (max_n * n_keys + n_rows - 1) // n_rows
+         |      ELSE 1 END AS rec_salts
+         |  FROM (
+         |    SELECT row_number() OVER (ORDER BY n DESC,
+         |        key_value ASC NULLS FIRST) AS key_rank, key_value, n
+         |    FROM (SELECT CAST($keyCol AS VARCHAR) AS key_value,
+         |          count(*) AS n FROM $table GROUP BY 1)
+         |    QUALIFY key_rank <= 3) CROSS JOIN (
+         |    SELECT sum(n) AS n_rows, count(*) AS n_keys,
+         |           max(n) AS max_n
+         |    FROM (SELECT count(*) AS n FROM $table
+         |          GROUP BY CAST($keyCol AS VARCHAR)))""".stripMargin
+    s"""${one("documents.lang", "documents", "lang")}
+       |UNION ALL
+       |${one("events.event_type", "events", "event_type")}
+       |ORDER BY diag, key_rank""".stripMargin
+  }
 }

@@ -1921,4 +1921,52 @@ object QueryDefs {
         .withColumn("layout", lit("clustered")))
       .orderBy("layout", "pred_idx")
   }
+
+  /** q117: range assignment ([[graft.ops.Quantiles.assignRanges]]) —
+    * q114's boundaries APPLIED: per-range row counts and value extents
+    * prove the equi-depth split; the boundary collect is the documented
+    * small-dimension read, the assignment itself is shuffle-free.
+    */
+  def qRangeAssign(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("n_chars").isNotNull)
+    val bounds = graft.ops.Quantiles
+      .rangeBoundaries(docs, "n_chars", k = 8, bucketWidth = 200L)
+      .orderBy("boundary_idx").select("value")
+      .collect().map(_.getLong(0)).toSeq
+    graft.ops.Quantiles.assignRanges(docs, "n_chars", bounds)
+      .groupBy("range_idx")
+      .agg(count(lit(1)).as("n"), min(col("n_chars")).as("mn_chars"),
+        max(col("n_chars")).as("mx_chars"))
+      .orderBy("range_idx")
+  }
+
+  /** q118: referential-integrity audit
+    * ([[graft.ops.Integrity.fkAudit]]) — a clean FK (orders → customer)
+    * next to a planted-orphan scenario (events.user_id against a
+    * dimension missing keys < 50, the "dim rows deleted under the
+    * fact" incident shape).
+    */
+  def qFkAudit(s: SparkSession, dir: String): DataFrame = {
+    val customer = t(s, dir, "customer")
+    graft.ops.Integrity
+      .fkAudit(t(s, dir, "orders"), "o_custkey", customer, "c_custkey",
+        "orders.o_custkey->customer")
+      .unionByName(graft.ops.Integrity
+        .fkAudit(t(s, dir, "events"), "user_id",
+          customer.filter(col("c_custkey") >= 50), "c_custkey",
+          "events.user_id->customer_ge50"))
+      .orderBy("fk_name")
+  }
+
+  /** q119: join-skew diagnosis ([[graft.ops.SkewJoin.diagnose]]) — the
+    * measurement that feeds saltedJoin's `salts`: documents.lang (en
+    * carries ~44% → salt) next to events.event_type (uniform → don't).
+    */
+  def qSkewDiagnose(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SkewJoin.diagnose(t(s, dir, "documents"), col("lang"), 3)
+      .withColumn("diag", lit("documents.lang"))
+      .unionByName(graft.ops.SkewJoin
+        .diagnose(t(s, dir, "events"), col("event_type"), 3)
+        .withColumn("diag", lit("events.event_type")))
+      .orderBy("diag", "key_rank")
 }

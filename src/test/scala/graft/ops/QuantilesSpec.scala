@@ -89,6 +89,43 @@ class QuantilesSpec extends AnyFunSuite {
     }
   }
 
+  test("assignRanges: boundary rule v<=b1 | b_i<v<=b_i+1 | v>b_k-1, " +
+    "fat-value equal boundaries leave middle ranges empty, nulls get " +
+    "null, unsorted boundaries rejected") {
+    val df = Seq(Some(1L), Some(5L), Some(6L), Some(10L), Some(11L), None)
+      .toDF("v")
+    val got = Quantiles.assignRanges(df, "v", Seq(5L, 5L, 10L))
+      .select("v", "range_idx")
+      .as[(Option[Long], Option[Int])].collect().toMap
+    assert(got(Some(1L)) == Some(0)) // v <= b1
+    assert(got(Some(5L)) == Some(0)) // fat value: lowest matching range
+    assert(got(Some(6L)) == Some(2)) // range 1 (between equal bs) empty
+    assert(got(Some(10L)) == Some(2))
+    assert(got(Some(11L)) == Some(3)) // v > b_(k-1)
+    assert(got(None).isEmpty)
+    intercept[IllegalArgumentException] {
+      Quantiles.assignRanges(df, "v", Seq(10L, 5L))
+    }
+  }
+
+  test("assignRanges over rangeBoundaries yields near-equal ranges and " +
+    "adds no exchange (pure map-side application)") {
+    val df = corpus(5, 3000)
+    val bounds = Quantiles.rangeBoundaries(df, "v", 8, 50L)
+      .orderBy("boundary_idx").select("value")
+      .as[Long].collect().toSeq
+    val assigned = Quantiles.assignRanges(df, "v", bounds)
+    val sizes = assigned.groupBy("range_idx").count()
+      .as[(Int, Long)].collect().toMap
+    // nearest-rank boundaries: each of the 8 ranges holds ~3000/8 rows
+    assert(sizes.keySet == (0 to 7).toSet)
+    assert(sizes.values.forall(n => n >= 300 && n <= 450), sizes)
+    // the assignment itself is shuffle-free
+    val plan = Quantiles.assignRanges(df, "v", bounds)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("non-integral value column is rejected loudly") {
     val df = Seq(("a", 1.5)).toDF("k", "v")
     val e = intercept[IllegalArgumentException] {
