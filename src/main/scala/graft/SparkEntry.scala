@@ -244,7 +244,19 @@ object SparkEntry {
     // referential-integrity orphan audit at key level (round 5)
     "q118_fk_audit" -> (QueryDefs.qFkAudit _),
     // join-skew diagnosis feeding the saltedJoin parameter (round 5)
-    "q119_skew_diagnose" -> (QueryDefs.qSkewDiagnose _)
+    "q119_skew_diagnose" -> (QueryDefs.qSkewDiagnose _),
+    // feed-freshness max-gap audit, bucket-bounded sort (round 5)
+    "q120_feed_freshness" -> (QueryDefs.qFeedFreshness _),
+    // functional-dependency audit (round 5)
+    "q121_fd_audit" -> (QueryDefs.qFdAudit _),
+    // quality-ranked canonical selection, sort-free argmax (round 5)
+    "q122_keep_best" -> (QueryDefs.qKeepBest _),
+    // SCD-2 state timeline, bucket-bounded run build + stitch (round 5)
+    "q123_state_intervals" -> (QueryDefs.qStateIntervals _),
+    // top session journey prefixes over 30-min sessions (round 5)
+    "q124_top_paths" -> (QueryDefs.qTopPaths _),
+    // TTL retention plan: drop/rewrite/keep bucket verdicts (round 5)
+    "q125_ttl_plan" -> (QueryDefs.qTtlPlan _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -366,6 +378,12 @@ object SparkEntry {
     "q116_zonemap_audit" -> OracleDefs.zoneMapAudit,
     "q117_range_assign" -> OracleDefs.rangeAssign,
     "q118_fk_audit" -> OracleDefs.fkAudit,
-    "q119_skew_diagnose" -> OracleDefs.skewDiagnose
+    "q119_skew_diagnose" -> OracleDefs.skewDiagnose,
+    "q120_feed_freshness" -> OracleDefs.feedFreshness,
+    "q121_fd_audit" -> OracleDefs.fdAudit2,
+    "q122_keep_best" -> OracleDefs.keepBest,
+    "q123_state_intervals" -> OracleDefs.stateIntervals,
+    "q124_top_paths" -> OracleDefs.topPaths,
+    "q125_ttl_plan" -> OracleDefs.ttlPlan
   )
 }

@@ -438,6 +438,39 @@ object Dedup {
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
   }
 
+  /** Quality-ranked canonical selection — which member of each
+    * duplicate cluster to KEEP. [[nearDupClusters]]' `is_canonical`
+    * (min id) is an arbitrary pick; a curation pipeline keeps the
+    * best member (longest, highest quality score, newest crawl), and
+    * the obvious implementation — `row_number()` over (cluster ORDER
+    * BY score) — pays a per-cluster SORT. This op gets the identical
+    * answer from one algebraic aggregate: `max(struct(score, −id))`
+    * compares lexicographically, so the winner is max score with ties
+    * broken by LOWEST id — map-side-partial combinable, no sort, one
+    * shuffle on the cluster key.
+    *
+    * Pinned semantics: the id column must be integral and non-null
+    * (the −id tie-break is integer negation); rows with a NULL score
+    * are dropped BEFORE selection and before `n_members` (a null
+    * quality cannot be compared — route unscored docs explicitly).
+    */
+  def keepBest(members: DataFrame, clusterCol: String, idCol: String,
+      scoreCol: String): DataFrame = {
+    require({
+      import org.apache.spark.sql.types._
+      Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(members.schema(idCol).dataType)
+    }, s"$idCol must be integral (the tie-break negates it)")
+    members.filter(col(scoreCol).isNotNull)
+      .groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("nid")))
+          .as("__graft_best"))
+      .select(col(clusterCol), col("n_members"),
+        (-col("__graft_best.nid")).as("kept_id"),
+        col("__graft_best.s").as("kept_score"))
+  }
+
   /** Unpersist the RDD behind a localCheckpoint'd DataFrame.
     * `Dataset.unpersist` only talks to the cache manager and is a no-op for
     * checkpoint blocks — they live on the physical RDD inside the

@@ -54,4 +54,38 @@ object Integrity {
         col("n_null_rows"), col("n_orphan_rows"), col("n_orphan_keys"),
         col("min_orphan_key"), col("max_orphan_key"))
   }
+
+  /** Functional-dependency audit — does `lhs → rhs` actually hold in
+    * the data (each lhs value maps to exactly one rhs)? The FD family
+    * is what schema docs CLAIM and joins silently ASSUME: enriching on
+    * a key whose FD is broken picks an arbitrary rhs per duplicate —
+    * nondeterministic output that no error surfaces. The audit is one
+    * map-side-partial aggregate per lhs (|lhs| rows, never a join)
+    * folded to a single verdict row.
+    *
+    * NULL semantics pinned for the oracle: a NULL rhs counts as ONE
+    * distinct value (`countDistinct` skips nulls, so the null presence
+    * is added back explicitly) — "sometimes X, sometimes unknown" IS a
+    * violation signal; and a NULL lhs is a real group like any other.
+    */
+  def fdAudit(df: DataFrame, lhs: Seq[String], rhs: String,
+      fdName: String): DataFrame = {
+    require(lhs.nonEmpty, "at least one lhs column")
+    val per = df.groupBy(lhs.map(col): _*)
+      .agg(count(lit(1)).as("__graft_n"),
+        (countDistinct(col(rhs)) +
+          max(when(col(rhs).isNull, 1L).otherwise(0L))).as("__graft_k"))
+    val bad = col("__graft_k") > 1
+    per.agg(
+      coalesce(sum(col("__graft_n")), lit(0L)).as("n_rows"),
+      count(lit(1)).as("n_lhs"),
+      coalesce(sum(when(bad, 1L).otherwise(0L)), lit(0L))
+        .as("n_violating_lhs"),
+      coalesce(sum(when(bad, col("__graft_n")).otherwise(0L)), lit(0L))
+        .as("n_rows_in_violations"),
+      coalesce(max(col("__graft_k")), lit(0L)).as("max_rhs_per_lhs"))
+      .select(lit(fdName).as("fd_name"), col("n_rows"), col("n_lhs"),
+        col("n_violating_lhs"), col("n_rows_in_violations"),
+        col("max_rhs_per_lhs"))
+  }
 }

@@ -2910,4 +2910,154 @@ object OracleDefs {
        |${one("events.event_type", "events", "event_type")}
        |ORDER BY diag, key_rank""".stripMargin
   }
+
+  /** q120: max-gap audit — the NAIVE route (full per-key sort + lag),
+    * which the bucketed two-pass must match exactly; single-event keys
+    * have NULL max_gap (max over an empty gap set).
+    */
+  val feedFreshness: String =
+    """WITH e AS (
+      |  SELECT event_type, ts, epoch_us(ts) AS us
+      |  FROM events WHERE ts IS NOT NULL),
+      |g AS (
+      |  SELECT event_type, ts, us,
+      |    us - lag(us) OVER (PARTITION BY event_type ORDER BY us)
+      |      AS gap
+      |  FROM e)
+      |SELECT event_type, count(*) AS n, min(ts) AS first_ts,
+      |  max(ts) AS last_ts, max(us) - min(us) AS span_us,
+      |  max(gap) AS max_gap_us
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q121: FD audit — per-lhs distinct-rhs counts with the NULL-adds-
+    * one rule, folded to one verdict row per FD.
+    */
+  val fdAudit2: String = {
+    def one(fd: String, table: String, l: String, r: String) =
+      s"""SELECT '$fd' AS fd_name,
+         |  coalesce(sum(n), 0) AS n_rows, count(*) AS n_lhs,
+         |  coalesce(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END), 0)
+         |    AS n_violating_lhs,
+         |  coalesce(sum(CASE WHEN k > 1 THEN n ELSE 0 END), 0)
+         |    AS n_rows_in_violations,
+         |  coalesce(max(k), 0) AS max_rhs_per_lhs
+         |FROM (
+         |  SELECT $l AS l, count(*) AS n,
+         |    count(DISTINCT $r) +
+         |      max(CASE WHEN $r IS NULL THEN 1 ELSE 0 END) AS k
+         |  FROM $table GROUP BY 1)""".stripMargin
+    s"""${one("nation.n_nationkey->n_regionkey", "nation",
+        "n_nationkey", "n_regionkey")}
+       |UNION ALL
+       |${one("customer.c_nationkey->c_mktsegment", "customer",
+        "c_nationkey", "c_mktsegment")}
+       |ORDER BY fd_name""".stripMargin
+  }
+
+  /** q122: keep-best — the window-replay form of the (score DESC,
+    * id ASC) argmax the aggregate computes sort-free.
+    */
+  val keepBest: String =
+    """WITH m AS (
+      |  SELECT md5(substr(text, 1, 40)) AS cluster_fp, doc_id, n_chars
+      |  FROM documents WHERE n_chars IS NOT NULL),
+      |r AS (
+      |  SELECT cluster_fp, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY cluster_fp
+      |      ORDER BY n_chars DESC, doc_id ASC) AS rk,
+      |    count(*) OVER (PARTITION BY cluster_fp) AS n_members
+      |  FROM m)
+      |SELECT cluster_fp, n_members, doc_id AS kept_id,
+      |       n_chars AS kept_score
+      |FROM r WHERE rk = 1 AND n_members >= 2
+      |ORDER BY cluster_fp""".stripMargin
+
+  /** q123: SCD-2 build — the naive single-window replay: null-safe
+    * change detection over (key ORDER BY ts, value NULLS FIRST —
+    * Spark's asc default), cumulative run ids, lead to close each
+    * interval; last interval per key stays open (NULL valid_to).
+    */
+  val stateIntervals: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type AS v, ts FROM events
+      |  WHERE ts IS NOT NULL),
+      |f AS (
+      |  SELECT user_id, v, ts,
+      |    CASE WHEN v IS DISTINCT FROM lag(v) OVER w
+      |      THEN 1 ELSE 0 END AS chg
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id
+      |    ORDER BY ts ASC, v ASC NULLS FIRST)),
+      |g AS (
+      |  SELECT user_id, v, ts,
+      |    sum(chg) OVER (PARTITION BY user_id
+      |      ORDER BY ts ASC, v ASC NULLS FIRST
+      |      ROWS UNBOUNDED PRECEDING) AS gid
+      |  FROM f),
+      |runs AS (
+      |  SELECT user_id, v AS event_type, min(ts) AS valid_from,
+      |    count(*) AS n_events
+      |  FROM g GROUP BY user_id, gid, v)
+      |SELECT user_id, event_type, valid_from,
+      |  lead(valid_from) OVER (PARTITION BY user_id
+      |    ORDER BY valid_from ASC, event_type ASC NULLS FIRST)
+      |    AS valid_to,
+      |  n_events
+      |FROM runs ORDER BY user_id, valid_from, event_type""".stripMargin
+
+  /** q124: top session paths — the q60 session-boundary rule at a
+    * 30-minute gap, row_number order (ts, event_id), string_agg path
+    * over the rn<=5 prefix, top-10 by (n DESC, path ASC).
+    */
+  val topPaths: String =
+    """WITH b AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+      |              > 1800000000
+      |         THEN 1 ELSE 0 END AS nb
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    sum(nb) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM b),
+      |r AS (
+      |  SELECT user_id, session_idx,
+      |    coalesce(CAST(event_type AS VARCHAR), '(null)') AS t,
+      |    row_number() OVER (PARTITION BY user_id, session_idx
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM s),
+      |p AS (
+      |  SELECT user_id, session_idx,
+      |    string_agg(t, '>' ORDER BY rn) AS path
+      |  FROM r WHERE rn <= 5 GROUP BY 1, 2),
+      |c AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY 1)
+      |SELECT row_number() OVER (ORDER BY n_sessions DESC, path ASC)
+      |    AS path_rank, path, n_sessions
+      |FROM c QUALIFY path_rank <= 10 ORDER BY path_rank""".stripMargin
+
+  /** q125: TTL plan — per-bucket expiry accounting replayed literally;
+    * NULL ts is live (expiry unprovable), counted apart.
+    */
+  val ttlPlan: String =
+    """WITH layouts AS (
+      |  SELECT 'insertion' AS layout, event_id // 500 AS b, ts
+      |  FROM events
+      |  UNION ALL
+      |  SELECT 'time', epoch_us(ts) // 86400000000, ts FROM events),
+      |pb AS (
+      |  SELECT layout, b, count(*) AS n,
+      |    count(*) FILTER (ts IS NOT NULL AND
+      |      ts < TIMESTAMP '2024-01-15 00:00:00') AS e,
+      |    count(*) FILTER (ts IS NULL) AS nul
+      |  FROM layouts GROUP BY 1, 2)
+      |SELECT layout,
+      |  CASE WHEN e = n THEN 'drop' WHEN e = 0 THEN 'keep'
+      |       ELSE 'rewrite' END AS verdict,
+      |  count(*) AS n_buckets, sum(n) AS rows_total,
+      |  sum(e) AS rows_expired, sum(n - e) AS rows_live,
+      |  sum(nul) AS n_null_ts
+      |FROM pb GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

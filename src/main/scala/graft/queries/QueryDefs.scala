@@ -1969,4 +1969,84 @@ object QueryDefs {
         .diagnose(t(s, dir, "events"), col("event_type"), 3)
         .withColumn("diag", lit("events.event_type")))
       .orderBy("diag", "key_rank")
+
+  /** q120: feed-freshness / max-gap audit
+    * ([[graft.ops.Freshness.maxGapAudit]]) — per event_type with
+    * 1-hour sort buckets; the oracle is the naive full-sort lag the
+    * two-pass must be indistinguishable from.
+    */
+  def qFeedFreshness(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Freshness.maxGapAudit(t(s, dir, "events"), "ts",
+      Seq("event_type"), bucketMicros = 3600000000L)
+      .orderBy("event_type")
+
+  /** q121: functional-dependency audit
+    * ([[graft.ops.Integrity.fdAudit]]) — a holding FD (nation →
+    * region) next to a broken one (customer nation → mktsegment, the
+    * "schema doc claims it, the data laughs" shape).
+    */
+  def qFdAudit(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Integrity.fdAudit(t(s, dir, "nation"),
+      Seq("n_nationkey"), "n_regionkey",
+      "nation.n_nationkey->n_regionkey")
+      .unionByName(graft.ops.Integrity.fdAudit(t(s, dir, "customer"),
+        Seq("c_nationkey"), "c_mktsegment",
+        "customer.c_nationkey->c_mktsegment"))
+      .orderBy("fd_name")
+
+  /** q122: quality-ranked canonical selection
+    * ([[graft.ops.Dedup.keepBest]]) — truncation-duplicate clusters
+    * (shared 40-char prefix) keep the LONGEST member, ties to the
+    * lowest doc_id; the oracle replays with a row_number window the
+    * aggregate must be indistinguishable from.
+    */
+  def qKeepBest(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Dedup.keepBest(
+      t(s, dir, "documents").select(
+        md5(substring(col("text"), 1, 40)).as("cluster_fp"),
+        col("doc_id"), col("n_chars")),
+      "cluster_fp", "doc_id", "n_chars")
+      .filter(col("n_members") >= 2)
+      .orderBy("cluster_fp")
+
+  /** q123: state-timeline / SCD-2 build
+    * ([[graft.ops.Scd.stateIntervals]]) — each user's event_type
+    * timeline as half-open validity intervals via the bucket-bounded
+    * run build + stitch; the oracle is the naive single-window replay
+    * the two-pass must be indistinguishable from.
+    */
+  def qStateIntervals(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Scd.stateIntervals(t(s, dir, "events"), "ts",
+      "event_type", Seq("user_id"), bucketMicros = 3600000000L)
+      .orderBy("user_id", "valid_from", "event_type")
+
+  /** q124: top session paths ([[graft.ops.Paths.topPaths]]) over
+    * 30-minute [[graft.ops.Sessionize]] sessions — the top-10
+    * 5-event journey prefixes; order made unique by (ts, event_id).
+    */
+  def qTopPaths(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Paths.topPaths(
+      graft.ops.Sessionize.assign(t(s, dir, "events"), 1800),
+      Seq("user_id", "session_idx"), Seq("ts", "event_id"),
+      "event_type", maxLen = 5, topK = 10)
+      .orderBy("path_rank")
+
+  /** q125: TTL retention plan ([[graft.ops.TtlPlan.retentionPlan]]) —
+    * the same cutoff against two layouts (insertion-order event_id
+    * buckets vs day buckets): the time layout's plan is pure
+    * drop/keep, the insertion layout pays rewrites.
+    */
+  def qTtlPlan(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    val cutoff = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    graft.ops.TtlPlan
+      .retentionPlan(events, expr("event_id div 500"), "ts", cutoff)
+      .withColumn("layout", lit("insertion"))
+      .unionByName(graft.ops.TtlPlan
+        .retentionPlan(events,
+          expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000L"),
+          "ts", cutoff)
+        .withColumn("layout", lit("time")))
+      .orderBy("layout", "verdict")
+  }
 }

@@ -31,6 +31,34 @@ class IntegritySpec extends AnyFunSuite {
     assert(got == (("clean", 3L, 0L, 0L, 0L, None, None)))
   }
 
+  test("fdAudit: holding and violated FDs match a recount; NULL rhs " +
+    "counts as one distinct value; NULL lhs is a real group") {
+    val df = Seq(
+      (Some("a"), Some(1L)), (Some("a"), Some(1L)), // a -> {1}: holds
+      (Some("b"), Some(1L)), (Some("b"), Some(2L)), // b -> {1,2}: bad
+      (Some("c"), Some(3L)), (Some("c"), None), // c -> {3,NULL}: bad
+      (Some("d"), None), (Some("d"), None), // d -> {NULL}: holds
+      (None, Some(9L)), (None, Some(9L)) // NULL lhs -> {9}: holds
+    ).toDF("l", "r")
+    val got = Integrity.fdAudit(df, Seq("l"), "r", "l->r")
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    assert(got == (("l->r", 10L, 5L, 2L, 4L, 2L)))
+  }
+
+  test("fdAudit: clean FD and empty input degenerate") {
+    val clean = Seq(("x", 1L), ("x", 1L), ("y", 2L)).toDF("l", "r")
+    assert(Integrity.fdAudit(clean, Seq("l"), "r", "c")
+      .as[(String, Long, Long, Long, Long, Long)].head() ==
+      (("c", 3L, 2L, 0L, 0L, 1L)))
+    val empty = clean.filter("r < 0")
+    assert(Integrity.fdAudit(empty, Seq("l"), "r", "e")
+      .as[(String, Long, Long, Long, Long, Long)].head() ==
+      (("e", 0L, 0L, 0L, 0L, 0L)))
+    intercept[IllegalArgumentException] {
+      Integrity.fdAudit(clean, Seq.empty, "r", "x")
+    }
+  }
+
   test("the dim join input is the key-level aggregate, not fact rows") {
     val fact = (1L to 500L).map(i => i % 7).toDF("k")
     val dim = Seq(0L, 1L, 2L).toDF("id")

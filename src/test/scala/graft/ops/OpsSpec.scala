@@ -355,4 +355,23 @@ class OpsSpec extends AnyFunSuite {
     assert(withMeta.schema("payload").dataType.typeName == "binary")
     assert(withMeta.schema("meta").dataType.typeName == "struct")
   }
+
+  test("keepBest: max-score winner with lowest-id tie-break equals the " +
+    "window replay; null scores drop; non-integral id rejected") {
+    import org.apache.spark.sql.functions._
+    val m = Seq(
+      ("c1", 1L, Some(10L)), ("c1", 2L, Some(30L)), ("c1", 3L, Some(30L)),
+      ("c2", 7L, Some(5L)), ("c2", 8L, None),
+      ("c3", 9L, None)
+    ).toDF("cl", "doc_id", "score")
+    val got = Dedup.keepBest(m, "cl", "doc_id", "score")
+      .orderBy("cl").as[(String, Long, Long, Long)].collect().toSeq
+    // c1: score 30 tie between 2 and 3 -> keep 2; c2: null drops, keep 7;
+    // c3: all null -> cluster disappears
+    assert(got == Seq(("c1", 3L, 2L, 30L), ("c2", 1L, 7L, 5L)))
+    intercept[IllegalArgumentException] {
+      Dedup.keepBest(m.withColumn("doc_id", col("doc_id").cast("string")),
+        "cl", "doc_id", "score")
+    }
+  }
 }
