@@ -256,7 +256,13 @@ object SparkEntry {
     // top session journey prefixes over 30-min sessions (round 5)
     "q124_top_paths" -> (QueryDefs.qTopPaths _),
     // TTL retention plan: drop/rewrite/keep bucket verdicts (round 5)
-    "q125_ttl_plan" -> (QueryDefs.qTtlPlan _)
+    "q125_ttl_plan" -> (QueryDefs.qTtlPlan _),
+    // exact join-size forecast from key histograms (round 5)
+    "q126_join_forecast" -> (QueryDefs.qJoinForecast _),
+    // quota/throttle admission replay (round 5)
+    "q127_throttle_audit" -> (QueryDefs.qThrottleAudit _),
+    // diversified top-k with per-group quotas (round 5)
+    "q128_diversified_topk" -> (QueryDefs.qDiversifiedTopK _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -384,6 +390,9 @@ object SparkEntry {
     "q122_keep_best" -> OracleDefs.keepBest,
     "q123_state_intervals" -> OracleDefs.stateIntervals,
     "q124_top_paths" -> OracleDefs.topPaths,
-    "q125_ttl_plan" -> OracleDefs.ttlPlan
+    "q125_ttl_plan" -> OracleDefs.ttlPlan,
+    "q126_join_forecast" -> OracleDefs.joinForecast,
+    "q127_throttle_audit" -> OracleDefs.throttleAudit,
+    "q128_diversified_topk" -> OracleDefs.diversifiedTopK
   )
 }

@@ -377,6 +377,65 @@ object TelemetryScaleProbe {
           countDistinct(col("user_id")).as("n_users"),
           sum(col("event_id")).as("sum_ids"))).count()
     }
+    probe("rolling_active") {
+      graft.ops.RollingDistinct.rollingActive(events, "ts", "user_id",
+        7, 1).count()
+    }
+    probe("rolling_active_naive") { // countDistinct through the raw expand
+      events.filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .groupBy(window(date_trunc("DAY", col("ts")),
+          "7 days", "1 day"))
+        .agg(countDistinct(col("user_id"))).count()
+    }
+    probe("max_gap_bucketed") {
+      graft.ops.Freshness.maxGapAudit(events, "ts", Seq("event_type"),
+        3600000000L).count()
+    }
+    probe("max_gap_naive") { // full per-key sort: 5 keys, n/5 rows each
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type")
+        .orderBy("__graft_us")
+      events.withColumn("__graft_us",
+          unix_micros(col("ts").cast("timestamp")))
+        .withColumn("g",
+          col("__graft_us") - lag("__graft_us", 1).over(w))
+        .groupBy("event_type").agg(max(col("g"))).count()
+    }
+    probe("state_intervals") {
+      graft.ops.Scd.stateIntervals(events, "ts", "event_type",
+        Seq("user_id"), 3600000000L).count()
+    }
+    probe("throttle_audit") {
+      graft.ops.Windows.throttleAudit(events, "ts", Seq("user_id"),
+        Seq("event_id"), 5, 3600L).count()
+    }
+    probe("zonemap_audit") {
+      graft.ops.ZoneMaps.pruningAudit(events,
+        expr("event_id div 100000"), "event_id",
+        Seq((0L, 1000000L), (5000000L, 6000000L))).count()
+    }
+    probe("join_forecast") {
+      graft.ops.SkewJoin.joinSizeForecast(events,
+        events.select(col("user_id")), "user_id", 10).count()
+    }
+    probe("diversified_topk") {
+      graft.ops.TopK.diversifiedTopK(events, "value", "event_id",
+        "event_type", 100, 1000).count()
+    }
+    probe("keep_best") {
+      graft.ops.Dedup.keepBest(events
+          .withColumn("cl", pmod(col("user_id"), lit(1000L))),
+        "cl", "event_id", "value").count()
+    }
+    probe("range_assign") {
+      val bounds = graft.ops.Quantiles.rangeBoundaries(
+        events.withColumn("v", col("event_id")), "v", 32, 100000L)
+        .orderBy("boundary_idx").select("value")
+        .collect().map(_.getLong(0)).toSeq
+      graft.ops.Quantiles.assignRanges(
+        events.withColumn("v", col("event_id")), "v", bounds)
+        .groupBy("range_idx").count().count()
+    }
     spark.stop()
   }
 }

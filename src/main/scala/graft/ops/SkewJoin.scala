@@ -103,4 +103,42 @@ object SkewJoin {
       .select("key_rank", "key_value", "n", "share_permille",
         "n_rows", "n_keys", "rec_salts")
   }
+
+  /** Join-size FORECAST — exact output cardinality of `left ⋈ right`
+    * on `key` from the two key histograms, before paying for the join:
+    * per matching key the join emits `n_left · n_right` rows, so the
+    * histogram join (histogram-sized, never fact-sized) prices the
+    * real one exactly. The top contributors are the second half of the
+    * answer: one key carrying 10^10 of the 10^10.2 forecast rows is a
+    * fan-out bomb ([[diagnose]]'s output-side sibling — diagnose reads
+    * input skew, this reads the product), and the fix differs (salt vs
+    * pre-aggregate vs semantic dedup), so the audit names the keys.
+    *
+    * Arithmetic: per-key counts are longs, but the PRODUCT of two
+    * 10^12-row sides overflows a long (10^24) — products and their sum
+    * are `decimal(38,0)`, exact to 10^38. NULL keys never match in an
+    * inner join (SQL equality) and are excluded exactly as the real
+    * join would exclude them.
+    */
+  def joinSizeForecast(left: DataFrame, right: DataFrame, key: String,
+      topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val ha = left.groupBy(col(key)).agg(count(lit(1)).as("n_left"))
+    val hb = right.groupBy(col(key)).agg(count(lit(1)).as("n_right"))
+    val j = ha.join(hb, Seq(key))
+      .withColumn("pair_rows",
+        col("n_left").cast("decimal(38,0)") * col("n_right"))
+    val totals = j.agg(
+      coalesce(sum(col("pair_rows")), lit(0).cast("decimal(38,0)"))
+        .as("total_pair_rows"),
+      count(lit(1)).as("n_matched_keys"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pair_rows").desc, col(key).asc_nulls_first)
+    j.orderBy(col("pair_rows").desc, col(key).asc_nulls_first)
+      .limit(topK)
+      .withColumn("key_rank", row_number().over(rankW))
+      .crossJoin(totals)
+      .select(col("key_rank"), col(key), col("n_left"), col("n_right"),
+        col("pair_rows"), col("total_pair_rows"), col("n_matched_keys"))
+  }
 }

@@ -55,4 +55,47 @@ object Windows {
       .withColumn("window_end", col("__graft_w.end"))
       .drop("__graft_w")
   }
+
+  /** Throttle/admission REPLAY — simulate a "first K events per key
+    * per tumbling window" quota against history and report, per key,
+    * exactly what the limiter would have done: n_admitted, n_dropped,
+    * and how many windows hit the cap. The question every quota change
+    * triggers ("who would this throttle?") answered from the log
+    * before the config ships, with the same first-come-first-served
+    * rule a real limiter applies.
+    *
+    * Admission order within a window is (ts, tieCols…) — callers pass
+    * a unique tie-breaker (event id), otherwise simultaneous events
+    * would be admitted nondeterministically, which is exactly the bug
+    * a replay exists to avoid. The rank window partitions by (key,
+    * tumbling window), so the sort is WINDOW-BOUNDED — a hot key costs
+    * |its busiest window|, never its full history ([[Freshness]]'s
+    * bound, for free from the tumbling grid). One shuffle, then a
+    * key-level fold. NULL ts rows never reach a limiter (no arrival
+    * time) and are dropped, like the op they simulate.
+    */
+  def throttleAudit(events: DataFrame, tsCol: String,
+      keyCols: Seq[String], tieCols: Seq[String], k: Int,
+      windowSeconds: Long): DataFrame = {
+    require(keyCols.nonEmpty && tieCols.nonEmpty,
+      "key and tie-breaker columns required")
+    require(k >= 1 && windowSeconds > 0,
+      "k and windowSeconds must be positive")
+    val wcol = window(col(tsCol), s"$windowSeconds seconds")
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col) :+ col("__graft_w"): _*)
+      .orderBy((tsCol +: tieCols).map(col(_).asc): _*)
+    events.filter(col(tsCol).isNotNull)
+      .withColumn("__graft_w", wcol)
+      .withColumn("__graft_rn", row_number().over(rankW))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("__graft_rn") <= k, 1L).otherwise(0L))
+          .as("n_admitted"),
+        sum(when(col("__graft_rn") > k, 1L).otherwise(0L))
+          .as("n_dropped"),
+        countDistinct(col("__graft_w")).as("n_windows"),
+        sum(when(col("__graft_rn") === k + 1, 1L).otherwise(0L))
+          .as("n_capped_windows"))
+  }
 }

@@ -3060,4 +3060,59 @@ object OracleDefs {
       |  sum(e) AS rows_expired, sum(n - e) AS rows_live,
       |  sum(nul) AS n_null_ts
       |FROM pb GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q126: join-size forecast — histogram join, exact per-key products
+    * and totals, top-5 by (pair_rows DESC, key ASC).
+    */
+  val joinForecast: String =
+    """WITH ha AS (
+      |  SELECT user_id, count(*) AS n_left FROM events GROUP BY 1),
+      |hb AS (
+      |  SELECT o_custkey AS user_id, count(*) AS n_right FROM orders
+      |  GROUP BY 1),
+      |j AS (
+      |  SELECT ha.user_id, n_left, n_right, n_left * n_right
+      |    AS pair_rows
+      |  FROM ha JOIN hb USING (user_id)),
+      |t AS (
+      |  SELECT sum(pair_rows) AS total_pair_rows,
+      |         count(*) AS n_matched_keys FROM j)
+      |SELECT row_number() OVER (ORDER BY pair_rows DESC,
+      |    user_id ASC NULLS FIRST) AS key_rank,
+      |  user_id, n_left, n_right, pair_rows, total_pair_rows,
+      |  n_matched_keys
+      |FROM j CROSS JOIN t
+      |QUALIFY key_rank <= 5 ORDER BY key_rank""".stripMargin
+
+  /** q127: throttle replay — first-5-per-hour per user; the same
+    * row_number admission rule over (ts, event_id).
+    */
+  val throttleAudit: String =
+    """WITH r AS (
+      |  SELECT user_id,
+      |    (epoch_us(ts) // 3600000000) AS w,
+      |    row_number() OVER (PARTITION BY user_id,
+      |      epoch_us(ts) // 3600000000
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events WHERE ts IS NOT NULL)
+      |SELECT user_id, count(*) AS n_events,
+      |  count(*) FILTER (rn <= 5) AS n_admitted,
+      |  count(*) FILTER (rn > 5) AS n_dropped,
+      |  count(DISTINCT w) AS n_windows,
+      |  count(*) FILTER (rn = 6) AS n_capped_windows
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q128: diversified top-k — rank within source, keep <=2, then the
+    * global top-10; both orders (n_chars DESC, doc_id ASC).
+    */
+  val diversifiedTopK: String =
+    """WITH g AS (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id ASC) AS gr
+      |  FROM documents WHERE n_chars IS NOT NULL),
+      |q AS (SELECT * FROM g WHERE gr <= 2)
+      |SELECT row_number() OVER (ORDER BY n_chars DESC, doc_id ASC)
+      |    AS rank, doc_id, source, n_chars
+      |FROM q QUALIFY rank <= 10 ORDER BY rank""".stripMargin
 }

@@ -2049,4 +2049,34 @@ object QueryDefs {
         .withColumn("layout", lit("time")))
       .orderBy("layout", "verdict")
   }
+
+  /** q126: join-size forecast
+    * ([[graft.ops.SkewJoin.joinSizeForecast]]) — price events ⋈ orders
+    * on the customer key from the two histograms before paying for it;
+    * top-5 fan-out contributors named.
+    */
+  def qJoinForecast(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SkewJoin.joinSizeForecast(
+      t(s, dir, "events").select(col("user_id")),
+      t(s, dir, "orders").select(col("o_custkey").as("user_id")),
+      "user_id", topK = 5)
+      .orderBy("key_rank")
+
+  /** q127: throttle replay ([[graft.ops.Windows.throttleAudit]]) —
+    * first 5 events per user per hour; who a quota change would hit,
+    * from the log, deterministically (ties admitted by event_id).
+    */
+  def qThrottleAudit(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Windows.throttleAudit(t(s, dir, "events"), "ts",
+      Seq("user_id"), Seq("event_id"), k = 5, windowSeconds = 3600L)
+      .orderBy("user_id")
+
+  /** q128: diversified top-k ([[graft.ops.TopK.diversifiedTopK]]) —
+    * the 10 longest documents with at most 2 per source; capped slots
+    * refill from other sources (quota-first, not post-filtered).
+    */
+  def qDiversifiedTopK(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TopK.diversifiedTopK(t(s, dir, "documents"),
+      "n_chars", "doc_id", "source", perGroup = 2, k = 10)
+      .orderBy("rank")
 }

@@ -70,4 +70,28 @@ class WindowsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Windows.slidingAgg(events, 3600, 900, "ts", Nil, Nil))
   }
+
+  test("throttleAudit: first-K-per-window admission replay matches a " +
+    "literal recount; ties admitted by event id; null ts dropped") {
+    import java.sql.Timestamp
+    def ts(m: Int, s: Int) =
+      Timestamp.valueOf(f"2024-01-01 00:$m%02d:$s%02d")
+    // u1 window 0 has 4 events (2 tied), window 1 has 1; k=2
+    val rows = Seq(
+      ("u1", 1L, Option(ts(0, 10))), ("u1", 2L, Option(ts(0, 10))),
+      ("u1", 3L, Option(ts(0, 20))), ("u1", 4L, Option(ts(0, 30))),
+      ("u1", 5L, Option(ts(1, 10))),
+      ("u2", 6L, Option(ts(0, 5))), ("u2", 7L, Option.empty[Timestamp])
+    ).toDF("k", "event_id", "ts")
+    val got = Windows.throttleAudit(rows, "ts", Seq("k"),
+      Seq("event_id"), 2, 60L)
+      .orderBy("k")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("u1", 5L, 3L, 2L, 2L, 1L), // 4 in w0 -> 2 admitted; w1 all in
+      ("u2", 1L, 1L, 0L, 1L, 0L)))
+    intercept[IllegalArgumentException] {
+      Windows.throttleAudit(rows, "ts", Seq("k"), Seq("event_id"), 0, 60L)
+    }
+  }
 }
