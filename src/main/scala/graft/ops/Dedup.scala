@@ -461,10 +461,20 @@ object Dedup {
       Seq(ByteType, ShortType, IntegerType, LongType)
         .contains(members.schema(idCol).dataType)
     }, s"$idCol must be integral (the tie-break negates it)")
+    // the non-null/negatable id contract is enforced at EXECUTION, not
+    // just documented: a NULL id would silently yield kept_id = NULL
+    // (losing the canonical pick), and Long.MinValue negates to itself
+    // (losing every score tie instead of winning as the lowest id) —
+    // both are data bugs this op must surface, not absorb (review find)
+    val guardedId = when(col(idCol).isNull, raise_error(
+        lit(s"keepBest: NULL $idCol — ids must be non-null")))
+      .when(col(idCol) === Long.MinValue, raise_error(concat(
+        lit(s"keepBest: $idCol = Long.MinValue is not negatable"))))
+      .otherwise(col(idCol))
     members.filter(col(scoreCol).isNotNull)
       .groupBy(col(clusterCol))
       .agg(count(lit(1)).as("n_members"),
-        max(struct(col(scoreCol).as("s"), (-col(idCol)).as("nid")))
+        max(struct(col(scoreCol).as("s"), (-guardedId).as("nid")))
           .as("__graft_best"))
       .select(col(clusterCol), col("n_members"),
         (-col("__graft_best.nid")).as("kept_id"),

@@ -53,13 +53,10 @@ object Paths {
         array_sort(collect_list(struct(col("__graft_rn").as("r"),
           col("__graft_t").as("t")))),
         x => x.getField("t")), ">").as("path"))
-    val rankW = Window
-      .orderBy(col("n_sessions").desc, col("path").asc)
-    perEntity.groupBy(col("path"))
-      .agg(count(lit(1)).as("n_sessions"))
-      .orderBy(col("n_sessions").desc, col("path").asc)
-      .limit(topK)
-      .withColumn("path_rank", row_number().over(rankW))
+    Ranked.rankedTopK(
+      perEntity.groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions")),
+      Seq(col("n_sessions").desc, col("path").asc), topK, "path_rank")
       .select("path_rank", "path", "n_sessions")
   }
 }

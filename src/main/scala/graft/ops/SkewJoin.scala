@@ -82,21 +82,25 @@ object SkewJoin {
     require(topK >= 1, "topK must be >= 1")
     val counts = df.groupBy(key.cast("string").as("key_value"))
       .agg(count(lit(1)).as("n"))
+    // the gate/ceil products run in decimal(38,0): max_n * n_keys at
+    // 10^10 rows x 10^9 keys is ~10^19 — past Long.MaxValue, where a
+    // raw long product wraps negative (non-ANSI) or throws (ANSI) on
+    // exactly the most skewed inputs this op exists to flag (review
+    // find; `div` accepts decimal operands and stays integral)
     val totals = counts.agg(
       coalesce(sum(col("n")), lit(0L)).as("n_rows"),
       count(lit(1)).as("n_keys"),
       coalesce(max(col("n")), lit(0L)).as("max_n"))
       .withColumn("rec_salts",
-        when(col("max_n") * col("n_keys") >= col("n_rows") * 2,
-          expr("(max_n * n_keys + n_rows - 1) div n_rows"))
+        when(expr("CAST(max_n AS DECIMAL(38,0)) * n_keys") >=
+            expr("CAST(n_rows AS DECIMAL(38,0)) * 2"),
+          expr("(CAST(max_n AS DECIMAL(38,0)) * n_keys + n_rows - 1)" +
+            " div n_rows"))
           .otherwise(lit(1L)))
       .drop("max_n")
-    val top = counts
-      .orderBy(col("n").desc, col("key_value").asc_nulls_first)
-      .limit(topK)
-      .withColumn("key_rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("n").desc, col("key_value").asc_nulls_first)))
+    val top = Ranked.rankedTopK(counts,
+      Seq(col("n").desc, col("key_value").asc_nulls_first),
+      topK, "key_rank")
     top.crossJoin(totals)
       .withColumn("share_permille",
         expr("n * 1000 div n_rows"))
@@ -132,11 +136,9 @@ object SkewJoin {
       coalesce(sum(col("pair_rows")), lit(0).cast("decimal(38,0)"))
         .as("total_pair_rows"),
       count(lit(1)).as("n_matched_keys"))
-    val rankW = org.apache.spark.sql.expressions.Window
-      .orderBy(col("pair_rows").desc, col(key).asc_nulls_first)
-    j.orderBy(col("pair_rows").desc, col(key).asc_nulls_first)
-      .limit(topK)
-      .withColumn("key_rank", row_number().over(rankW))
+    Ranked.rankedTopK(j,
+      Seq(col("pair_rows").desc, col(key).asc_nulls_first),
+      topK, "key_rank")
       .crossJoin(totals)
       .select(col("key_rank"), col(key), col("n_left"), col("n_right"),
         col("pair_rows"), col("total_pair_rows"), col("n_matched_keys"))

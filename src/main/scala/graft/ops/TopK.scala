@@ -32,13 +32,11 @@ object TopK {
     require(perGroup >= 1 && k >= 1, "perGroup and k must be >= 1")
     val order = Seq(col(scoreCol).desc, col(idCol).asc)
     val inGroup = Window.partitionBy(col(groupCol)).orderBy(order: _*)
-    val globalW = Window.orderBy(order: _*)
-    df.filter(col(scoreCol).isNotNull)
-      .withColumn("__graft_gr", row_number().over(inGroup))
-      .filter(col("__graft_gr") <= perGroup)
-      .orderBy(order: _*)
-      .limit(k)
-      .withColumn("rank", row_number().over(globalW))
+    Ranked.rankedTopK(
+      df.filter(col(scoreCol).isNotNull)
+        .withColumn("__graft_gr", row_number().over(inGroup))
+        .filter(col("__graft_gr") <= perGroup),
+      order, k, "rank")
       .select(col("rank"), col(idCol), col(groupCol), col(scoreCol))
   }
 }

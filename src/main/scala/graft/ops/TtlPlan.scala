@@ -28,14 +28,22 @@ object TtlPlan {
   /** One row per verdict in {drop, rewrite, keep}: (verdict,
     * n_buckets, rows_total, rows_expired, rows_live, n_null_ts).
     * Verdict classes with no buckets are absent (count them as zero).
+    *
+    * `cutoff` is a Column (e.g. `expr("TIMESTAMP '2024-01-15
+    * 00:00:00'")`), NOT a java.sql.Timestamp: `Timestamp.valueOf`
+    * parses in the JVM default timezone, which the build pins for the
+    * Spark SESSION but not for the JVM — a host with TZ=America/
+    * New_York would shift the literal's instant five hours and change
+    * every verdict (review find). A SQL timestamp literal parses in
+    * the session timezone, which IS pinned.
     */
   def retentionPlan(df: DataFrame, bucketCol: Column, tsCol: String,
-      cutoff: java.sql.Timestamp): DataFrame = {
+      cutoff: Column): DataFrame = {
     // .cast("timestamp"): parquet tables surface TIMESTAMP_NTZ and the
     // literal is TIMESTAMP — the Sessionize convention (UTC session, so
     // the comparison is tz-shift-free either way)
     val expired = col(tsCol).isNotNull &&
-      col(tsCol).cast("timestamp") < lit(cutoff)
+      col(tsCol).cast("timestamp") < cutoff
     val perBucket = df
       .groupBy(bucketCol.as("__graft_b"))
       .agg(count(lit(1)).as("__graft_n"),

@@ -1368,16 +1368,16 @@ object OracleDefs {
     */
   val sessionize: String =
     """WITH b AS (
-      |  SELECT user_id, ts, value,
+      |  SELECT user_id, ts, value, event_id,
       |    CASE WHEN lag(ts) OVER w IS NULL
       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 7200000000
       |         THEN 1 ELSE 0 END AS nb
       |  FROM events
-      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |),
       |sess AS (
       |  SELECT user_id, ts, value,
-      |    sum(nb) OVER (PARTITION BY user_id ORDER BY ts
+      |    sum(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                  ROWS UNBOUNDED PRECEDING) AS session_idx
       |  FROM b
       |)
@@ -2970,7 +2970,7 @@ object OracleDefs {
       |SELECT cluster_fp, n_members, doc_id AS kept_id,
       |       n_chars AS kept_score
       |FROM r WHERE rk = 1 AND n_members >= 2
-      |ORDER BY cluster_fp""".stripMargin
+      |ORDER BY cluster_fp NULLS FIRST""".stripMargin
 
   /** q123: SCD-2 build — the naive single-window replay: null-safe
     * change detection over (key ORDER BY ts, value NULLS FIRST —
@@ -2979,19 +2979,19 @@ object OracleDefs {
     */
   val stateIntervals: String =
     """WITH e AS (
-      |  SELECT user_id, event_type AS v, ts FROM events
+      |  SELECT user_id, event_type AS v, ts, event_id FROM events
       |  WHERE ts IS NOT NULL),
       |f AS (
-      |  SELECT user_id, v, ts,
+      |  SELECT user_id, v, ts, event_id,
       |    CASE WHEN v IS DISTINCT FROM lag(v) OVER w
       |      THEN 1 ELSE 0 END AS chg
       |  FROM e
       |  WINDOW w AS (PARTITION BY user_id
-      |    ORDER BY ts ASC, v ASC NULLS FIRST)),
+      |    ORDER BY ts ASC, v ASC NULLS FIRST, event_id ASC)),
       |g AS (
       |  SELECT user_id, v, ts,
       |    sum(chg) OVER (PARTITION BY user_id
-      |      ORDER BY ts ASC, v ASC NULLS FIRST
+      |      ORDER BY ts ASC, v ASC NULLS FIRST, event_id ASC
       |      ROWS UNBOUNDED PRECEDING) AS gid
       |  FROM f),
       |runs AS (
@@ -3003,7 +3003,8 @@ object OracleDefs {
       |    ORDER BY valid_from ASC, event_type ASC NULLS FIRST)
       |    AS valid_to,
       |  n_events
-      |FROM runs ORDER BY user_id, valid_from, event_type""".stripMargin
+      |FROM runs
+      |ORDER BY user_id, valid_from, event_type NULLS FIRST""".stripMargin
 
   /** q124: top session paths — the q60 session-boundary rule at a
     * 30-minute gap, row_number order (ts, event_id), string_agg path
@@ -3017,10 +3018,10 @@ object OracleDefs {
       |              > 1800000000
       |         THEN 1 ELSE 0 END AS nb
       |  FROM events
-      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |s AS (
       |  SELECT user_id, ts, event_id, event_type,
-      |    sum(nb) OVER (PARTITION BY user_id ORDER BY ts
+      |    sum(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |      ROWS UNBOUNDED PRECEDING) AS session_idx
       |  FROM b),
       |r AS (

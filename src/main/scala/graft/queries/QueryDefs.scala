@@ -2038,7 +2038,9 @@ object QueryDefs {
     */
   def qTtlPlan(s: SparkSession, dir: String): DataFrame = {
     val events = t(s, dir, "events")
-    val cutoff = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    // SQL literal, not Timestamp.valueOf: session tz is pinned UTC,
+    // the JVM default tz is not (review find)
+    val cutoff = expr("TIMESTAMP '2024-01-15 00:00:00'")
     graft.ops.TtlPlan
       .retentionPlan(events, expr("event_id div 500"), "ts", cutoff)
       .withColumn("layout", lit("insertion"))

@@ -373,5 +373,14 @@ class OpsSpec extends AnyFunSuite {
       Dedup.keepBest(m.withColumn("doc_id", col("doc_id").cast("string")),
         "cl", "doc_id", "score")
     }
+    // a NULL id is a loud execution error, never a silent NULL kept_id
+    val withNullId = Seq((Some("c1"), Option.empty[Long], Some(1L)))
+      .toDF("cl", "doc_id", "score")
+    val e = intercept[Exception] {
+      Dedup.keepBest(withNullId, "cl", "doc_id", "score").collect()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("non-null") ||
+        Option(e.getCause).exists(_.getMessage.contains("non-null"))))
   }
 }

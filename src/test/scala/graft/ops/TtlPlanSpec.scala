@@ -28,7 +28,7 @@ class TtlPlanSpec extends AnyFunSuite {
       // bucket 3: only null ts -> keep (expiry unprovable)
       (3L, Option.empty[Timestamp])
     ).toDF("b", "ts")
-    val got = TtlPlan.retentionPlan(rows, col("b"), "ts", cutoff)
+    val got = TtlPlan.retentionPlan(rows, col("b"), "ts", lit(cutoff))
       .orderBy("verdict")
       .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq(
@@ -46,10 +46,10 @@ class TtlPlanSpec extends AnyFunSuite {
         new Timestamp(1704067200000L + day * 86400000L))
     }.toDF("id", "day", "ts")
     val scattered = TtlPlan.retentionPlan(rows, expr("id div 20"),
-      "ts", cutoff).orderBy("verdict")
+      "ts", lit(cutoff)).orderBy("verdict")
       .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
     val clustered = TtlPlan.retentionPlan(rows, expr("day div 2"),
-      "ts", cutoff).orderBy("verdict")
+      "ts", lit(cutoff)).orderBy("verdict")
       .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
     // insertion order: every bucket mixes days -> all rewrite
     assert(scattered.map(_._1) == Seq("rewrite"))
