@@ -262,7 +262,11 @@ object SparkEntry {
     // quota/throttle admission replay (round 5)
     "q127_throttle_audit" -> (QueryDefs.qThrottleAudit _),
     // diversified top-k with per-group quotas (round 5)
-    "q128_diversified_topk" -> (QueryDefs.qDiversifiedTopK _)
+    "q128_diversified_topk" -> (QueryDefs.qDiversifiedTopK _),
+    // weighted exact quantiles, bounded-sort two-pass (round 5)
+    "q129_weighted_quantiles" -> (QueryDefs.qWeightedQuantiles _),
+    // as-of state snapshot over the SCD interval table (round 5)
+    "q130_scd_snapshot" -> (QueryDefs.qScdSnapshot _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -393,6 +397,8 @@ object SparkEntry {
     "q125_ttl_plan" -> OracleDefs.ttlPlan,
     "q126_join_forecast" -> OracleDefs.joinForecast,
     "q127_throttle_audit" -> OracleDefs.throttleAudit,
-    "q128_diversified_topk" -> OracleDefs.diversifiedTopK
+    "q128_diversified_topk" -> OracleDefs.diversifiedTopK,
+    "q129_weighted_quantiles" -> OracleDefs.weightedQuantiles,
+    "q130_scd_snapshot" -> OracleDefs.scdSnapshot
   )
 }

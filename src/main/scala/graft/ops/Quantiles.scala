@@ -179,6 +179,109 @@ object Quantiles {
       .select("__graft_s.*")
   }
 
+  /** WEIGHTED exact nearest-rank quantiles — same two-pass bounded-sort
+    * mechanism, but each row carries a weight and the quantile is over
+    * the WEIGHT mass: "the median token lives in a document of length
+    * X" (weight = token count), "the p99 byte sits in a file of size Y"
+    * — the distribution questions a data-pipeline owner actually asks,
+    * where per-ROW quantiles mislead because a 10^6-token document
+    * counts once.
+    *
+    * Pinned rule: for permille p over total weight W, the answer is the
+    * value of the CROSSING row — the first row, in value order, whose
+    * cumulative weight reaches `r = (p·W + 999) div 1000` (the same
+    * integer ceil-rank arithmetic as the unweighted form; weight 1 per
+    * row degenerates to it exactly, spec-pinned). Ties are
+    * order-invariant: equal values are contiguous in the sort, so the
+    * crossing VALUE never depends on their internal order. The crossing
+    * row is identified without a second window: it is the unique row
+    * with `cum − w < r ≤ cum` (zero-weight rows can never satisfy it,
+    * so they are harmlessly inert; a NEGATIVE weight breaks cumulative
+    * monotonicity and RAISES — folded into the consumed weight column,
+    * the Intervals dead-code rule; NULL-weight rows are excluded like
+    * NULL values — an unweighted row has no mass).
+    *
+    * Scale shape is identical to [[bucketedNearestRank]]: pass 1 folds
+    * the corpus to per-(key, bucket) weight sums (map-side partial,
+    * histogram-sized exchange), the plan finds each rank's straddling
+    * bucket from cumulative bucket weights, pass 2 sorts ONLY the
+    * straddling buckets. Weight sums ride `decimal(38,0)` so no
+    * intermediate sum ever wraps; the rank expression's `div` is
+    * integral (long), which bounds TOTAL weight at ~9.2×10^18 — 10^12
+    * rows × 10^6-token weights with ~9× headroom (a larger W would
+    * need the rank split into a two-step decimal quotient — not worth
+    * the complexity short of it).
+    */
+  def bucketedWeightedNearestRank(df: DataFrame, keyCols: Seq[String],
+      valCol: String, weightCol: String, ps: Seq[(String, Int)],
+      bucketWidth: Long, broadcastTargets: Boolean = true): DataFrame = {
+    require(ps.nonEmpty, "at least one percentile")
+    require(ps.forall { case (_, p) => p > 0 && p <= 1000 },
+      "percentile permille must be in (0, 1000]")
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    df.schema(valCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"bucketedWeightedNearestRank needs an integral value column; " +
+          s"'$valCol' is $other")
+    }
+    val keys = keyCols.map(col)
+    val w = when(col(weightCol) < 0, raise_error(concat(
+        lit("bucketedWeightedNearestRank: negative weight "),
+        col(weightCol).cast("string"))))
+      .otherwise(col(weightCol)).cast("decimal(38,0)")
+
+    val rows = df.where(col(valCol).isNotNull && col(weightCol).isNotNull)
+      .select(keys :+ col(valCol) :+ w.as("__graft_w") :+
+        expr(s"`$valCol` div $bucketWidth").as("__graft_b"): _*)
+    val hist = rows.groupBy(keys :+ col("__graft_b"): _*)
+      .agg(sum(col("__graft_w")).as("__graft_c"))
+
+    val wCum = Window.partitionBy(keys: _*).orderBy(col("__graft_b").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys: _*)
+    val cum = hist
+      .withColumn("__graft_cum", sum(col("__graft_c")).over(wCum))
+      .withColumn("__graft_n", sum(col("__graft_c")).over(wAll))
+      .withColumn("__graft_prev", col("__graft_cum") - col("__graft_c"))
+    val psArr = array(ps.map { case (label, p) =>
+      struct(lit(label).as("label"), lit(p.toLong).as("p"))
+    }: _*)
+    // localCheckpoint: same two-consumer rule as the unweighted form
+    val targets = cum
+      .withColumn("__graft_q", explode(psArr))
+      .withColumn("__graft_rank",
+        expr("(__graft_q.p * __graft_n + 999) div 1000")
+          .cast("decimal(38,0)"))
+      .where(col("__graft_prev") < col("__graft_rank") &&
+        col("__graft_rank") <= col("__graft_cum"))
+      .select(keys :+ col("__graft_b") :+
+        col("__graft_q.label").as("__graft_label") :+
+        (col("__graft_rank") - col("__graft_prev"))
+          .as("__graft_off"): _*)
+      .localCheckpoint()
+
+    val hinted = (t: DataFrame) =>
+      if (broadcastTargets) broadcast(t) else t.hint("shuffle_hash")
+    val bucketKeys = keyCols :+ "__graft_b"
+    val needed = targets.select(bucketKeys.map(col): _*).distinct()
+    val pruned = rows.join(hinted(needed), bucketKeys)
+    val wIn = Window.partitionBy(bucketKeys.map(col): _*)
+      .orderBy(col(valCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val picked = pruned
+      .withColumn("__graft_cw", sum(col("__graft_w")).over(wIn))
+      .join(hinted(targets), bucketKeys)
+      .where(col("__graft_cw") >= col("__graft_off") &&
+        col("__graft_cw") - col("__graft_w") < col("__graft_off"))
+
+    val aggs: Seq[Column] = ps.map { case (label, _) =>
+      max(when(col("__graft_label") === label, col(valCol)))
+        .as(s"p_$label")
+    }
+    picked.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Apply [[rangeBoundaries]]: attach `range_idx` = the number of
     * boundaries strictly below the value — range 0 is `v <= b_1`, range
     * i is `b_i < v <= b_(i+1)`, range k−1 is `v > b_(k-1)`. With equal

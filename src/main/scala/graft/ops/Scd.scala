@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -90,4 +90,25 @@ object Scd {
       .select(keyCols.map(col) ++ Seq(col(valCol), col("valid_from"),
         col("valid_to"), col("n_events")): _*)
   }
+
+  /** Query the interval table: the state of every key AS OF `at` —
+    * the "what was this user's plan / this feed's config at incident
+    * time" question, answered by a map-side FILTER over the (already
+    * built, already small) interval table instead of a scan-back
+    * through raw events. Half-open semantics make the predicate exact:
+    * `valid_from <= at < valid_to` (open last interval = still in
+    * force). Keys whose first interval starts after `at` are absent —
+    * they had no state yet, and inventing one would be the
+    * null-over-wrong rule in reverse. `at` is a Column (SQL literal),
+    * the [[TtlPlan]] timezone rule.
+    */
+  def snapshotAt(intervals: DataFrame, at: Column, keyCols: Seq[String],
+      valCol: String): DataFrame =
+    intervals
+      // .cast("timestamp"): NTZ-vs-literal comparison, TtlPlan rule
+      .filter(col("valid_from").cast("timestamp") <= at &&
+        (col("valid_to").isNull ||
+          at < col("valid_to").cast("timestamp")))
+      .select(keyCols.map(col) ++ Seq(col(valCol).as("state"),
+        col("valid_from").as("since"), col("n_events")): _*)
 }

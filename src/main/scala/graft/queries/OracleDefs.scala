@@ -3116,4 +3116,43 @@ object OracleDefs {
       |SELECT row_number() OVER (ORDER BY n_chars DESC, doc_id ASC)
       |    AS rank, doc_id, source, n_chars
       |FROM q QUALIFY rank <= 10 ORDER BY rank""".stripMargin
+
+  /** q129: weighted quantiles — the direct crossing-row replay: value-
+    * sorted cumulative weights, the unique row with cw−w < r ≤ cw at
+    * the same integer ceil-rank r.
+    */
+  val weightedQuantiles: String =
+    """WITH t AS (
+      |  SELECT lang, n_chars AS v, n_chars AS w FROM documents
+      |  WHERE n_chars IS NOT NULL),
+      |r AS (
+      |  SELECT lang, v, w,
+      |    sum(w) OVER (PARTITION BY lang ORDER BY v
+      |      ROWS UNBOUNDED PRECEDING) AS cw,
+      |    sum(w) OVER (PARTITION BY lang) AS tot
+      |  FROM t),
+      |p(label, pm) AS (VALUES ('50', 500), ('90', 900), ('99', 990)),
+      |x AS (
+      |  SELECT lang, label, v
+      |  FROM r CROSS JOIN p
+      |  WHERE cw >= (pm * tot + 999) // 1000
+      |    AND cw - w < (pm * tot + 999) // 1000)
+      |SELECT lang,
+      |  max(CASE WHEN label = '50' THEN v END) AS p_50,
+      |  max(CASE WHEN label = '90' THEN v END) AS p_90,
+      |  max(CASE WHEN label = '99' THEN v END) AS p_99
+      |FROM x GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** q130: as-of snapshot — the q123 interval build wrapped as a
+    * subquery, then the same half-open predicate at the literal T.
+    */
+  val scdSnapshot: String =
+    s"""WITH iv AS ($stateIntervals)
+       |SELECT user_id, event_type AS state, valid_from AS since,
+       |       n_events
+       |FROM iv
+       |WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+       |  AND (valid_to IS NULL
+       |       OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+       |ORDER BY user_id""".stripMargin
 }

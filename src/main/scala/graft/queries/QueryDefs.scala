@@ -2081,4 +2081,30 @@ object QueryDefs {
     graft.ops.TopK.diversifiedTopK(t(s, dir, "documents"),
       "n_chars", "doc_id", "source", perGroup = 2, k = 10)
       .orderBy("rank")
+
+  /** q129: weighted exact quantiles
+    * ([[graft.ops.Quantiles.bucketedWeightedNearestRank]]) — per-lang
+    * byte-weighted length distribution ("the median byte lives in a
+    * doc of length X"): value = weight = n_chars; the oracle is the
+    * direct full-sort crossing-row replay.
+    */
+  def qWeightedQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Quantiles.bucketedWeightedNearestRank(
+      t(s, dir, "documents").filter(col("n_chars").isNotNull),
+      Seq("lang"), "n_chars", "n_chars",
+      Seq(("50", 500), ("90", 900), ("99", 990)), bucketWidth = 100L)
+      .orderBy("lang")
+
+  /** q130: as-of snapshot ([[graft.ops.Scd.snapshotAt]]) — q123's
+    * intervals QUERIED: every user's state at mid-month, a map-side
+    * filter over the interval table; the oracle replays the interval
+    * build and the same half-open predicate.
+    */
+  def qScdSnapshot(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Scd.snapshotAt(
+      graft.ops.Scd.stateIntervals(t(s, dir, "events"), "ts",
+        "event_type", Seq("user_id"), bucketMicros = 3600000000L),
+      expr("TIMESTAMP '2024-01-15 00:00:00'"),
+      Seq("user_id"), "event_type")
+      .orderBy("user_id")
 }

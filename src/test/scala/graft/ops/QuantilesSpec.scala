@@ -89,6 +89,60 @@ class QuantilesSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted: unit weights reproduce the unweighted form exactly " +
+    "across widths") {
+    val df = corpus(7, 3000)
+      .withColumn("w", org.apache.spark.sql.functions.lit(1L))
+    val want = direct(df)
+    for (wd <- Seq(1L, 13L, 500L, 1000000000L)) {
+      val got = Quantiles.bucketedWeightedNearestRank(
+        df, Seq("k"), "v", "w", ps, wd)
+        .orderBy("k").collect().toSeq
+      assert(got.map(_.toSeq) == want.map(_.toSeq), s"width=$wd")
+    }
+  }
+
+  test("weighted: crossing-row rule matches a brute-force replay; " +
+    "zero weights inert; null weights excluded; negative raises") {
+    val rows = (0 until 600).map { i =>
+      val h = (i * 2654435761L) & 0x7fffffffL
+      (s"g${h % 3}", (h % 997L), // value
+        if (h % 13 == 0) Option.empty[Long]
+        else Some(h % 7L)) // weights 0..6, some null
+    }
+    val df = rows.toDF("k", "v", "w")
+    def brute(p: Int): Map[String, Long] =
+      rows.groupBy(_._1).map { case (k, rs) =>
+        val vw = rs.flatMap(r => r._3.map(w => (r._2, w)))
+          .sortBy(_._1)
+        val tot = vw.map(_._2).sum
+        val r = (p * tot + 999) / 1000
+        var cum = 0L
+        val crossing = vw.find { case (_, w) =>
+          cum += w; cum >= r && cum - w < r
+        }.get._1
+        (k, crossing)
+      }
+    for (wd <- Seq(1L, 50L, 1000000000L)) {
+      val got = Quantiles.bucketedWeightedNearestRank(
+        df, Seq("k"), "v", "w", ps, wd)
+        .orderBy("k").collect()
+        .map(r => (r.getString(0), (1 to 3).map(r.getLong))).toMap
+      ps.map(_._2).zipWithIndex.foreach { case (p, i) =>
+        val want = brute(p)
+        got.foreach { case (k, vals) =>
+          assert(vals(i) == want(k), s"p=$p k=$k width=$wd") }
+      }
+    }
+    val neg = Seq(("a", 1L, -2L)).toDF("k", "v", "w")
+    val e = intercept[Exception] {
+      Quantiles.bucketedWeightedNearestRank(
+        neg, Seq("k"), "v", "w", ps, 10L).collect()
+    }
+    assert(e.getMessage.contains("negative weight") ||
+      Option(e.getCause).exists(_.getMessage.contains("negative weight")))
+  }
+
   test("assignRanges: boundary rule v<=b1 | b_i<v<=b_i+1 | v>b_k-1, " +
     "fat-value equal boundaries leave middle ranges empty, nulls get " +
     "null, unsorted boundaries rejected") {

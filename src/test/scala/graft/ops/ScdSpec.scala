@@ -69,4 +69,29 @@ class ScdSpec extends AnyFunSuite {
       Scd.stateIntervals(df, "ts", "v", Seq.empty, 1L)
     }
   }
+
+  test("snapshotAt: exactly one state per key with history at T, " +
+    "half-open edges, pre-history keys absent, open interval covers") {
+    import org.apache.spark.sql.functions.expr
+    val df = Seq(
+      ("u", Some("a"), ts("2024-01-01 00:00:00")),
+      ("u", Some("b"), ts("2024-01-01 02:00:00")),
+      ("w", Some("x"), ts("2024-01-01 03:00:00"))
+    ).toDF("k", "v", "ts")
+    val iv = Scd.stateIntervals(df, "ts", "v", Seq("k"), 3600000000L)
+    def at(s: String) = Scd.snapshotAt(iv,
+      expr(s"TIMESTAMP '$s'"), Seq("k"), "v")
+      .orderBy("k")
+      .as[(String, Option[String], Timestamp, Long)].collect().toSeq
+    // at the exact boundary the NEW state is in force (half-open)
+    assert(at("2024-01-01 02:00:00") == Seq(
+      ("u", Some("b"), ts("2024-01-01 02:00:00"), 1L)))
+    assert(at("2024-01-01 01:59:59") == Seq(
+      ("u", Some("a"), ts("2024-01-01 00:00:00"), 1L)))
+    // open last intervals cover arbitrarily late times; w now exists
+    assert(at("2030-01-01 00:00:00").map(r => (r._1, r._2)) ==
+      Seq(("u", Some("b")), ("w", Some("x"))))
+    // before all history: empty
+    assert(at("2023-01-01 00:00:00").isEmpty)
+  }
 }
