@@ -266,7 +266,11 @@ object SparkEntry {
     // weighted exact quantiles, bounded-sort two-pass (round 5)
     "q129_weighted_quantiles" -> (QueryDefs.qWeightedQuantiles _),
     // as-of state snapshot over the SCD interval table (round 5)
-    "q130_scd_snapshot" -> (QueryDefs.qScdSnapshot _)
+    "q130_scd_snapshot" -> (QueryDefs.qScdSnapshot _),
+    // exact categorical TVD between corpus halves (round 5)
+    "q131_dist_compare" -> (QueryDefs.qDistCompare _),
+    // vocabulary coverage / OOV audit per lang (round 5)
+    "q132_oov_rate" -> (QueryDefs.qOovRate _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -399,6 +403,8 @@ object SparkEntry {
     "q127_throttle_audit" -> OracleDefs.throttleAudit,
     "q128_diversified_topk" -> OracleDefs.diversifiedTopK,
     "q129_weighted_quantiles" -> OracleDefs.weightedQuantiles,
-    "q130_scd_snapshot" -> OracleDefs.scdSnapshot
+    "q130_scd_snapshot" -> OracleDefs.scdSnapshot,
+    "q131_dist_compare" -> OracleDefs.distCompare,
+    "q132_oov_rate" -> OracleDefs.oovRate
   )
 }

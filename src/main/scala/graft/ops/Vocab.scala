@@ -64,4 +64,45 @@ object Vocab {
       .where(col("rank") <= topK)
       .select("pair", "total", "rank")
   }
+
+  /** Vocabulary COVERAGE / out-of-vocabulary audit — per group, what
+    * share of word occurrences a top-`vocabSize` frequency vocabulary
+    * fails to cover. This is the number that decides whether a
+    * tokenizer/vocab trained on yesterday's mix still fits today's
+    * (a lang or source whose oov_permille spikes is drifting away from
+    * the vocabulary), and the per-group view is the point: a healthy
+    * corpus-wide average routinely hides one minority language at 40%
+    * OOV.
+    *
+    * Vocabulary = top-`vocabSize` words by (freq DESC, word ASC) over
+    * the WHOLE corpus ([[Ranked.rankedTopK]] — deterministic under
+    * ties), then BROADCAST against the exploded token stream: the
+    * corpus-side join is a scan + hash probe, no shuffle beyond the
+    * final per-group fold. Two corpus passes total (vocab build +
+    * measure) — at scale the vocab is built once and reused across
+    * measurement runs, which is why the two stages are separable ops.
+    * `n_oov_types` (distinct uncovered words) separates "one hot
+    * unknown word" from "a thousand scattered ones" — same count,
+    * opposite fixes.
+    */
+  def oovRate(docs: DataFrame, vocabSize: Int, groupCols: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(vocabSize >= 1, "vocabSize must be >= 1")
+    require(groupCols.nonEmpty, "at least one group column")
+    val vocab = Ranked.rankedTopK(wordCounts(docs, idCol, textCol),
+      Seq(col("freq").desc, col("word").asc), vocabSize, "__graft_r")
+      .select(col("word").as("__graft_vw"))
+    docs.where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(groupCols.map(col) :+
+        explode(Decontaminate.tokens(col(textCol))).as("__graft_w"): _*)
+      .join(broadcast(vocab),
+        col("__graft_w") === col("__graft_vw"), "left")
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__graft_vw").isNull, 1L).otherwise(0L))
+          .as("n_oov"),
+        countDistinct(when(col("__graft_vw").isNull, col("__graft_w")))
+          .as("n_oov_types"))
+      .withColumn("oov_permille", expr("n_oov * 1000 div n_tokens"))
+  }
 }

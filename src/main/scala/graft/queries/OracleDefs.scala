@@ -3155,4 +3155,53 @@ object OracleDefs {
        |  AND (valid_to IS NULL
        |       OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
        |ORDER BY user_id""".stripMargin
+
+  /** q131: categorical TVD — counts per lang in each half, full outer
+    * (0 for absence), cross-multiplied integer arithmetic; permille by
+    * integral division, all in DuckDB's exact HUGEINT.
+    */
+  val distCompare: String =
+    """WITH ca AS (
+      |  SELECT lang AS k, count(*) AS na FROM documents
+      |  WHERE doc_id % 2 = 0 GROUP BY 1),
+      |cb AS (
+      |  SELECT lang AS k, count(*) AS nb FROM documents
+      |  WHERE doc_id % 2 = 1 GROUP BY 1),
+      |j AS (
+      |  SELECT coalesce(ca.na, 0) AS na, coalesce(cb.nb, 0) AS nb
+      |  FROM ca FULL OUTER JOIN cb ON ca.k IS NOT DISTINCT FROM cb.k),
+      |t AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM j)
+      |SELECT min(ta) AS n_a, min(tb) AS n_b, count(*) AS n_keys,
+      |  sum(CASE WHEN nb = 0 THEN 1 ELSE 0 END) AS n_keys_only_a,
+      |  sum(CASE WHEN na = 0 THEN 1 ELSE 0 END) AS n_keys_only_b,
+      |  sum(abs(na * tb - nb * ta)) AS tvd_num,
+      |  min(ta) * min(tb) * 2 AS tvd_den,
+      |  (sum(abs(na * tb - nb * ta)) * 1000) // (min(ta) * min(tb) * 2)
+      |    AS tvd_permille
+      |FROM j CROSS JOIN t""".stripMargin
+
+  /** q132: OOV rate — the shared \s+ tokenizer, global top-500 vocab
+    * by (freq DESC, word ASC), left join, per-lang fold.
+    */
+  val oovRate: String =
+    """WITH w AS (
+      |  SELECT lang, unnest(list_filter(
+      |    string_split_regex(lower(text), '\s+'),
+      |    t -> len(t) > 0)) AS word
+      |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+      |vc AS (SELECT word, count(*) AS freq FROM w GROUP BY 1),
+      |v AS (
+      |  SELECT word FROM vc
+      |  QUALIFY row_number() OVER (ORDER BY freq DESC, word ASC)
+      |    <= 500),
+      |j AS (
+      |  SELECT w.lang, w.word, v.word AS vw
+      |  FROM w LEFT JOIN v ON w.word = v.word)
+      |SELECT lang, count(*) AS n_tokens,
+      |  count(*) FILTER (vw IS NULL) AS n_oov,
+      |  count(DISTINCT CASE WHEN vw IS NULL THEN word END)
+      |    AS n_oov_types,
+      |  (count(*) FILTER (vw IS NULL)) * 1000 // count(*)
+      |    AS oov_permille
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 }

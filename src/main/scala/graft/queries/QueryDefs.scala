@@ -2107,4 +2107,26 @@ object QueryDefs {
       expr("TIMESTAMP '2024-01-15 00:00:00'"),
       Seq("user_id"), "event_type")
       .orderBy("user_id")
+
+  /** q131: exact categorical TVD
+    * ([[graft.ops.DistCompare.categoricalTvd]]) — language drift
+    * between the even- and odd-doc_id halves of the corpus (the
+    * train/eval split shape), as an exact integer fraction.
+    */
+  def qDistCompare(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.ops.DistCompare.categoricalTvd(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      col("lang"))
+  }
+
+  /** q132: vocabulary coverage ([[graft.ops.Vocab.oovRate]]) — per
+    * lang, the share of word occurrences a global top-500 vocabulary
+    * misses; the per-group view is what a corpus average hides.
+    */
+  def qOovRate(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Vocab.oovRate(t(s, dir, "documents"), vocabSize = 500,
+      groupCols = Seq("lang"))
+      .orderBy("lang")
 }

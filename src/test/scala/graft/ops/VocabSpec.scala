@@ -60,4 +60,27 @@ class VocabSpec extends AnyFunSuite {
     }
     assert(run(docs, 15) == model(docs, 15))
   }
+
+  test("oovRate: coverage vs a literal recount; per-group view exposes " +
+    "what the corpus average hides; type vs occurrence counts differ") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "en", "the cat the dog the cat"),
+      (2L, "en", "the cat runs"),
+      (3L, "xx", "zq zq wv")
+    ).toDF("doc_id", "lang", "text")
+    // corpus freqs: the=4, cat=3, zq=2, dog=1, runs=1, wv=1
+    // vocabSize=2 -> {the, cat}
+    val got = Vocab.oovRate(docs, 2, Seq("lang"))
+      .orderBy("lang")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // en: 9 tokens, oov = dog(1)+runs(1) = 2 occurrences, 2 types
+    // xx: 3 tokens, all oov (zq x2, wv) = 3 occurrences, 2 types
+    assert(got == Seq(
+      ("en", 9L, 2L, 2L, 222L),
+      ("xx", 3L, 3L, 2L, 1000L)))
+    intercept[IllegalArgumentException] {
+      Vocab.oovRate(docs, 0, Seq("lang"))
+    }
+  }
 }
