@@ -270,7 +270,9 @@ object SparkEntry {
     // exact categorical TVD between corpus halves (round 5)
     "q131_dist_compare" -> (QueryDefs.qDistCompare _),
     // vocabulary coverage / OOV audit per lang (round 5)
-    "q132_oov_rate" -> (QueryDefs.qOovRate _)
+    "q132_oov_rate" -> (QueryDefs.qOovRate _),
+    // per-user consecutive-day activity streaks (round 5)
+    "q133_streaks" -> (QueryDefs.qStreaks _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -405,6 +407,7 @@ object SparkEntry {
     "q129_weighted_quantiles" -> OracleDefs.weightedQuantiles,
     "q130_scd_snapshot" -> OracleDefs.scdSnapshot,
     "q131_dist_compare" -> OracleDefs.distCompare,
-    "q132_oov_rate" -> OracleDefs.oovRate
+    "q132_oov_rate" -> OracleDefs.oovRate,
+    "q133_streaks" -> OracleDefs.streaks
   )
 }

@@ -65,4 +65,57 @@ object RollingDistinct {
         col("__graft_w.end").as("window_end"),
         col("n_active"), col("n_id_days"))
   }
+
+  /** Activity STREAKS — per id, the consecutive-day runs (gaps-and-
+    * islands): longest streak, streak count, and the most recent
+    * streak with its end day. The engagement features every retention
+    * model starts from, and [[Retention]]'s per-id complement (the
+    * matrix aggregates cohorts; this describes each actor).
+    *
+    * Same dedup-first foundation as [[rollingActive]]: events reduce
+    * to distinct (id, day) at event volume, and everything after runs
+    * on the reduced set — the island window sorts AT MOST |active
+    * days| rows per id (365/year) regardless of event rate, which is
+    * what makes a per-id sort acceptable here when [[Freshness]] had
+    * to bucket-bound the same shape over raw events. Islands via the
+    * classic `day − row_number` constant (consecutive days share it;
+    * the id-day dedup guarantees row_number steps exactly once per
+    * day). Longest-streak ties pick the EARLIEST start (max(struct(
+    * len, −start)) — the [[Dedup.keepBest]] argmax, sort-free); the
+    * "last" streak needs no tie rule (island ends are unique per id).
+    *
+    * Day columns are epoch-day INTEGERS (unambiguous across engines —
+    * a rendered date re-imports differently than a timestamp renders).
+    */
+  def streaks(events: DataFrame, tsCol: String, idCol: String)
+      : DataFrame = {
+    val idDay = events
+      .filter(col(tsCol).isNotNull && col(idCol).isNotNull)
+      .select(col(idCol).as("__graft_id"),
+        expr(s"unix_micros(CAST(`$tsCol` AS TIMESTAMP))" +
+          " div 86400000000L").as("__graft_d"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__graft_id").orderBy("__graft_d")
+    val islands = idDay
+      .withColumn("__graft_isl",
+        col("__graft_d") - row_number().over(w))
+      .groupBy(col("__graft_id"), col("__graft_isl"))
+      .agg(count(lit(1)).as("len"), min(col("__graft_d")).as("s"),
+        max(col("__graft_d")).as("e"))
+    islands.groupBy(col("__graft_id").as(idCol))
+      .agg(
+        sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(struct(col("len").as("l"), (-col("s")).as("ns")))
+          .as("__graft_lg"),
+        max(struct(col("e").as("e"), col("len").as("l")))
+          .as("__graft_la"))
+      .select(col(idCol),
+        col("n_active_days"), col("n_streaks"),
+        col("__graft_lg.l").as("longest_streak"),
+        (-col("__graft_lg.ns")).as("longest_start_day"),
+        col("__graft_la.l").as("last_streak"),
+        col("__graft_la.e").as("last_active_day"))
+  }
 }

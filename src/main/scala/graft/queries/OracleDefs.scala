@@ -3204,4 +3204,38 @@ object OracleDefs {
       |  (count(*) FILTER (vw IS NULL)) * 1000 // count(*)
       |    AS oov_permille
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q133: streaks — the same day − row_number island constant over
+    * the dedup'd (id, day) set; longest tie = earliest start; last =
+    * max end (unique per id).
+    */
+  val streaks: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+      |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      |r AS (
+      |  SELECT user_id, d,
+      |    d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+      |      AS isl
+      |  FROM ud),
+      |i AS (
+      |  SELECT user_id, isl, count(*) AS len, min(d) AS s, max(d) AS e
+      |  FROM r GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT user_id, sum(len) AS n_active_days,
+      |    count(*) AS n_streaks, max(len) AS longest_streak
+      |  FROM i GROUP BY 1),
+      |lg AS (
+      |  SELECT i.user_id, min(s) AS longest_start_day
+      |  FROM i JOIN agg USING (user_id)
+      |  WHERE len = longest_streak GROUP BY 1),
+      |la AS (
+      |  SELECT user_id, len AS last_streak, e AS last_active_day
+      |  FROM i
+      |  QUALIFY row_number() OVER (PARTITION BY user_id
+      |    ORDER BY e DESC) = 1)
+      |SELECT agg.user_id, n_active_days, n_streaks, longest_streak,
+      |       longest_start_day, last_streak, last_active_day
+      |FROM agg JOIN lg USING (user_id) JOIN la USING (user_id)
+      |ORDER BY user_id""".stripMargin
 }

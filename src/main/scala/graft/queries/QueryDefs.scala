@@ -2129,4 +2129,14 @@ object QueryDefs {
     graft.ops.Vocab.oovRate(t(s, dir, "documents"), vocabSize = 500,
       groupCols = Seq("lang"))
       .orderBy("lang")
+
+  /** q133: activity streaks ([[graft.ops.RollingDistinct.streaks]]) —
+    * per-user consecutive-day runs over the dedup'd (id, day) set; the
+    * oracle replays the day − row_number island trick with the same
+    * pinned tie rules.
+    */
+  def qStreaks(s: SparkSession, dir: String): DataFrame =
+    graft.ops.RollingDistinct.streaks(t(s, dir, "events"), "ts",
+      "user_id")
+      .orderBy("user_id")
 }

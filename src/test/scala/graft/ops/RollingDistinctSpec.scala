@@ -60,6 +60,29 @@ class RollingDistinctSpec extends AnyFunSuite {
     }
   }
 
+  test("streaks: islands, longest-tie earliest start, last streak, " +
+    "multiple same-day events count one day, nulls dropped") {
+    // id 1: days 1-3 (streak 3), day 5 (streak 1), days 7-9 (streak 3,
+    //   ties longest -> earliest start day 1 wins), twice on day 2
+    // id 2: day 4 only
+    val events = Seq(
+      (Some(1L), Option(ts(1))), (Some(1L), Option(ts(2))),
+      (Some(1L), Option(ts(2, 9))), (Some(1L), Option(ts(3))),
+      (Some(1L), Option(ts(5))),
+      (Some(1L), Option(ts(7))), (Some(1L), Option(ts(8))),
+      (Some(1L), Option(ts(9))),
+      (Some(2L), Option(ts(4))),
+      (None, Option(ts(1))), (Some(3L), Option.empty[Timestamp])
+    ).toDF("user_id", "ts")
+    val got = RollingDistinct.streaks(events, "ts", "user_id")
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val day1 = java.time.LocalDate.of(2024, 1, 1).toEpochDay
+    assert(got == Seq(
+      (1L, 7L, 3L, 3L, day1, 3L, day1 + 8),
+      (2L, 1L, 1L, 1L, day1 + 3, 1L, day1 + 3)))
+  }
+
   test("dedup happens before the window expand: the first full-volume " +
     "stage is a partial-aggregate dedup, not the x(width/step) Expand") {
     val events = (0 until 1000).map(i => (i.toLong % 7, ts(1 + i % 5)))
