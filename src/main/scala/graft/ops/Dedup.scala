@@ -463,21 +463,27 @@ object Dedup {
     }, s"$idCol must be integral (the tie-break negates it)")
     // the non-null/negatable id contract is enforced at EXECUTION, not
     // just documented: a NULL id would silently yield kept_id = NULL
-    // (losing the canonical pick), and Long.MinValue negates to itself
+    // (losing the canonical pick), and a MinValue id negates to itself
     // (losing every score tie instead of winning as the lowest id) —
-    // both are data bugs this op must surface, not absorb (review find)
+    // both are data bugs this op must surface, not absorb (review
+    // find). The negation runs at LONG width — narrower ids widen
+    // first, so Int/Short/Byte MinValue negate fine and only
+    // Long.MinValue needs the guard (second review find: guarding the
+    // raw column compared -2^31 against -2^63 and missed 3 of the 4
+    // supported id types).
+    val idType = members.schema(idCol).dataType
     val guardedId = when(col(idCol).isNull, raise_error(
         lit(s"keepBest: NULL $idCol — ids must be non-null")))
-      .when(col(idCol) === Long.MinValue, raise_error(concat(
-        lit(s"keepBest: $idCol = Long.MinValue is not negatable"))))
-      .otherwise(col(idCol))
+      .when(col(idCol).cast("long") === Long.MinValue, raise_error(
+        lit(s"keepBest: $idCol = Long.MinValue is not negatable")))
+      .otherwise(col(idCol).cast("long"))
     members.filter(col(scoreCol).isNotNull)
       .groupBy(col(clusterCol))
       .agg(count(lit(1)).as("n_members"),
         max(struct(col(scoreCol).as("s"), (-guardedId).as("nid")))
           .as("__graft_best"))
       .select(col(clusterCol), col("n_members"),
-        (-col("__graft_best.nid")).as("kept_id"),
+        (-col("__graft_best.nid")).cast(idType).as("kept_id"),
         col("__graft_best.s").as("kept_score"))
   }
 

@@ -37,6 +37,10 @@ object DistCompare {
       .agg(count(lit(1)).as("__graft_na"))
     val cb = b.groupBy(key.as("__graft_k"))
       .agg(count(lit(1)).as("__graft_nb"))
+    // localCheckpoint: histogram-sized, consumed TWICE below (totals
+    // agg + crossJoin left input) — unpinned, both corpus group-bys
+    // and the full outer join would execute twice (the Quantiles
+    // two-consumer rule; review find)
     val counts = ca.withColumnRenamed("__graft_k", "__graft_ka")
       .join(cb.withColumnRenamed("__graft_k", "__graft_kb"),
         col("__graft_ka") <=> col("__graft_kb"), "full_outer")
@@ -45,6 +49,7 @@ object DistCompare {
           .as("na"),
         coalesce(col("__graft_nb"), lit(0L)).cast("decimal(38,0)")
           .as("nb"))
+      .localCheckpoint()
     val totals = counts.agg(
       sum(col("na")).as("ta"), sum(col("nb")).as("tb"))
     counts.crossJoin(totals)

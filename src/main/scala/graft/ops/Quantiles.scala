@@ -57,6 +57,21 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   */
 object Quantiles {
 
+  /** Null-safe equi-join on `keys` with a hint applied to the (renamed)
+    * right side — pass-2 joins must match NULL group keys too: SQL
+    * GROUP BY makes a NULL key a real group, and the plain usingColumns
+    * join silently DROPPED such groups between pass 1 and pass 2
+    * (review find; the oracle's GROUP BY emits them).
+    */
+  private def nullSafeHintedJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String], hint: DataFrame => DataFrame): DataFrame = {
+    val r = keys.foldLeft(right)((d, k) =>
+      d.withColumnRenamed(k, s"__graft_r_$k"))
+    val cond = keys.map(k => col(k) <=> col(s"__graft_r_$k"))
+      .reduce(_ && _)
+    left.join(hint(r), cond).drop(keys.map(k => s"__graft_r_$k"): _*)
+  }
+
   /** One row per group: `keyCols..., p_<label>` per requested permille —
     * bit-identical to `Percentiles.nearestRank(df, keyCols, valCol, ps)`.
     *
@@ -134,12 +149,12 @@ object Quantiles {
       if (broadcastTargets) broadcast(t) else t.hint("shuffle_hash")
     val bucketKeys = keyCols :+ "__graft_b"
     val needed = targets.select(bucketKeys.map(col): _*).distinct()
-    val pruned = rows.join(hinted(needed), bucketKeys)
+    val pruned = nullSafeHintedJoin(rows, needed, bucketKeys, hinted)
     val wIn = Window.partitionBy(bucketKeys.map(col): _*)
       .orderBy(col(valCol).asc)
-    val picked = pruned
-      .withColumn("__graft_rn", row_number().over(wIn))
-      .join(hinted(targets), bucketKeys)
+    val picked = nullSafeHintedJoin(
+      pruned.withColumn("__graft_rn", row_number().over(wIn)),
+      targets, bucketKeys, hinted)
       .where(col("__graft_rn") === col("__graft_off"))
 
     val aggs: Seq[Column] = ps.map { case (label, _) =>
@@ -265,13 +280,13 @@ object Quantiles {
       if (broadcastTargets) broadcast(t) else t.hint("shuffle_hash")
     val bucketKeys = keyCols :+ "__graft_b"
     val needed = targets.select(bucketKeys.map(col): _*).distinct()
-    val pruned = rows.join(hinted(needed), bucketKeys)
+    val pruned = nullSafeHintedJoin(rows, needed, bucketKeys, hinted)
     val wIn = Window.partitionBy(bucketKeys.map(col): _*)
       .orderBy(col(valCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val picked = pruned
-      .withColumn("__graft_cw", sum(col("__graft_w")).over(wIn))
-      .join(hinted(targets), bucketKeys)
+    val picked = nullSafeHintedJoin(
+      pruned.withColumn("__graft_cw", sum(col("__graft_w")).over(wIn)),
+      targets, bucketKeys, hinted)
       .where(col("__graft_cw") >= col("__graft_off") &&
         col("__graft_cw") - col("__graft_w") < col("__graft_off"))
 

@@ -3141,7 +3141,7 @@ object OracleDefs {
       |  max(CASE WHEN label = '50' THEN v END) AS p_50,
       |  max(CASE WHEN label = '90' THEN v END) AS p_90,
       |  max(CASE WHEN label = '99' THEN v END) AS p_99
-      |FROM x GROUP BY lang ORDER BY lang""".stripMargin
+      |FROM x GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin
 
   /** q130: as-of snapshot — the q123 interval build wrapped as a
     * subquery, then the same half-open predicate at the literal T.
@@ -3203,7 +3203,7 @@ object OracleDefs {
       |    AS n_oov_types,
       |  (count(*) FILTER (vw IS NULL)) * 1000 // count(*)
       |    AS oov_permille
-      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+      |FROM j GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin
 
   /** q133: streaks — the same day − row_number island constant over
     * the dedup'd (id, day) set; longest tie = earliest start; last =

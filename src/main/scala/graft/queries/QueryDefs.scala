@@ -2090,7 +2090,7 @@ object QueryDefs {
     */
   def qWeightedQuantiles(s: SparkSession, dir: String): DataFrame =
     graft.ops.Quantiles.bucketedWeightedNearestRank(
-      t(s, dir, "documents").filter(col("n_chars").isNotNull),
+      t(s, dir, "documents"),
       Seq("lang"), "n_chars", "n_chars",
       Seq(("50", 500), ("90", 900), ("99", 990)), bucketWidth = 100L)
       .orderBy("lang")

@@ -382,5 +382,12 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage != null &&
       (e.getMessage.contains("non-null") ||
         Option(e.getCause).exists(_.getMessage.contains("non-null"))))
+    // Int.MinValue ids negate at LONG width (review find: the guard
+    // must not only cover LongType MinValue) — and still win score ties
+    val intIds = Seq(("c", Int.MinValue, 5L), ("c", 7, 5L))
+      .toDF("cl", "doc_id", "score")
+    val kept = Dedup.keepBest(intIds, "cl", "doc_id", "score")
+      .select("kept_id").as[Int].head()
+    assert(kept == Int.MinValue)
   }
 }

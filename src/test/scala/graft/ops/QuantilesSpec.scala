@@ -89,6 +89,22 @@ class QuantilesSpec extends AnyFunSuite {
     }
   }
 
+  test("a NULL group key is a real group in BOTH passes (the pass-2 " +
+    "join must be null-safe, or the group silently vanishes)") {
+    val df = Seq((Option("a"), 1L), (Option("a"), 9L),
+      (Option.empty[String], 10L), (Option.empty[String], 30L),
+      (Option.empty[String], 20L)).toDF("k", "v")
+    val got = Quantiles.bucketedNearestRank(df, Seq("k"), "v", ps, 5L)
+      .orderBy("k").collect().toSeq
+    assert(got.size == 2 && got.exists(_.isNullAt(0)))
+    val nullRow = got.find(_.isNullAt(0)).get
+    assert(nullRow.getLong(1) == 20L && nullRow.getLong(3) == 30L)
+    val w = Quantiles.bucketedWeightedNearestRank(
+      df.withColumn("w", org.apache.spark.sql.functions.lit(1L)),
+      Seq("k"), "v", "w", ps, 5L).orderBy("k").collect().toSeq
+    assert(w.map(_.toSeq) == got.map(_.toSeq))
+  }
+
   test("weighted: unit weights reproduce the unweighted form exactly " +
     "across widths") {
     val df = corpus(7, 3000)
