@@ -272,7 +272,11 @@ object SparkEntry {
     // vocabulary coverage / OOV audit per lang (round 5)
     "q132_oov_rate" -> (QueryDefs.qOovRate _),
     // per-user consecutive-day activity streaks (round 5)
-    "q133_streaks" -> (QueryDefs.qStreaks _)
+    "q133_streaks" -> (QueryDefs.qStreaks _),
+    // day-of-week seasonality deviation (round 5)
+    "q134_dow_deviation" -> (QueryDefs.qDowDeviation _),
+    // asymmetric containment join, lossless prefix filter (round 5)
+    "q135_containment" -> (QueryDefs.qContainment _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -408,6 +412,8 @@ object SparkEntry {
     "q130_scd_snapshot" -> OracleDefs.scdSnapshot,
     "q131_dist_compare" -> OracleDefs.distCompare,
     "q132_oov_rate" -> OracleDefs.oovRate,
-    "q133_streaks" -> OracleDefs.streaks
+    "q133_streaks" -> OracleDefs.streaks,
+    "q134_dow_deviation" -> OracleDefs.dowDeviation,
+    "q135_containment" -> OracleDefs.containment
   )
 }

@@ -59,6 +59,35 @@ object SetJoin {
     */
   val DefaultMaxTokenDf = 10000
 
+  /** Shared staging for both join flavors: one row per doc with its
+    * distinct tokens sorted by the global (df asc, token asc) order as
+    * (df, token) structs — so prefix slices can drop over-cap tokens
+    * from the JOIN KEYS without re-joining df — plus the plain token
+    * array and set size. The exploded token table is checkpointed ONCE
+    * (it feeds the df aggregate AND the df-annotation join — unstaged,
+    * each consumer re-splits every document, the q31 lesson), and so
+    * is the result (it feeds the prefix explode and BOTH verify
+    * sides).
+    */
+  private def stagedOrderedTokens(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val tok = docs
+      .where(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(Decontaminate.tokens(col(textCol))))
+          .as("token"))
+      .localCheckpoint()
+    val df = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    tok.join(df, "token")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("token"))))
+        .as("ord"))
+      .select(col("doc_id"), col("ord"),
+        transform(col("ord"), s => s.getField("token")).as("toks"),
+        size(col("ord")).as("n"))
+      .localCheckpoint()
+  }
+
   /** All pairs with distinct-token Jaccard ≥ permille/1000:
     * `(doc_a, doc_b, inter, size_a, size_b, jaccard)`, doc_a < doc_b.
     */
@@ -67,29 +96,7 @@ object SetJoin {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(minJaccardPermille >= 1 && minJaccardPermille <= 1000,
       "minJaccardPermille must be in [1, 1000]")
-    // stage the exploded distinct-token table ONCE (eager): it feeds the
-    // df aggregate AND the df-annotation join below — unstaged, each
-    // consumer re-splits every document from the source scan (the q31
-    // lesson); blocks are ContextCleaner-reclaimed once unreachable
-    val tok = docs
-      .where(col(idCol).isNotNull && col(textCol).isNotNull)
-      .select(col(idCol).as("doc_id"),
-        explode(array_distinct(Decontaminate.tokens(col(textCol))))
-          .as("token"))
-      .localCheckpoint()
-    val df = tok.groupBy("token").agg(count(lit(1)).as("df"))
-    // one row per doc: tokens sorted by the global (df asc, token asc)
-    // order, kept as (df, token) structs so the prefix slice can drop
-    // over-cap tokens from the JOIN KEYS without re-joining df. Staged
-    // eagerly — it feeds the prefix explode and BOTH verify sides.
-    val ordered = tok.join(df, "token")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("token"))))
-        .as("ord"))
-      .select(col("doc_id"), col("ord"),
-        transform(col("ord"), s => s.getField("token")).as("toks"),
-        size(col("ord")).as("n"))
-      .localCheckpoint()
+    val ordered = stagedOrderedTokens(docs, idCol, textCol)
     // per-doc prefix length p = n - ceil(t*n) + 1, integer permille ceil
     // (`div`, not `/`: Spark's `/` on longs is a DOUBLE division)
     val ceilTn =
@@ -125,5 +132,71 @@ object SetJoin {
         (col("inter").cast("double") /
           (col("size_a") + col("size_b") - col("inter")).cast("double"))
           .as("jaccard"))
+  }
+
+  /** Asymmetric CONTAINMENT join — every ORDERED pair (a, b), a ≠ b,
+    * with `|A ∩ B| / |A| ≥ t`: is document a (nearly) a subset of
+    * document b? The quote/extraction/summarization relationship
+    * Jaccard cannot see — a 30-token excerpt of a 3000-token article
+    * has Jaccard ≈ 0.01 but containment 1.0 — and the dedup policy for
+    * it differs (drop the excerpt, keep the article; [[Dedup.keepBest]]
+    * downstream).
+    *
+    * Same lossless prefix-filter argument, asymmetric split: C ≥ t
+    * needs `inter ≥ ⌈t·n_a⌉` shared tokens, so the QUERY side (a)
+    * keeps its `n_a − ⌈t·n_a⌉ + 1` rarest tokens as join keys and the
+    * INDEX side (b) keeps ALL tokens — a qualifying pair must collide
+    * on one of a's prefix tokens (the lemma with the index side's
+    * prefix = the whole set). Both directions of every pair are
+    * evaluated independently (containment is not symmetric; near-equal
+    * sets legitimately contain each other). `maxTokenDf` caps the
+    * INDEX side's join keys exactly as in [[jaccardJoin]], same
+    * documented recall edge, 0 opts out. Verify is the same
+    * candidate-bounded map-side intersection; the keep test
+    * `inter·1000 ≥ permille·n_a` is pure integers.
+    */
+  def containmentJoin(docs: DataFrame, minContainPermille: Int = 900,
+      maxTokenDf: Int = DefaultMaxTokenDf,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minContainPermille >= 1 && minContainPermille <= 1000,
+      "minContainPermille must be in [1, 1000]")
+    val ordered = stagedOrderedTokens(docs, idCol, textCol)
+    val ceilTn =
+      expr(s"(n * ${minContainPermille}L + 999L) div 1000L")
+    val prefixA = ordered
+      .select(col("doc_id"),
+        explode(slice(col("ord"), lit(1),
+          (col("n") - ceilTn + lit(1L)).cast("int"))).as("s"))
+      .select(col("doc_id"), col("s.df").as("df"),
+        col("s.token").as("token"))
+    val keysA =
+      if (maxTokenDf <= 0) prefixA
+      else prefixA.where(col("df") <= lit(maxTokenDf.toLong))
+    val allB = ordered
+      .select(col("doc_id"), explode(col("ord")).as("s"))
+      .select(col("doc_id"), col("s.df").as("df"),
+        col("s.token").as("token"))
+    val keysB =
+      if (maxTokenDf <= 0) allB
+      else allB.where(col("df") <= lit(maxTokenDf.toLong))
+    val cand = keysA.as("x")
+      .join(keysB.as("y"), col("x.token") === col("y.token"))
+      .where(col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sideA = ordered.select(col("doc_id").as("doc_a"),
+      col("toks").as("toks_a"), col("n").as("size_a"))
+    val sideB = ordered.select(col("doc_id").as("doc_b"),
+      col("toks").as("toks_b"), col("n").as("size_b"))
+    cand.join(sideA, "doc_a").join(sideB, "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+      .where(col("inter") * lit(1000L) >=
+        lit(minContainPermille.toLong) * col("size_a"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        col("size_a").cast("long").as("size_a"),
+        col("size_b").cast("long").as("size_b"),
+        (col("inter").cast("double") / col("size_a").cast("double"))
+          .as("containment"))
   }
 }

@@ -3238,4 +3238,42 @@ object OracleDefs {
       |       longest_start_day, last_streak, last_active_day
       |FROM agg JOIN lg USING (user_id) JOIN la USING (user_id)
       |ORDER BY user_id""".stripMargin
+
+  /** q134: dow deviation — per-date counts, isodow (1=Mon..7=Sun,
+    * matching the op's shifted dayofweek), baseline PAIRS, integer
+    * permille via products-before-division.
+    */
+  val dowDeviation: String =
+    """WITH pd AS (
+      |  SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events
+      |  WHERE ts IS NOT NULL GROUP BY 1),
+      |pdw AS (SELECT day, n, isodow(day) AS dow_iso FROM pd),
+      |b AS (
+      |  SELECT dow_iso, sum(n) AS dow_total, count(*) AS n_days
+      |  FROM pdw GROUP BY 1)
+      |SELECT day, dow_iso, n, dow_total, n_days,
+      |  n * n_days * 1000 // dow_total AS deviation_permille
+      |FROM pdw JOIN b USING (dow_iso) ORDER BY day""".stripMargin
+
+  /** q135: containment join — the naive all-ordered-pairs replay over
+    | the same doc subset; containment = one IEEE division of exact
+    | ints.
+    */
+  val containment: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_distinct(list_filter(
+      |    string_split_regex(lower(text), '\s+'),
+      |    x -> len(x) > 0)) AS s
+      |  FROM documents
+      |  WHERE doc_id % 5 = 0 AND doc_id IS NOT NULL
+      |    AND text IS NOT NULL),
+      |t2 AS (SELECT * FROM t WHERE len(s) > 0)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  len(list_intersect(a.s, b.s)) AS inter,
+      |  len(a.s) AS size_a, len(b.s) AS size_b,
+      |  len(list_intersect(a.s, b.s)) / len(a.s) AS containment
+      |FROM t2 a, t2 b
+      |WHERE a.doc_id != b.doc_id
+      |  AND len(list_intersect(a.s, b.s)) * 1000 >= 950 * len(a.s)
+      |ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -2139,4 +2139,25 @@ object QueryDefs {
     graft.ops.RollingDistinct.streaks(t(s, dir, "events"), "ts",
       "user_id")
       .orderBy("user_id")
+
+  /** q134: day-of-week seasonality deviation
+    * ([[graft.ops.Seasonality.dowDeviation]]) — each day's volume vs
+    * its own weekday's typical day, exact permille; the oracle replays
+    * the baseline pairs with isodow.
+    */
+  def qDowDeviation(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Seasonality.dowDeviation(t(s, dir, "events"), "ts")
+      .orderBy("day")
+
+  /** q135: asymmetric containment join
+    * ([[graft.ops.SetJoin.containmentJoin]]) — the excerpt-in-article
+    * relationship over a doc_id%5 subset (the tiny fixture vocabulary
+    * makes subset relations rampant; the subset keeps the gate light);
+    * oracle = the naive all-ordered-pairs definition.
+    */
+  def qContainment(s: SparkSession, dir: String): DataFrame =
+    graft.ops.SetJoin.containmentJoin(
+      t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+      minContainPermille = 950)
+      .orderBy("doc_a", "doc_b")
 }

@@ -103,4 +103,60 @@ class SetJoinSpec extends AnyFunSuite {
       assert(out.isEmpty, s"parts=$p")
     }
   }
+
+  private def runC(docs: Seq[(String, String)], permille: Int,
+      cap: Int = SetJoin.DefaultMaxTokenDf) =
+    SetJoin.containmentJoin(docs.toDF("doc_id", "text"), permille, cap)
+      .as[(String, String, Long, Long, Long, Double)]
+      .collect().toSeq.sortBy(p => (p._1, p._2))
+
+  /** The naive all-ordered-pairs containment definition. */
+  private def modelC(docs: Seq[(String, String)], permille: Int) = {
+    val sets = docs.filter(d => d._1 != null && d._2 != null)
+      .map { case (id, t) =>
+        (id, t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSet)
+      }
+      .filter(_._2.nonEmpty)
+    for {
+      (a, sa) <- sets; (b, sb) <- sets
+      if a != b
+      inter = (sa & sb).size.toLong
+      if inter * 1000 >= permille * sa.size
+    } yield (a, b, inter, sa.size.toLong, sb.size.toLong,
+      inter.toDouble / sa.size.toDouble)
+  }.sortBy(p => (p._1, p._2))
+
+  test("containment: brute-force equivalence incl. asymmetry (the " +
+    "excerpt-in-article pair Jaccard cannot see), both directions of " +
+    "near-equal sets, and the exact boundary") {
+    val docs = Seq(
+      ("art", "alpha beta gamma delta epsilon zeta eta theta iota"),
+      ("quote", "gamma delta epsilon"), // fully inside art: C=1.0
+      ("near", "alpha beta gamma delta epsilon zeta eta theta"),
+      ("half", "gamma delta kappa lambda"), // 2/4 = 0.5 in art
+      ("other", "mu nu xi"))
+    for (t <- Seq(400, 500, 900, 1000)) {
+      assert(runC(docs, t) == modelC(docs, t), s"t=$t")
+    }
+    val at1000 = runC(docs, 1000)
+    // quote ⊂ art AND ⊂ near; near ⊂ art; art ⊄ near (misses iota)
+    assert(at1000.map(r => (r._1, r._2)) ==
+      Seq(("near", "art"), ("quote", "art"), ("quote", "near")))
+    // at 500 the half-overlap pair appears exactly at the boundary
+    assert(runC(docs, 500).exists(r => r._1 == "half" && r._2 == "art"))
+    assert(!runC(docs, 501).exists(r => r._1 == "half" && r._2 == "art"))
+  }
+
+  test("containment: random corpus equivalence across thresholds") {
+    val vocab = (0 until 30).map(i => s"w$i")
+    val docs = (0 until 60).map { i =>
+      val h = (i * 2654435761L) & 0x7fffffffL
+      val n = 2 + (h % 9).toInt
+      val words = (0 until n).map(j =>
+        vocab(((h + j * 131) % vocab.size).toInt))
+      (f"d$i%03d", words.mkString(" "))
+    }
+    for (t <- Seq(300, 700, 950))
+      assert(runC(docs, t) == modelC(docs, t), s"t=$t")
+  }
 }
