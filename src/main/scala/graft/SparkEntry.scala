@@ -276,7 +276,9 @@ object SparkEntry {
     // day-of-week seasonality deviation (round 5)
     "q134_dow_deviation" -> (QueryDefs.qDowDeviation _),
     // asymmetric containment join, lossless prefix filter (round 5)
-    "q135_containment" -> (QueryDefs.qContainment _)
+    "q135_containment" -> (QueryDefs.qContainment _),
+    // exact Gini actor-concentration audit (round 5)
+    "q136_concentration" -> (QueryDefs.qConcentration _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -414,6 +416,7 @@ object SparkEntry {
     "q132_oov_rate" -> OracleDefs.oovRate,
     "q133_streaks" -> OracleDefs.streaks,
     "q134_dow_deviation" -> OracleDefs.dowDeviation,
-    "q135_containment" -> OracleDefs.containment
+    "q135_containment" -> OracleDefs.containment,
+    "q136_concentration" -> OracleDefs.concentration
   )
 }

@@ -3276,4 +3276,23 @@ object OracleDefs {
       |WHERE a.doc_id != b.doc_id
       |  AND len(list_intersect(a.s, b.s)) * 1000 >= 950 * len(a.s)
       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q136: actor concentration — the same sorted-cumulative Gini
+    * identity over per-(type, user) counts; tie-order-invariant, so
+    * any rank order agrees.
+    */
+  val concentration: String =
+    """WITH c AS (
+      |  SELECT event_type, user_id, count(*) AS x FROM events
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT event_type, x,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY x ASC, user_id ASC NULLS FIRST) AS i
+      |  FROM c)
+      |SELECT event_type, count(*) AS n_actors, sum(x) AS n_events,
+      |  (2 * sum(i * x) - (count(*) + 1) * sum(x)) * 1000
+      |    // (count(*) * sum(x)) AS gini_permille,
+      |  max(x) * 1000 // sum(x) AS top1_permille
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 }

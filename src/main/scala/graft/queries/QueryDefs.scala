@@ -2160,4 +2160,14 @@ object QueryDefs {
       t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
       minContainPermille = 950)
       .orderBy("doc_a", "doc_b")
+
+  /** q136: actor concentration
+    * ([[graft.ops.Concentration.actorConcentration]]) — per event
+    * type, the exact Gini of per-user volume plus the top-actor
+    * share; oracle replays the sorted-cumulative identity.
+    */
+  def qConcentration(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Concentration.actorConcentration(
+      t(s, dir, "events"), Seq("event_type"), "user_id")
+      .orderBy("event_type")
 }
