@@ -48,7 +48,9 @@ object Seasonality {
         col("dow_iso") === col("__graft_dw"))
       .drop("__graft_dw")
       .withColumn("deviation_permille",
-        expr("n * n_days * 1000 div dow_total"))
+        // decimal product (the Concentration rule): a 5·10^12-event
+        // day × 2000 observed dates × 1000 passes Long.MaxValue
+        expr("CAST(n AS DECIMAL(38,0)) * n_days * 1000 div dow_total"))
       .select("day", "dow_iso", "n", "dow_total", "n_days",
         "deviation_permille")
   }

@@ -88,6 +88,42 @@ object SetJoin {
       .localCheckpoint()
   }
 
+  /** Explode a staged frame's (df, token) structs — the first
+    * `prefixLen(n)` of them, or all when `prefixLen` is None — into
+    * join-key rows, dropping tokens above the df cap (0 = no cap).
+    * Single-sourced so cap semantics cannot drift between the two join
+    * flavors.
+    */
+  private def tokenKeys(ordered: DataFrame,
+      prefixLen: Option[org.apache.spark.sql.Column],
+      maxTokenDf: Int): DataFrame = {
+    val exploded = prefixLen match {
+      case Some(p) => ordered.select(col("doc_id"),
+        explode(slice(col("ord"), lit(1), p.cast("int"))).as("s"))
+      case None => ordered.select(col("doc_id"),
+        explode(col("ord")).as("s"))
+    }
+    val keys = exploded.select(col("doc_id"), col("s.df").as("df"),
+      col("s.token").as("token"))
+    if (maxTokenDf <= 0) keys
+    else keys.where(col("df") <= lit(maxTokenDf.toLong))
+  }
+
+  /** Exact verify shared by both flavors: candidate-bounded, map-side
+    * intersection of the two staged distinct-token arrays — never a
+    * token-table self-join. Returns (doc_a, doc_b, inter, size_a,
+    * size_b) for the caller's keep predicate and ratio.
+    */
+  private def verified(cand: DataFrame, ordered: DataFrame): DataFrame = {
+    val sideA = ordered.select(col("doc_id").as("doc_a"),
+      col("toks").as("toks_a"), col("n").as("size_a"))
+    val sideB = ordered.select(col("doc_id").as("doc_b"),
+      col("toks").as("toks_b"), col("n").as("size_b"))
+    cand.join(sideA, "doc_a").join(sideB, "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+  }
+
   /** All pairs with distinct-token Jaccard ≥ permille/1000:
     * `(doc_a, doc_b, inter, size_a, size_b, jaccard)`, doc_a < doc_b.
     */
@@ -101,28 +137,14 @@ object SetJoin {
     // (`div`, not `/`: Spark's `/` on longs is a DOUBLE division)
     val ceilTn =
       expr(s"(n * ${minJaccardPermille}L + 999L) div 1000L")
-    val prefix = ordered
-      .select(col("doc_id"),
-        explode(slice(col("ord"), lit(1),
-          (col("n") - ceilTn + lit(1L)).cast("int"))).as("s"))
-      .select(col("doc_id"), col("s.df").as("df"), col("s.token").as("token"))
-    val keys =
-      if (maxTokenDf <= 0) prefix
-      else prefix.where(col("df") <= lit(maxTokenDf.toLong))
+    val keys = tokenKeys(ordered,
+      Some(col("n") - ceilTn + lit(1L)), maxTokenDf)
     val cand = keys.as("x")
       .join(keys.as("y"), col("x.token") === col("y.token"))
       .where(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // exact verify: candidate-bounded, map-side intersection of the two
-    // staged distinct-token arrays — never a token-table self-join
-    val sideA = ordered.select(col("doc_id").as("doc_a"),
-      col("toks").as("toks_a"), col("n").as("size_a"))
-    val sideB = ordered.select(col("doc_id").as("doc_b"),
-      col("toks").as("toks_b"), col("n").as("size_b"))
-    cand.join(sideA, "doc_a").join(sideB, "doc_b")
-      .withColumn("inter",
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+    verified(cand, ordered)
       .where(col("inter") * lit(1000L) >=
         lit(minJaccardPermille.toLong) *
           (col("size_a") + col("size_b") - col("inter")))
@@ -163,34 +185,15 @@ object SetJoin {
     val ordered = stagedOrderedTokens(docs, idCol, textCol)
     val ceilTn =
       expr(s"(n * ${minContainPermille}L + 999L) div 1000L")
-    val prefixA = ordered
-      .select(col("doc_id"),
-        explode(slice(col("ord"), lit(1),
-          (col("n") - ceilTn + lit(1L)).cast("int"))).as("s"))
-      .select(col("doc_id"), col("s.df").as("df"),
-        col("s.token").as("token"))
-    val keysA =
-      if (maxTokenDf <= 0) prefixA
-      else prefixA.where(col("df") <= lit(maxTokenDf.toLong))
-    val allB = ordered
-      .select(col("doc_id"), explode(col("ord")).as("s"))
-      .select(col("doc_id"), col("s.df").as("df"),
-        col("s.token").as("token"))
-    val keysB =
-      if (maxTokenDf <= 0) allB
-      else allB.where(col("df") <= lit(maxTokenDf.toLong))
+    val keysA = tokenKeys(ordered,
+      Some(col("n") - ceilTn + lit(1L)), maxTokenDf)
+    val keysB = tokenKeys(ordered, None, maxTokenDf)
     val cand = keysA.as("x")
       .join(keysB.as("y"), col("x.token") === col("y.token"))
       .where(col("x.doc_id") =!= col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sideA = ordered.select(col("doc_id").as("doc_a"),
-      col("toks").as("toks_a"), col("n").as("size_a"))
-    val sideB = ordered.select(col("doc_id").as("doc_b"),
-      col("toks").as("toks_b"), col("n").as("size_b"))
-    cand.join(sideA, "doc_a").join(sideB, "doc_b")
-      .withColumn("inter",
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+    verified(cand, ordered)
       .where(col("inter") * lit(1000L) >=
         lit(minContainPermille.toLong) * col("size_a"))
       .select(col("doc_a"), col("doc_b"), col("inter"),

@@ -3256,8 +3256,8 @@ object OracleDefs {
       |FROM pdw JOIN b USING (dow_iso) ORDER BY day""".stripMargin
 
   /** q135: containment join — the naive all-ordered-pairs replay over
-    | the same doc subset; containment = one IEEE division of exact
-    | ints.
+    * the same doc subset; containment = one IEEE division of exact
+    * ints.
     */
   val containment: String =
     """WITH t AS (
