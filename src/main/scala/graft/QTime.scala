@@ -12,12 +12,18 @@ object QTime {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // args(2) = repeats (default 1): repeat each query in the same session
+    // so the later passes measure warm-JIT plan+execute, the thing the
+    // full bench context provides naturally
+    val repeats = if (args.length > 2) args(2).toInt else 1
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => filter.exists(n.contains) }
       .foreach { case (n, fn) =>
-        val t0 = System.nanoTime()
-        val c = fn(spark, dir).count()
-        println(f"$n ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$c")
+        for (r <- 1 to repeats) {
+          val t0 = System.nanoTime()
+          val c = fn(spark, dir).count()
+          println(f"$n#$r ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$c")
+        }
       }
     spark.stop()
   }

@@ -361,6 +361,81 @@ object Checksums {
     true
   }
 
+  /** Per-thread scratch of [[validEthereumBytes]]: the Keccak state and
+    * the single absorb block, so a mixed-case candidate costs ZERO
+    * allocations (the String form pays substring + toLowerCase + getBytes
+    * + three arrays per call — measured on the scan hot path, round 6).
+    */
+  private final class EthScratch {
+    val st = new Array[Long](25)
+    val block = new Array[Byte](136)
+  }
+  private val ethScratch = new ThreadLocal[EthScratch] {
+    override def initialValue(): EthScratch = new EthScratch
+  }
+
+  /** [[validEthereum]] over the raw scan bytes: b(off) must be '0',
+    * b(off+1) 'x', with 40 more bytes present. Same decision on every
+    * input (asserted against the String form in ChecksumsSpec); used by
+    * the scanner so no String is built for invalid candidates and no
+    * per-call allocation happens for valid ones.
+    */
+  def validEthereumBytes(b: Array[Byte], off: Int): Boolean = {
+    var allLower = true
+    var allUpper = true
+    var i = off + 2
+    val end = off + 42
+    while (i < end) {
+      val c = b(i)
+      val isHex = (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') ||
+        (c >= 'A' && c <= 'F')
+      if (!isHex) return false
+      if (c >= 'a' && c <= 'f') allUpper = false
+      if (c >= 'A' && c <= 'F') allLower = false
+      i += 1
+    }
+    if (allLower || allUpper) return true
+    // mixed case => EIP-55 over keccak256 of the lowercased 40 hex chars:
+    // one 136-byte rate block (40 < 136), absorbed from thread-local
+    // scratch; the hash is read nibble-wise straight from the state lanes
+    // (byte j of the digest = (st(j/8) >>> 8*(j%8)) & 0xff).
+    val scr = ethScratch.get()
+    val st = scr.st
+    val block = scr.block
+    java.util.Arrays.fill(st, 0L)
+    java.util.Arrays.fill(block, 0, 136, 0.toByte)
+    i = 0
+    while (i < 40) {
+      var c = b(off + 2 + i)
+      if (c >= 'A' && c <= 'F') c = (c + 32).toByte
+      block(i) = c
+      i += 1
+    }
+    block(40) = 0x01
+    block(135) = 0x80.toByte
+    var w = 0
+    while (w < 17) {
+      var lane = 0L
+      var k = 0
+      while (k < 8) { lane |= (block(w * 8 + k) & 0xffL) << (8 * k); k += 1 }
+      st(w) ^= lane
+      w += 1
+    }
+    keccakF(st)
+    i = 0
+    while (i < 40) {
+      val c = b(off + 2 + i)
+      if ((c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')) {
+        val hb = ((st(i / 16) >>> (8 * ((i / 2) % 8))) & 0xff).toInt
+        val nibble = if (i % 2 == 0) hb >>> 4 else hb & 0x0f
+        val shouldUpper = nibble >= 8
+        if ((c >= 'A' && c <= 'F') != shouldUpper) return false
+      }
+      i += 1
+    }
+    true
+  }
+
   // ---------------------------------------------------------------- monero
   def validMonero(addr: String): Boolean = {
     val decoded = base58Decode(addr)

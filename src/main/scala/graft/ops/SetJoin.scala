@@ -93,18 +93,25 @@ object SetJoin {
     * join-key rows, dropping tokens above the df cap (0 = no cap).
     * Single-sourced so cap semantics cannot drift between the two join
     * flavors.
+    *
+    * Each key row also carries the doc's set size `n` and the token's
+    * 1-based position `pos` in the global (df asc, token asc) order —
+    * the inputs of the AllPairs length filter and the PPJoin positional
+    * filter applied at the candidate join (round 6; both lossless, see
+    * the call sites).
     */
   private def tokenKeys(ordered: DataFrame,
       prefixLen: Option[org.apache.spark.sql.Column],
       maxTokenDf: Int): DataFrame = {
     val exploded = prefixLen match {
-      case Some(p) => ordered.select(col("doc_id"),
-        explode(slice(col("ord"), lit(1), p.cast("int"))).as("s"))
-      case None => ordered.select(col("doc_id"),
-        explode(col("ord")).as("s"))
+      case Some(p) => ordered.select(col("doc_id"), col("n"),
+        posexplode(slice(col("ord"), lit(1), p.cast("int"))))
+      case None => ordered.select(col("doc_id"), col("n"),
+        posexplode(col("ord")))
     }
-    val keys = exploded.select(col("doc_id"), col("s.df").as("df"),
-      col("s.token").as("token"))
+    val keys = exploded.select(col("doc_id"), col("n"),
+      (col("pos") + lit(1)).as("pos"), col("col.df").as("df"),
+      col("col.token").as("token"))
     if (maxTokenDf <= 0) keys
     else keys.where(col("df") <= lit(maxTokenDf.toLong))
   }
@@ -139,9 +146,30 @@ object SetJoin {
       expr(s"(n * ${minJaccardPermille}L + 999L) div 1000L")
     val keys = tokenKeys(ordered,
       Some(col("n") - ceilTn + lit(1L)), maxTokenDf)
+    val p = lit(minJaccardPermille.toLong)
+    // Candidate pruning BEFORE the distinct(), both lossless (round 6,
+    // guide §3 "reduce the side before shuffling"):
+    //  - AllPairs LENGTH filter: J >= t forces inter >= t*max(n_x,n_y)
+    //    and inter <= min(n_x,n_y), so t*n_x <= n_y and t*n_y <= n_x —
+    //    any pair of discordant sizes cannot qualify no matter the
+    //    overlap (Arasu et al. / Bayardo et al.).
+    //  - PPJoin POSITIONAL filter (Xiao et al. 2008): both token lists
+    //    share one global order, so a collision on the token at 1-based
+    //    positions (i, j) bounds the intersection by 1 + min(n_x - i,
+    //    n_y - j); a qualifying pair needs inter >= ceil(t/(1+t) *
+    //    (n_x+n_y)) — in integers inter*(1000+p) >= p*(n_x+n_y) — and
+    //    its FIRST shared token (which the prefix lemma places inside
+    //    both prefixes) satisfies the bound, so the pair still collides
+    //    on at least one surviving key. Pure long arithmetic; no
+    //    boundary-epsilon question.
     val cand = keys.as("x")
       .join(keys.as("y"), col("x.token") === col("y.token"))
-      .where(col("x.doc_id") < col("y.doc_id"))
+      .where(col("x.doc_id") < col("y.doc_id") &&
+        col("y.n") * p <= col("x.n") * lit(1000L) &&
+        col("x.n") * p <= col("y.n") * lit(1000L) &&
+        (lit(1L) + least(col("x.n") - col("x.pos"),
+          col("y.n") - col("y.pos"))) * (lit(1000L) + p) >=
+          p * (col("x.n") + col("y.n")))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     verified(cand, ordered)
@@ -188,9 +216,20 @@ object SetJoin {
     val keysA = tokenKeys(ordered,
       Some(col("n") - ceilTn + lit(1L)), maxTokenDf)
     val keysB = tokenKeys(ordered, None, maxTokenDf)
+    val p = lit(minContainPermille.toLong)
+    // Same lossless candidate pruning as jaccardJoin, asymmetric split
+    // (round 6): C >= t needs inter >= ceil(t*n_a) with inter <= n_b, so
+    //  - LENGTH: n_b*1000 >= t*n_a (integers: equivalent to
+    //    n_b >= ceil(p*n_a/1000) since n_b is integral);
+    //  - POSITIONAL: a collision at 1-based positions (i in a's list,
+    //    j in b's full list) bounds inter by 1 + min(n_a - i, n_b - j),
+    //    which the pair's first shared token must satisfy.
     val cand = keysA.as("x")
       .join(keysB.as("y"), col("x.token") === col("y.token"))
-      .where(col("x.doc_id") =!= col("y.doc_id"))
+      .where(col("x.doc_id") =!= col("y.doc_id") &&
+        col("y.n") * lit(1000L) >= col("x.n") * p &&
+        (lit(1L) + least(col("x.n") - col("x.pos"),
+          col("y.n") - col("y.pos"))) * lit(1000L) >= col("x.n") * p)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     verified(cand, ordered)

@@ -61,8 +61,38 @@ object QueryDefs {
   private def e = col("event_id")
   private def u = col("user_id")
 
+  /** Spread a small scan across the session's cores before a per-row-
+    * expensive stage (round 6, guide §2: scale-adaptive partitioning).
+    * The sf tables are single small parquet files, so every scan is ONE
+    * input split and a map-side-heavy query runs single-threaded; at
+    * real scale the table has thousands of splits and the repartition
+    * would only add a pointless shuffle — hence the partition-count
+    * gate, which makes the shape adaptive instead of tuned to either
+    * environment. Row order feeding the downstream op changes, so this
+    * is only for queries whose result is order-insensitive past the
+    * next aggregate (each call site states why).
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   private def extract(df: DataFrame, textCol: Column): DataFrame =
     df.select(explode(GraftFunctions.extract_iocs(textCol)).as("ioc"))
+      .select(col("ioc.*"))
+
+  /** [[extract]] over a [[spread]] input, for the queries whose per-row
+    * scan work (checksum validation) dominates: measured 2.6x on q08
+    * (1.2 s -> 0.45 s warm), while the cheap-scan queries LOSE to the
+    * added exchange (q01 0.65 -> 0.93 s) and stay on plain [[extract]].
+    * The text is projected before the exchange so the shuffle (and its
+    * sort-before-repartition pass) moves one short string per row
+    * (guide §2.3).
+    */
+  private def extractSpread(df: DataFrame, textCol: Column): DataFrame =
+    spread(df.select(textCol.as("__text")))
+      .select(explode(GraftFunctions.extract_iocs(col("__text"))).as("ioc"))
       .select(col("ioc.*"))
 
   // ------------------------------------------------------ E1-E8 extraction
@@ -138,7 +168,7 @@ object QueryDefs {
   val xmrBad = xmrA.dropRight(1) + "2"
 
   def qExtractMonero(s: SparkSession, dir: String): DataFrame =
-    extract(t(s, dir, "events"), concat(lit("xmr "),
+    extractSpread(t(s, dir, "events"), concat(lit("xmr "),
       when(e % 3 === 0, xmrA).when(e % 3 === 1, xmrB).otherwise(xmrBad),
       lit(" end")))
       .where(col("indicator_type") === "monero")

@@ -73,6 +73,29 @@ class ChecksumsSpec extends AnyFunSuite {
     assert(!Checksums.validEthereum("0x5Aaeb6053F3E94C9b9A09f33669435E7Ef1BeAed"))
   }
 
+  test("ethereum: bytes-form validator agrees with the String form on " +
+    "every vector class (valid mixed, unicase, broken mixed, non-hex), " +
+    "including at a nonzero buffer offset") {
+    val cases = Seq(
+      "0x5aAeb6053F3E94C9b9A09f33669435E7Ef1BeAed",
+      "0xfB6916095ca1df60bB79Ce92cE3Ea74c37c5d359",
+      "0xdbF03B407c01E7cD3CBea99509d93f8DDDC8C6FB",
+      "0xD1220A0cf47c7B9Be7A2E6BA89F429762e7b9aDb",
+      "0xde709f2102306220921060314715629080e2fb77",
+      "0x52908400098527886E0F7030069857D2E4169EE7",
+      "0x5Aaeb6053F3E94C9b9A09f33669435E7Ef1BeAed",
+      "0x5aAeb6053F3E94C9b9A09f33669435E7Ef1BeAeg", // non-hex tail
+      "0x5aAeb6053F3E94C9b9A09f33669435E7Ef1BeAeD") // flipped last case
+    for (addr <- cases) {
+      val direct = addr.getBytes("US-ASCII")
+      assert(Checksums.validEthereumBytes(direct, 0) ==
+        Checksums.validEthereum(addr), addr)
+      val padded = ("??" + addr + "!").getBytes("US-ASCII")
+      assert(Checksums.validEthereumBytes(padded, 2) ==
+        Checksums.validEthereum(addr), s"offset form: $addr")
+    }
+  }
+
   test("monero: synthetic valid address (plain base58 + keccak checksum)") {
     // The reference validates with a plain whole-string base58 decode and a
     // legacy-Keccak 4-byte checksum (lib.rs:1895-1920) — build an address

@@ -22,6 +22,96 @@ object ScannerBench {
       println(f"scan: $n rows, $totalBytes bytes, $dt%.3f s, " +
         f"${totalBytes / dt / 1e6}%.1f MB/s, ${n / dt}%.0f rows/s, $found iocs")
     }
+    // interleaved A/B of the round-6 anchor-loop restructure: the OLD
+    // per-byte loop (verbatim pre-round-6 body) vs the tight-run form now
+    // in collectAnchors, same JVM, alternating — host drift hits both
+    locally {
+      val scr = new IocScanner.ScanScratch
+      val tbl = IocScanner.anchorClassTable
+      def oldAnchors(b: Array[Byte], n: Int): Unit = {
+        val tokens = scr.tokens; tokens.clear()
+        val dots = scr.dots; dots.clear()
+        val ats = scr.ats; ats.clear()
+        val dcolons = scr.dcolons; dcolons.clear()
+        val zx = scr.zx; zx.clear()
+        var tokenStart = -1
+        var i = 0
+        while (i < n) {
+          val k = tbl(b(i) & 0xff)
+          if (k == 0) {
+            if (tokenStart < 0) tokenStart = i
+          } else {
+            if ((k & 1) != 0) {
+              if (tokenStart >= 0) {
+                if (i - tokenStart >= 26) { tokens.add(tokenStart); tokens.add(i) }
+                tokenStart = -1
+              }
+            } else if (tokenStart < 0) tokenStart = i
+            if ((k & 2) != 0) dots.add(i)
+            else if ((k & 4) != 0) ats.add(i)
+            else if ((k & 8) != 0) { if (i + 1 < n && b(i + 1) == ':') dcolons.add(i) }
+            else if ((k & 16) != 0) { if (i + 1 < n && b(i + 1) == 'x') zx.add(i) }
+          }
+          i += 1
+        }
+        if (tokenStart >= 0 && n - tokenStart >= 26) {
+          tokens.add(tokenStart); tokens.add(n)
+        }
+      }
+      val none = new IocScanner(ScanConfig(domains = false, emails = false,
+        ipv4 = false, ipv6 = false, hashes = false, bitcoin = false,
+        ethereum = false, monero = false))
+      val sink = new scala.collection.mutable.ArrayBuffer[graft.model.Ioc](4)
+      def runOld(): Double = {
+        val t0 = System.nanoTime()
+        bytes.foreach(b => oldAnchors(b, b.length))
+        (System.nanoTime() - t0) / 1e9
+      }
+      def runNew(): Double = {
+        val t0 = System.nanoTime()
+        bytes.foreach(b => none.scanInto(b, b.length, sink, scr))
+        (System.nanoTime() - t0) / 1e9
+      }
+      runOld(); runNew() // warm
+      val olds = collection.mutable.ArrayBuffer[Double]()
+      val news = collection.mutable.ArrayBuffer[Double]()
+      (1 to 5).foreach { _ => olds += runOld(); news += runNew() }
+      val om = olds.sorted.apply(2); val nm = news.sorted.apply(2)
+      println(f"anchors A/B: old-median $om%.3f s (${totalBytes / om / 1e6}%.0f MB/s) " +
+        f"new-median $nm%.3f s (${totalBytes / nm / 1e6}%.0f MB/s)")
+    }
+
+    // per-extractor decomposition (round 6): cumulative configs — the
+    // delta of each line is that extractor's marginal cost on this corpus
+    locally {
+      val none = ScanConfig(domains = false, emails = false, ipv4 = false,
+        ipv6 = false, hashes = false, bitcoin = false, ethereum = false,
+        monero = false)
+      val steps = Seq(
+        "anchors only" -> none,
+        "+domains" -> none.copy(domains = true),
+        "+ipv4" -> none.copy(domains = true, ipv4 = true),
+        "+emails" -> none.copy(domains = true, ipv4 = true, emails = true),
+        "+ipv6" -> none.copy(domains = true, ipv4 = true, emails = true,
+          ipv6 = true),
+        "+hashes" -> none.copy(domains = true, ipv4 = true, emails = true,
+          ipv6 = true, hashes = true),
+        "+bitcoin" -> none.copy(domains = true, ipv4 = true, emails = true,
+          ipv6 = true, hashes = true, bitcoin = true),
+        "+ethereum" -> none.copy(domains = true, ipv4 = true, emails = true,
+          ipv6 = true, hashes = true, bitcoin = true, ethereum = true),
+        "+monero (all)" -> ScanConfig())
+      for ((name, cfg) <- steps) {
+        val s = new IocScanner(cfg)
+        var f = 0L
+        bytes.foreach(b => f += s.scan(b).length) // warm
+        val t0 = System.nanoTime()
+        f = 0
+        bytes.foreach(b => f += s.scan(b).length)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"cfg $name%-14s $dt%.3f s ${totalBytes / dt / 1e6}%6.1f MB/s ($f iocs)")
+      }
+    }
     // text generation cost
     val t1 = System.nanoTime()
     var len = 0L

@@ -147,6 +147,32 @@ class SetJoinSpec extends AnyFunSuite {
     assert(!runC(docs, 501).exists(r => r._1 == "half" && r._2 == "art"))
   }
 
+  test("candidate-filter boundaries (round-6 length + positional " +
+    "pruning): a pair exactly AT both integer bounds is kept") {
+    // t = 0.5: x = {a,b}, y = {a,b,c,d} (as sets; c,d rarer than a,b).
+    // LENGTH bound is tight: n_y*p = 4*500 = n_x*1000 = 2000.
+    // x ⊂ y gives inter=2, J = 2/4 = 0.5 exactly.
+    // POSITIONAL bound is tight too: global order (df asc, token asc)
+    // is c,d,a,b; the pair's only colliding prefix key is 'a' at
+    // positions i=1 (of x) and j=3 (of y): 1 + min(2-1, 4-3) = 2 =
+    // ceil(p*(n_x+n_y)/(1000+p)). An off-by-one in either filter
+    // drops this qualifying pair.
+    val docs = Seq(("x", "a b"), ("y", "a b c d"))
+    assert(run(docs, 500) == model(docs, 500) &&
+      run(docs, 500).map(r => (r._1, r._2)) == Seq(("x", "y")))
+    // and one unit above the threshold it must vanish
+    assert(run(docs, 501).isEmpty)
+    // containment flavor, same corpus: x ⊂ y, C(x in y) = 1.0; the
+    // reverse direction C(y in x) = 2/4 = 0.5 sits exactly at t=500
+    // (positional: first collision c at i=1 of y's 3-key prefix, j=...
+    // c not in x — the qualifying collision is a at i=3, j=1:
+    // 1 + min(4-3, 2-1) = 2 = ceil(500*4/1000)).
+    assert(runC(docs, 500) == modelC(docs, 500))
+    assert(runC(docs, 500).map(r => (r._1, r._2)).toSet ==
+      Set(("x", "y"), ("y", "x")))
+    assert(runC(docs, 501).map(r => (r._1, r._2)) == Seq(("x", "y")))
+  }
+
   test("containment: random corpus equivalence across thresholds") {
     val vocab = (0 until 30).map(i => s"w$i")
     val docs = (0 until 60).map { i =>
