@@ -398,9 +398,14 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
     // labels carry (doc_id, cluster_id, prev) so the per-round action can
-    // count changed rows off the already-checkpointed data (no extra join)
+    // count changed rows off the already-checkpointed data (no extra join).
+    // The INITIAL table stays lazy (round 6): it is a trivial projection
+    // of `docs` — callers pass either a checkpointed frame or a raw scan —
+    // and round 1 re-deriving it twice (neighbor-min + jump joins) is
+    // cheaper than the eager checkpoint job the old form paid up front;
+    // every LATER label table is the round's own checkpoint as before.
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"),
-      col("doc_id").as("prev")).localCheckpoint()
+      col("doc_id").as("prev"))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {

@@ -760,7 +760,12 @@ object QueryDefs {
   def qCurate(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     graft.ops.Curation.curate(
-      docs.where(col("doc_id") % 11 =!= 0),
+      // spread the train side (guide §2: the single-file scan otherwise
+      // runs curate's whole map side — tokenize, minhash sweep, contam
+      // explode — in ONE task); every downstream stage is keyed, so the
+      // partitioning is invisible in the result. Eval side stays as-is
+      // (it only builds the broadcast gram set).
+      spread(docs.where(col("doc_id") % 11 =!= 0)),
       docs.where(col("doc_id") % 11 === 0),
       minTokens = 25, maxTokens = 90,
       minMeanTokenLen = 4.8, maxMeanTokenLen = 6.0,
@@ -1670,7 +1675,9 @@ object QueryDefs {
     * which is the op's whole claim.
     */
   def qSetJoin(s: SparkSession, dir: String): DataFrame =
-    graft.ops.SetJoin.jaccardJoin(t(s, dir, "documents"),
+    // spread: the single-file scan otherwise tokenizes the whole corpus
+    // in one task (everything downstream of the staged explode is keyed)
+    graft.ops.SetJoin.jaccardJoin(spread(t(s, dir, "documents")),
       minJaccardPermille = 950)
       .orderBy("doc_a", "doc_b")
 
@@ -1818,10 +1825,17 @@ object QueryDefs {
       .select("user_id", "event_type", "event_id")
     val dim = events.groupBy("user_id")
       .agg(count(lit(1)).as("n_user_events"))
-    graft.io.Bucketing.writeBucketed(events, "graft_q107_fact",
-      "user_id", 8, sortCols = Seq("user_id"))
+    // the two bucketed writes are independent (different tables) — run
+    // them as concurrent driver-side jobs so the dim write back-fills the
+    // fact write's task tail (guide §2.6 overlap-independent-jobs)
+    val factW = scala.concurrent.Future(
+      graft.io.Bucketing.writeBucketed(events, "graft_q107_fact",
+        "user_id", 8, sortCols = Seq("user_id")))(
+      scala.concurrent.ExecutionContext.global)
     graft.io.Bucketing.writeBucketed(dim, "graft_q107_dim",
       "user_id", 8, sortCols = Seq("user_id"))
+    scala.concurrent.Await.result(factW,
+      scala.concurrent.duration.Duration.Inf)
     graft.io.Bucketing.bucketedJoin(s, "graft_q107_fact",
         "graft_q107_dim", Seq("user_id"))
       .groupBy("event_type")
@@ -2219,7 +2233,7 @@ object QueryDefs {
     */
   def qContainment(s: SparkSession, dir: String): DataFrame =
     graft.ops.SetJoin.containmentJoin(
-      t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+      spread(t(s, dir, "documents").filter(col("doc_id") % 5 === 0)),
       minContainPermille = 950)
       .orderBy("doc_a", "doc_b")
 
