@@ -68,7 +68,7 @@ object Curation {
     // --- THE single corpus pass: tokenize once, grade quality in the same
     // projection, checkpoint (doc_id, quality_fail, toks)
     val nToks = TextStats.nTokensOfStaged(col("toks"))
-    val staged = docs
+    val staged0 = docs
       .select(col("doc_id"), col(textCol).as("__text"),
         Decontaminate.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"),
@@ -83,15 +83,14 @@ object Curation {
           minTokens, maxTokens, minMeanTokenLen, maxMeanTokenLen,
           minAlnumRatio, minStopwordHits).as("quality_fail"),
         col("toks"))
-      .localCheckpoint()
+    val stagedT = Staging.stage(staged0, "curate-staged")
     // --- banding: shingles + md5 signature sweep ONCE into a small
     // checkpointed (doc_id, band_idx, band_key) table; the pair self-join
     // and CC then never recompute the sweep
-    val banded = Dedup
-      .bandedMinhashOfTokens(staged, "toks", k, numHashes, bands,
-        keep = Seq("doc_id"))
-      .localCheckpoint()
-    val clusters = Dedup.nearDupClusters(staged.select("doc_id"),
+    val banded = Staging.stage(Dedup
+      .bandedMinhashOfTokens(stagedT, "toks", k, numHashes, bands,
+        keep = Seq("doc_id")), "curate-banded")
+    val clusters = Dedup.nearDupClusters(stagedT.select("doc_id"),
       Dedup.pairsFromBanded(banded, maxBandDf))
     // --- decontamination: eval grams BROADCAST (benchmark-sized), train
     // grams derived from the staged tokens — the corpus never shuffles
@@ -100,14 +99,14 @@ object Curation {
       .select(explode(
         Decontaminate.ngramsOfTokens(col("__etoks"), contamN)).as("gram"))
       .distinct()
-    val contam = staged
+    val contam = stagedT
       .select(col("doc_id"),
         explode(Decontaminate.ngramsOfTokens(col("toks"), contamN))
           .as("gram"))
       .join(broadcast(evalGrams), Seq("gram"))
       .groupBy("doc_id").agg(count(lit(1)).as("shared_ngrams"))
     // quality is exactly one row per input doc, so it anchors the chain
-    val out = staged.select("doc_id", "quality_fail")
+    val out0 = stagedT.select("doc_id", "quality_fail")
       .join(clusters, Seq("doc_id"))
       .join(contam, Seq("doc_id"), "left")
       .withColumn("shared_ngrams", coalesce(col("shared_ngrams"), lit(0L)))
@@ -118,18 +117,18 @@ object Curation {
           .when(col("shared_ngrams") >= minShared, lit("contaminated")))
       .withColumn("keep", col("drop_stage").isNull)
       .select("doc_id", "cluster_id", "shared_ngrams", "drop_stage", "keep")
-      // materialize the doc-sized verdict table so the token/band staging
-      // blocks can be released NOW instead of pinning corpus-sized state
-      // until the caller's action completes
-      .localCheckpoint()
-    Checkpoints.releaseLocal(banded)
-    Checkpoints.releaseLocal(staged)
+    // materialize the doc-sized verdict table so the token/band staging
+    // blocks can be released NOW instead of pinning corpus-sized state
+    // until the caller's action completes
+    val out = Staging.stage(out0, "curate-out")
+    Staging.release(banded)
+    Staging.release(stagedT)
     // the CC label table is a live checkpoint BEHIND the clusters
     // projection (nearDupClusters' final round) — one long per document,
     // corpus-cardinality at scale; release it deeply now that `out` is
     // materialized (round-5 review find: the docstring promised every
     // staged checkpoint released, but this one had no direct handle)
-    Checkpoints.releaseLocalDeep(clusters)
+    Staging.releaseDeep(clusters)
     out
   }
 }

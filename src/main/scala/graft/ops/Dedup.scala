@@ -211,8 +211,9 @@ object Dedup {
     // Curation.curate needs a tighter lifetime and stages its own banded
     // table, releasing it explicitly after materializing its output.
     pairsFromBanded(
-      bandedMinhash(docs, "text", k, numHashes, bands, keep = Seq("doc_id"))
-        .localCheckpoint(),
+      Staging.stage(
+        bandedMinhash(docs, "text", k, numHashes, bands,
+          keep = Seq("doc_id")), "minhash-banded"),
       maxBandDf)
   }
 
@@ -394,9 +395,10 @@ object Dedup {
     */
   def nearDupClusters(docs: DataFrame, pairs: DataFrame,
       maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
+    val edges = Staging.stage(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))),
+      "cc-edges")
     // labels carry (doc_id, cluster_id, prev) so the per-round action can
     // count changed rows off the already-checkpointed data (no extra join).
     // The INITIAL table stays lazy (round 6): it is a trivial projection
@@ -419,7 +421,7 @@ object Dedup {
           least(coalesce(col("nmin"), col("l.cluster_id")),
             col("l.cluster_id")).as("cluster_id"))
       // pointer jumping: follow the label one hop (cluster_id's own label)
-      val jumped = withNeighbor.as("a")
+      val jumped0 = withNeighbor.as("a")
         .join(labels.select(col("doc_id").as("p_id"),
           col("cluster_id").as("p_label")),
           col("a.cluster_id") === col("p_id"), "left")
@@ -427,17 +429,18 @@ object Dedup {
           least(col("a.cluster_id"),
             coalesce(col("p_label"), col("a.cluster_id"))).as("cluster_id"),
           col("a.old_label").as("prev"))
-        .localCheckpoint()
-      val changed = jumped.where(col("cluster_id") =!= col("prev")).count()
+      val jumpedStaged = Staging.stage(jumped0, "cc-labels")
+      val changed =
+        jumpedStaged.where(col("cluster_id") =!= col("prev")).count()
       converged = changed == 0L
-      // release the superseded checkpoint's blocks (otherwise up to
-      // maxIter full label-table copies stay pinned in block storage
-      // until driver GC + ContextCleaner get around to them)
-      releaseLocalCheckpoint(labels)
-      labels = jumped
+      // release the superseded stage's blocks (otherwise up to maxIter
+      // full label-table copies stay pinned in block storage until
+      // driver GC + ContextCleaner get around to them)
+      Staging.release(labels)
+      labels = jumpedStaged
       iter += 1
     }
-    releaseLocalCheckpoint(edges)
+    Staging.release(edges)
     require(converged, s"nearDupClusters did not converge in $maxIter rounds")
     labels.select("doc_id", "cluster_id")
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
