@@ -126,8 +126,12 @@ object SetJoin {
     val sideB = ordered.select(col("doc_id").as("doc_b"),
       col("toks").as("toks_b"), col("n").as("size_b"))
     cand.join(sideA, "doc_a").join(sideB, "doc_b")
-      .withColumn("inter",
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long"))
+      // EvalOnce: without the fence the optimizer inlines `inter` into
+      // the callers' keep predicates and pushes them into this join's
+      // condition — the intersection was evaluated up to THREE times per
+      // candidate (plan-verified, round 6); fenced, it runs once.
+      .withColumn("inter", graft.functions.EvalOnce.column(
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("long")))
   }
 
   /** All pairs with distinct-token Jaccard ≥ permille/1000:
