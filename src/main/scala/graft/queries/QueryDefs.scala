@@ -687,7 +687,10 @@ object QueryDefs {
   def qDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     graft.ops.Decontaminate.contaminationScores(
-      docs.where(col("doc_id") % 11 =!= 0),
+      // spread: the train-side gram explode is the map-heavy stage and
+      // the single-file scan otherwise runs it in one task (result is
+      // keyed downstream — partitioning invisible)
+      spread(docs.where(col("doc_id") % 11 =!= 0)),
       docs.where(col("doc_id") % 11 === 0), n = 4)
       .orderBy("doc_id")
   }
