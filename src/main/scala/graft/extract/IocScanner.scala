@@ -151,11 +151,11 @@ final class IocScanner(val config: ScanConfig) extends Serializable {
   // ------------------------------------------------------------- domains
   private def scanDomains(b: Array[Byte], n: Int, dots: IntVec,
       out: ArrayBuffer[Ioc]): Unit = {
-    var lastDomainEnd = 0
+    var lastSpanEnd = 0
     var di = 0
     while (di < dots.length) {
       val dot = dots(di)
-      if (dot >= lastDomainEnd) {
+      if (dot >= lastSpanEnd) {
         var start = dot
         while (start > 0 && isDomainChar(b(start - 1))) start -= 1
         var end = dot + 1
@@ -170,10 +170,16 @@ final class IocScanner(val config: ScanConfig) extends Serializable {
               utf8Valid(b, start, end)) {
               val s = new String(b, start, end - start, StandardCharsets.UTF_8)
               out += Ioc(T.Domain, s, s, start, end)
-              lastDomainEnd = end
             }
           }
         }
+        // skip the span's remaining dots on REJECTION too (round 6):
+        // domain-char runs are maximal, so every dot inside [start, end)
+        // derives exactly this span and reaches the same verdict — the
+        // old accept-only skip made a dotted-quad pay the PSL walk once
+        // PER DOT. Emission is unchanged: an accepted span emits at its
+        // first dot (as before), a rejected span emits nothing either way.
+        lastSpanEnd = end
       }
       di += 1
     }
@@ -202,6 +208,11 @@ final class IocScanner(val config: ScanConfig) extends Serializable {
       out: ArrayBuffer[Ioc]): Unit = {
     // dot positions come from the fused anchor pass
     var lastEnd = 0
+    // every dot of one digit/dot run walks back to the SAME start, and
+    // tryParseIpv4 parses from that start only — a failed start fails
+    // identically for the run's other dots, so remember it (round 6;
+    // "999.1.2.3" paid the parse once per dot before)
+    var lastFailedStart = -1
     var di = 0
     while (di < dots.length) {
       val dotPos = dots(di)
@@ -210,7 +221,7 @@ final class IocScanner(val config: ScanConfig) extends Serializable {
         var start = dotPos
         while (start > 0 && (isDigit(b(start - 1)) || b(start - 1) == '.'))
           start -= 1
-        if (start >= lastEnd) {
+        if (start >= lastEnd && start != lastFailedStart) {
           // need >=3 dots within [this dot, start+15)
           val endSearch = math.min(start + 15, n)
           var cnt = 0
@@ -225,7 +236,7 @@ final class IocScanner(val config: ScanConfig) extends Serializable {
                 new String(b, start, end - start, StandardCharsets.UTF_8),
                 start, end)
               lastEnd = end
-            }
+            } else lastFailedStart = start
           }
         }
       }
